@@ -1,0 +1,130 @@
+"""Component registries.
+
+Parity with the reference registry (``ever/core/registry.py:46-130``): a
+``Registry`` is a dict from name to callable, populated by decorator or direct
+call, with duplicate warnings and directory/file auto-import helpers so user
+projects can drop modules into ``module/``, ``data/`` or ``callback/`` dirs and
+have them registered on import.  Eight global registries mirror the reference:
+``LR, OPT, DATALOADER, MODEL, LOSS, OP, CALLBACK, DATASET``.
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import logging
+import os
+import sys
+from typing import Callable, Optional, TypeVar
+
+logger = logging.getLogger('ever_tpu.registry')
+
+_T = TypeVar('_T')
+
+
+def _is_main_process() -> bool:
+    # Late import to keep registry usable without jax initialised.
+    try:
+        from ever_tpu.core import dist
+        return dist.is_main_process()
+    except Exception:
+        return True
+
+
+class Registry(dict):
+    """Name → callable registry with decorator registration.
+
+    Usage::
+
+        MODEL = Registry('model')
+
+        @MODEL.register()
+        class FarSeg(...): ...
+
+        @MODEL.register('custom_name')
+        def build(...): ...
+
+        MODEL.register_fn(some_callable)
+    """
+
+    def __init__(self, name: str = ''):
+        super().__init__()
+        self._name = name
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def _do_register(self, key: str, obj: Callable) -> None:
+        if key in self and _is_main_process():
+            logger.warning('%r is already registered in registry %r; overwriting', key, self._name)
+        self[key] = obj
+
+    def register(self, name_or_obj=None, obj: Optional[Callable] = None, verbose: bool = True):
+        """Register a component.  Three call styles (parity with the reference):
+
+        - ``@R.register()`` / ``@R.register`` — decorator, name from ``__name__``;
+        - ``@R.register('name')`` — decorator with explicit name;
+        - ``R.register('name', obj)`` — direct call.
+        """
+        del verbose  # accepted for surface parity; warnings are logger-managed
+        if callable(name_or_obj) and obj is None:
+            self._do_register(name_or_obj.__name__, name_or_obj)
+            return name_or_obj
+        if obj is not None:
+            self._do_register(name_or_obj, obj)
+            return obj
+
+        explicit = name_or_obj
+
+        def deco(o: _T) -> _T:
+            self._do_register(explicit or o.__name__, o)  # type: ignore[union-attr]
+            return o
+
+        return deco
+
+    # alias matching the decorator-less call style in the reference
+    register_fn = register
+
+    def __repr__(self) -> str:
+        return f'Registry(name={self._name!r}, items={sorted(self.keys())})'
+
+
+def register_file(py_file: str) -> None:
+    """Import a single ``.py`` file so its registration decorators run.
+
+    Parity: ``ever/core/registry.py:88-104``.
+    """
+    py_file = os.path.abspath(py_file)
+    mod_name = 'ever_tpu._user.' + os.path.splitext(os.path.basename(py_file))[0]
+    if mod_name in sys.modules:
+        return
+    spec = importlib.util.spec_from_file_location(mod_name, py_file)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = module
+    spec.loader.exec_module(module)  # type: ignore[union-attr]
+
+
+def register_dir(dir_path: str, recursive: bool = False) -> None:
+    """Import every ``.py`` file in a directory (parity: ``registry.py:106-120``)."""
+    pattern = os.path.join(dir_path, '**', '*.py') if recursive else os.path.join(dir_path, '*.py')
+    for py_file in sorted(glob.glob(pattern, recursive=recursive)):
+        if os.path.basename(py_file).startswith('_'):
+            continue
+        register_file(py_file)
+
+
+# The eight global registries (parity: ``ever/core/registry.py:123-130``).
+LR = Registry('learning_rate')
+OPT = Registry('optimizer')
+DATALOADER = Registry('dataloader')
+MODEL = Registry('model')
+LOSS = Registry('loss')
+OP = Registry('op')
+CALLBACK = Registry('callback')
+DATASET = Registry('dataset')
+
+__all__ = [
+    'Registry', 'register_file', 'register_dir',
+    'LR', 'OPT', 'DATALOADER', 'MODEL', 'LOSS', 'OP', 'CALLBACK', 'DATASET',
+]

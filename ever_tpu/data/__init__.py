@@ -1,0 +1,13 @@
+from ever_tpu.data import cross_validation, distributed
+from ever_tpu.data.cross_validation import CrossValSamplerGenerator, make_CVSamplers
+from ever_tpu.data.distributed import (
+    DistributedInfiniteSampler,
+    DistributedNonOverlapSeqSampler,
+    DistributedNonOverlapSubsetSeqSampler,
+    RandomSampler,
+    SequentialSampler,
+    StepDistributedRandomSubsetSampler,
+    StepDistributedSampler,
+    as_ddp_inference_loader,
+)
+from ever_tpu.data.loader import DataLoader, default_collate

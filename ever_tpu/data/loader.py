@@ -1,0 +1,138 @@
+"""Host-side data loader (torch-DataLoader replacement).
+
+The reference relies on ``torch.utils.data.DataLoader`` (worker processes +
+pin_memory).  For a JAX/TPU stack the loader's job is simpler: produce
+*numpy* batches on the host; device transfer and sharding are handled by the
+double-buffered prefetcher (``ever_tpu/core/prefetch.py``), which replaces
+``pin_memory``/``non_blocking`` copies (SURVEY.md §7 step 4).
+
+Items are fetched by a thread pool (datasets here are numpy/PIL-bound and
+release the GIL in I/O + decode), collated by stacking, and yielded in order.
+"""
+
+from __future__ import annotations
+
+import itertools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+__all__ = ['DataLoader', 'default_collate']
+
+
+def default_collate(items):
+    """Stack a list of samples into a batch, recursing over dict/tuple/list."""
+    first = items[0]
+    if isinstance(first, dict):
+        return {k: default_collate([it[k] for it in items]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return type(first)(default_collate(list(group)) for group in zip(*items))
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    if isinstance(first, (int, float, bool, np.generic)):
+        return np.asarray(items)
+    if first is None:
+        return None
+    # jax arrays / anything array-like
+    return np.stack([np.asarray(it) for it in items])
+
+
+class DataLoader:
+    """Minimal ordered batch loader over an indexable dataset.
+
+    Args mirror the reference surface (``ever/interface/dataloader.py:10-31``):
+    ``dataset`` (supports ``len``/``[]``), ``sampler`` (iterable of indices;
+    defaults to sequential), ``batch_size``, ``num_workers`` (0 = synchronous),
+    ``collate_fn``, ``drop_last``, ``prefetch_factor`` (batches in flight).
+    """
+
+    def __init__(self,
+                 dataset,
+                 sampler=None,
+                 batch_size: int = 1,
+                 num_workers: int = 0,
+                 collate_fn: Callable = default_collate,
+                 drop_last: bool = False,
+                 prefetch_factor: int = 2,
+                 persistent_workers: bool = False,
+                 pin_memory: bool = False,  # accepted for surface parity; no-op
+                 ):
+        from ever_tpu.data.distributed import SequentialSampler
+        self.dataset = dataset
+        self.sampler = sampler if sampler is not None else SequentialSampler(dataset)
+        self.batch_size = int(batch_size)
+        self.num_workers = int(num_workers)
+        self.collate_fn = collate_fn
+        self.drop_last = bool(drop_last)
+        self.prefetch_factor = max(int(prefetch_factor), 1)
+        self.persistent_workers = persistent_workers
+        self.pin_memory = pin_memory
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    # -- iteration ----------------------------------------------------------
+    def _index_batches(self) -> Iterator[list]:
+        batch = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def _fetch(self, indices: list) -> Any:
+        return self.collate_fn([self.dataset[i] for i in indices])
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for indices in self._index_batches():
+                yield self._fetch(indices)
+            return
+
+        pool = self._get_pool()
+        batches = self._index_batches()
+        in_flight = [
+            pool.submit(self._fetch, b)
+            for b in itertools.islice(batches, self.prefetch_factor)
+        ]
+        try:
+            while in_flight:
+                fut = in_flight.pop(0)
+                nxt = next(batches, None)
+                if nxt is not None:
+                    in_flight.append(pool.submit(self._fetch, nxt))
+                yield fut.result()
+        finally:
+            for fut in in_flight:
+                fut.cancel()
+            if not self.persistent_workers:
+                self._shutdown_pool()
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                            thread_name_prefix='ever_tpu_loader')
+        return self._pool
+
+    def _shutdown_pool(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # -- utilities -----------------------------------------------------------
+    def clone(self, **overrides) -> 'DataLoader':
+        kwargs = dict(
+            dataset=self.dataset, sampler=self.sampler, batch_size=self.batch_size,
+            num_workers=self.num_workers, collate_fn=self.collate_fn,
+            drop_last=self.drop_last, prefetch_factor=self.prefetch_factor,
+            persistent_workers=self.persistent_workers, pin_memory=self.pin_memory,
+        )
+        kwargs.update(overrides)
+        return DataLoader(**kwargs)

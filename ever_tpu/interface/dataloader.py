@@ -1,0 +1,103 @@
+"""`ERDataLoader` / `ERDataset` — configurable data sources.
+
+Parity: ``ever/interface/dataloader.py:10-83``.  Datasets produce *numpy*
+samples (dict or tuple); the loader batches them on the host and the trainer's
+prefetcher moves batches into HBM.  ``total_batch_size`` keeps its reference
+semantics: the *global* batch divided by the number of host processes with a
+divisibility assert (``dataloader.py:61-67``).
+"""
+
+from __future__ import annotations
+
+from ever_tpu.core import dist
+from ever_tpu.core.config import AttrDict
+from ever_tpu.data.distributed import (
+    DistributedInfiniteSampler,
+    RandomSampler,
+    SequentialSampler,
+    StepDistributedSampler,
+)
+from ever_tpu.data.loader import DataLoader, default_collate
+from ever_tpu.interface.configurable import ConfigurableMixin
+
+__all__ = ['ERDataLoader', 'ERDataset']
+
+
+class ERDataLoader(DataLoader, ConfigurableMixin):
+    """A DataLoader configured via a ``dataloader_params`` property.
+
+    Subclasses override :meth:`set_default_config` and
+    :attr:`dataloader_params` (parity: ``ever/interface/dataloader.py:10-31``).
+    """
+
+    def __init__(self, config=None):
+        ConfigurableMixin.__init__(self, config)
+        DataLoader.__init__(self, **self.dataloader_params)
+
+    @property
+    def dataloader_params(self) -> dict:
+        return dict(dataset=[],
+                    sampler=None,
+                    batch_size=1,
+                    num_workers=0,
+                    collate_fn=default_collate,
+                    drop_last=False)
+
+
+class ERDataset(ConfigurableMixin):
+    """Configurable dataset with ``to_dataloader()``.
+
+    Supported sampler types (parity: ``ever/interface/dataloader.py:35-40``):
+    ``StepDistributedSampler`` (default), ``RandomSampler``,
+    ``SequentialSampler``, ``DistributedInfiniteSampler``.
+    """
+
+    SUPPORT_SAMPLERS = {
+        'StepDistributedSampler': StepDistributedSampler,
+        'RandomSampler': RandomSampler,
+        'SequentialSampler': SequentialSampler,
+        'DistributedInfiniteSampler': DistributedInfiniteSampler,
+    }
+
+    def __init__(self, config=None):
+        ConfigurableMixin.__init__(self, config)
+        base = AttrDict(dict(
+            total_batch_size=-1,
+            batch_size=1,
+            num_workers=0,
+            prefetch_factor=2,
+            persistent_workers=False,
+            drop_last=False,
+            sampler_type='StepDistributedSampler',
+        ))
+        base.update(self._config)
+        self._config = base
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+    def to_dataloader(self, batch_size=None, num_workers=None, prefetch_factor=None,
+                      persistent_workers=None) -> DataLoader:
+        sampler = self.SUPPORT_SAMPLERS[self.config.sampler_type](self)
+
+        if self.config.total_batch_size > 0:
+            world = dist.get_world_size()
+            if self.config.total_batch_size % world != 0:
+                raise ValueError(
+                    f'total_batch_size ({self.config.total_batch_size}) must be '
+                    f'divisible by the number of host processes ({world})')
+            self.config.batch_size = self.config.total_batch_size // world
+
+        return DataLoader(
+            dataset=self,
+            sampler=sampler,
+            batch_size=batch_size or self.config.batch_size,
+            num_workers=num_workers if num_workers is not None else self.config.num_workers,
+            prefetch_factor=prefetch_factor or self.config.prefetch_factor,
+            persistent_workers=(persistent_workers if persistent_workers is not None
+                                else self.config.persistent_workers),
+            drop_last=self.config.drop_last,
+        )

@@ -1,0 +1,119 @@
+"""`ERModule` — the configurable model base class (flax.linen edition).
+
+Parity target: reference ``ever/interface/module.py:12-108``.  The reference
+couples four concerns into one ``nn.Module`` subclass: (1) default⊕user config
+merge, (2) weight-file loading with prefix stripping/regex excepts, (3) the
+training contract (forward returns a dict whose ``*loss`` keys are summed),
+and (4) gradient application (clip + step).  In JAX these split naturally:
+
+- (1) stays here: an ``ERModule`` is a linen module with a single ``config``
+  field, merged from ``set_default_config()`` defaults and the user dict at
+  construction time — so ``MODEL['Name'](params_dict)`` works exactly like the
+  reference registry path (``ever/core/builder.py:47-62``).
+- (2) operates on *param pytrees*, not modules → ``ever_tpu.util.weight_io``.
+- (3) stays: ``__call__(x, y=None, train=False)`` returns a loss dict when
+  training; :func:`sum_losses` implements the ``*loss``-key summation
+  (parity: ``ever/interface/module.py:76-81``).
+- (4) becomes pure optax transforms inside the jitted train step
+  (clip-by-global-norm parity with ``module.py:96-108`` lives in
+  ``ever_tpu/opt/optimizer.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ever_tpu.core.config import AttrDict, FrozenConfig
+
+# Reserved top-level config key carrying run-global options (weight init path,
+# etc.).  Parity: ``ever/interface/module.py:13,21-23``.
+GLOBAL_KEY = 'GLOBAL'
+
+
+class ERModule(nn.Module):
+    """Configurable linen module.
+
+    Subclasses override :meth:`set_default_config` to populate defaults and
+    implement ``__call__``.  Construction accepts a single (possibly partial)
+    config dict::
+
+        @MODEL.register()
+        class MySeg(ERModule):
+            def set_default_config(self):
+                self.config.update(dict(classes=7, channels=256))
+
+            @nn.compact
+            def __call__(self, x, y=None, train=False):
+                ...
+
+        m = MySeg(dict(classes=5))           # config.classes == 5, channels == 256
+
+    The training contract mirrors the reference: when ``train=True`` and
+    labels are given, ``__call__`` returns a dict; every key ending in
+    ``'loss'`` is summed into the scalar objective, other keys are logged as
+    metrics (parity: ``ever/interface/module.py:76-81`` and the launcher hot
+    loop ``ever/core/launcher.py:194-222``).
+    """
+
+    config: Any = None
+
+    def __post_init__(self):
+        user = self.config
+        if isinstance(user, FrozenConfig):  # e.g. module.clone()
+            user = user.unfrozen()
+        merged = AttrDict()
+        object.__setattr__(self, 'config', merged)
+        self.set_default_config()
+        if user:
+            merged.update(user)
+        # Wrap so flax's field freezing (dict → FrozenDict) leaves attribute
+        # access intact inside setup()/__call__.
+        object.__setattr__(self, 'config', FrozenConfig(merged))
+        super().__post_init__()
+
+    # -- configuration ------------------------------------------------------
+    def set_default_config(self) -> None:
+        """Populate ``self.config`` with class defaults (override me)."""
+
+    @property
+    def global_config(self) -> AttrDict:
+        """The reserved ``GLOBAL`` sub-config (weight path etc.)."""
+        return self.config.get(GLOBAL_KEY, AttrDict())
+
+    # -- hooks ---------------------------------------------------------------
+    def custom_param_groups(self, params) -> Optional[Dict]:
+        """Optional per-parameter optimizer-group labels.
+
+        Return a pytree of str labels matching ``params``' structure (for
+        ``optax.multi_transform``), or ``None`` for a single group.
+        Parity: ``ever/interface/module.py:73-74``.
+        """
+        return None
+
+    def log_info(self) -> Dict[str, Any]:
+        """Extra static info to log at startup (parity: ``module.py:70-71``)."""
+        return {}
+
+
+def sum_losses(loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Sum every ``*loss`` entry of a forward output dict into the objective.
+
+    Parity: ``ever/interface/module.py:76-81`` (``backward`` summation).
+    Non-loss keys are treated as metrics and ignored here.
+    """
+    total = 0.0
+    for k, v in loss_dict.items():
+        if k.endswith('loss'):
+            total = total + jnp.asarray(v, jnp.float32)
+    return jnp.asarray(total, jnp.float32)
+
+
+def split_metrics(loss_dict: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """All entries (losses and metrics) as scalar fp32 for logging."""
+    return {k: jnp.asarray(v, jnp.float32) for k, v in loss_dict.items()}
+
+
+__all__ = ['ERModule', 'sum_losses', 'split_metrics', 'GLOBAL_KEY']

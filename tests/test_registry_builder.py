@@ -1,0 +1,94 @@
+import flax.linen as nn
+import pytest
+
+from ever_tpu.core import builder, registry
+from ever_tpu.core.config import AttrDict
+from ever_tpu.core.registry import Registry
+from ever_tpu.interface.module import ERModule
+
+
+def test_registry_styles():
+    R = Registry('t')
+
+    @R.register()
+    class A:
+        pass
+
+    @R.register('bee')
+    class B:
+        pass
+
+    def c():
+        pass
+
+    R.register('sea', c)
+
+    @R.register
+    class D:
+        pass
+
+    assert R['A'] is A and R['bee'] is B and R['sea'] is c and R['D'] is D
+
+
+def test_registry_overwrite_warns(caplog):
+    R = Registry('t')
+    R.register('x', lambda: 1)
+    R.register('x', lambda: 2)
+    assert R['x']() == 2
+
+
+def test_register_file(tmp_path):
+    f = tmp_path / 'mymod.py'
+    f.write_text(
+        'from ever_tpu.core import registry\n'
+        "registry.MODEL.register('unit_test_dummy', object)\n")
+    registry.register_file(str(f))
+    assert 'unit_test_dummy' in registry.MODEL
+    del registry.MODEL['unit_test_dummy']
+
+
+class _Seg(ERModule):
+    def set_default_config(self):
+        self.config.update(dict(classes=7, width=8))
+
+    @nn.compact
+    def __call__(self, x, y=None, train=False):
+        return nn.Dense(self.config.classes)(x)
+
+
+def test_make_model_ermodule():
+    registry.MODEL.register('unit_test_seg', _Seg)
+    try:
+        m = builder.make_model(AttrDict(dict(type='unit_test_seg',
+                                             params=dict(classes=3))))
+        assert isinstance(m, _Seg)
+        assert m.config.classes == 3 and m.config.width == 8
+    finally:
+        del registry.MODEL['unit_test_seg']
+
+
+def test_make_model_plain_callable():
+    registry.MODEL.register('unit_test_plain', lambda classes: ('plain', classes))
+    try:
+        m = builder.make_model(AttrDict(dict(type='unit_test_plain',
+                                             params=dict(classes=3))))
+        assert m == ('plain', 3)
+    finally:
+        del registry.MODEL['unit_test_plain']
+
+
+def test_make_model_requires_type():
+    with pytest.raises(KeyError):
+        builder.make_model(AttrDict(dict(params={})))
+
+
+def test_make_learningrate_and_optimizer():
+    import ever_tpu.opt  # noqa: F401 — trigger registration
+    lr = builder.make_learningrate(AttrDict(dict(
+        type='poly', params=dict(base_lr=0.01, power=0.9, max_iters=100))))
+    assert float(lr(0)) == pytest.approx(0.01)
+
+    tx_factory, opt_cfg = builder.make_optimizer(AttrDict(dict(
+        type='sgd', params=dict(momentum=0.9), grad_clip=dict(max_norm=10.0))))
+    tx = tx_factory.build(lr, grad_clip=opt_cfg.get('grad_clip'))
+    assert hasattr(tx, 'init') and hasattr(tx, 'update')

@@ -1,0 +1,91 @@
+import itertools
+
+import numpy as np
+
+from ever_tpu.data.cross_validation import CrossValSamplerGenerator
+from ever_tpu.data.distributed import (
+    DistributedInfiniteSampler,
+    DistributedNonOverlapSeqSampler,
+    StepDistributedSampler,
+)
+from ever_tpu.data.loader import DataLoader, default_collate
+
+
+class _DS:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return dict(x=np.full((4, 4), i, np.float32), y=np.int32(i))
+
+
+def test_step_sampler_covers_all_and_is_step_deterministic():
+    ds = _DS(10)
+    world = 4
+    samplers = [StepDistributedSampler(ds, num_replicas=world, rank=r, seed=7)
+                for r in range(world)]
+    for s in samplers:
+        s.set_step(3)
+    all_idx = list(itertools.chain.from_iterable(samplers))
+    # padded to divisible: 12 indices total, every dataset index present
+    assert len(all_idx) == 12
+    assert set(all_idx) == set(range(10))
+    # per-rank length equal
+    assert all(len(s) == 3 for s in samplers)
+    # same step → same order; different step → different order
+    again = list(samplers[0])
+    samplers[0].set_step(3)
+    assert list(samplers[0]) == again
+    samplers[0].set_step(4)
+    assert list(samplers[0]) != again
+
+
+def test_nonoverlap_seq_sampler_exact_partition():
+    ds = _DS(10)
+    world = 4
+    samplers = [DistributedNonOverlapSeqSampler(ds, num_replicas=world, rank=r)
+                for r in range(world)]
+    chunks = [list(s) for s in samplers]
+    flat = list(itertools.chain.from_iterable(chunks))
+    assert flat == list(range(10))  # disjoint, ordered, no padding
+    assert [len(c) for c in chunks] == [3, 3, 2, 2]
+
+
+def test_infinite_sampler_streams():
+    ds = _DS(5)
+    s = DistributedInfiniteSampler(ds, num_replicas=2, rank=0, seed=1)
+    first = list(itertools.islice(iter(s), 20))
+    assert len(first) == 20
+    assert set(first) <= set(range(5))
+
+
+def test_cross_validation_folds():
+    ds = _DS(23)
+    cv = CrossValSamplerGenerator(ds, distributed=False, seed=1)
+    pairs = cv.k_fold(5)
+    assert len(pairs) == 5
+    train, val = pairs[0]
+    assert len(list(train)) + len(list(val)) == 25  # padded to divisible
+
+
+def test_dataloader_collate_and_order():
+    ds = _DS(7)
+    dl = DataLoader(ds, batch_size=3, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0]['x'].shape == (3, 4, 4)
+    assert batches[0]['y'].tolist() == [0, 1, 2]
+    assert batches[2]['y'].tolist() == [6]
+    dl2 = DataLoader(ds, batch_size=3, drop_last=True)
+    assert len(list(dl2)) == 2
+
+
+def test_default_collate_nested():
+    items = [dict(a=(np.zeros(2), 1.5), b=None) for _ in range(3)]
+    out = default_collate(items)
+    assert out['a'][0].shape == (3, 2)
+    assert out['a'][1].shape == (3,)
+    assert out['b'] is None
