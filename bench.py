@@ -1,0 +1,111 @@
+"""Benchmark: FarSeg-R50 training throughput on the available chip(s).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
+
+Primary metric (BASELINE.json): 512² tiles/sec/chip for FarSeg-R50 training.
+``vs_baseline`` is measured MFU / 0.45 (the north-star ≥45% MFU on v5e), with
+FLOPs taken from XLA's own cost analysis of the compiled step.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# v5e bf16 peak per chip (TFLOP/s)
+PEAK_TFLOPS = {'v5 lite': 197.0, 'v5e': 197.0, 'v4': 275.0, 'v5p': 459.0,
+               'v6e': 918.0, 'cpu': 0.5}
+
+
+def _peak_for(device) -> float:
+    kind = getattr(device, 'device_kind', 'cpu').lower()
+    for k, v in PEAK_TFLOPS.items():
+        if k in kind:
+            return v * 1e12
+    return 197.0 * 1e12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh, replicated
+    from ever_tpu.parallel.spmd import build_train_step, create_train_state
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+
+    tile = 512 if on_tpu else 64
+    batch = 8 * n_chips if on_tpu else n_chips
+    steps = 20 if on_tpu else 3
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet50'),
+        classes=7,
+        dtype='bfloat16' if on_tpu else 'float32',
+    )})
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.01, power=0.9, max_iters=1000)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9)})
+    tx = factory.build(schedule)
+
+    mesh = make_mesh(('data',), devices=devices) if n_chips > 1 else None
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, tile, tile, 3)).astype(np.float32)
+    y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+
+    state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        sharding = batch_sharding(mesh)
+        data = host_to_global((x, y), sharding)
+    else:
+        data = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
+
+    step = build_train_step(model, tx, schedule, forward_times=1, mesh=mesh,
+                            donate=False)
+
+    # FLOPs of one compiled step from XLA cost analysis
+    try:
+        cost = jax.jit(step).lower(state, data).compile().cost_analysis()
+        step_flops = float(cost.get('flops', 0.0)) if cost else 0.0
+    except Exception:
+        step_flops = 0.0
+
+    # warmup (compile)
+    state, _ = step(state, data)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, data)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / steps
+
+    tiles_per_sec = batch / dt
+    tiles_per_sec_chip = tiles_per_sec / n_chips
+    peak = _peak_for(devices[0]) * n_chips
+    mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
+
+    print(json.dumps({
+        'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
+        'value': round(tiles_per_sec_chip, 2),
+        'unit': f'{tile}x{tile} tiles/sec/chip',
+        'vs_baseline': round(mfu / 0.45, 4) if mfu else 0.0,
+        'mfu': round(mfu, 4),
+        'step_time_ms': round(dt * 1000, 2),
+        'step_flops_g': round(step_flops / 1e9, 1),
+        'n_chips': n_chips,
+        'global_batch': batch,
+        'device': devices[0].device_kind,
+    }))
+
+
+if __name__ == '__main__':
+    main()

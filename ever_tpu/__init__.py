@@ -1,22 +1,30 @@
 """EVer-TPU: a TPU-native Earth-Vision framework (JAX/XLA/Pallas).
 
 Public surface parity with the reference ``ever/__init__.py:23-30``:
-``registry, builder, config, data, ERDataLoader, LearningRateBase, ERModule,
-Transform, MultiTransform, Callback`` plus the metric / preprocess / inference
-namespaces as they land.
+``registry, builder, config, to, param_util, auto_device(→devices), data,
+metric, preprocess, infer_tool, ERDataLoader, LearningRateBase, ERModule,
+Transform, MultiTransform, Callback, seed_torch, sliding_window``.
 """
 
 __version__ = '0.1.0'
 
-from ever_tpu.core import builder, config, dist, registry
+from ever_tpu.core import builder, config, dist, registry, to
 from ever_tpu.core.config import AttrDict, FrozenConfig, from_dict, import_config
 
-# Registration side effects: importing the package registers all built-in
-# schedules/optimizers (and, as they land, models/losses) — parity with the
-# reference where `import ever` populates the global registries.
-from ever_tpu import opt  # noqa: F401
+# Registration side effects: importing the package registers every built-in
+# schedule/optimizer/model/loss — parity with `import ever` populating the
+# global registries.
 from ever_tpu import data  # noqa: F401
+from ever_tpu import magic  # noqa: F401
+from ever_tpu import metric  # noqa: F401
+from ever_tpu import module  # noqa: F401
+from ever_tpu import opt  # noqa: F401
+from ever_tpu import parallel  # noqa: F401
+from ever_tpu import preprocess  # noqa: F401
+from ever_tpu import trainer  # noqa: F401
+from ever_tpu import util  # noqa: F401
 
+from ever_tpu.api import infer_tool
 from ever_tpu.interface import (
     Callback,
     ConfigurableMixin,
@@ -27,10 +35,26 @@ from ever_tpu.interface import (
     MultiTransform,
     Transform,
 )
+from ever_tpu.magic.sliding_window import sliding_window
+from ever_tpu.util.param_util import count_model_parameters
+from ever_tpu.util.seedlib import seed_everything, seed_torch
+
+from ever_tpu.util import param_util
+
+
+def auto_device():
+    """The default JAX device (parity: ``ever/core/device.py:7-8``)."""
+    import jax
+    return jax.devices()[0]
+
 
 __all__ = [
-    'builder', 'config', 'dist', 'registry', 'opt', 'data',
+    'builder', 'config', 'dist', 'registry', 'to', 'opt', 'data', 'magic',
+    'metric', 'module', 'parallel', 'preprocess', 'trainer', 'util',
+    'infer_tool', 'param_util',
     'AttrDict', 'FrozenConfig', 'from_dict', 'import_config',
     'Callback', 'ConfigurableMixin', 'ERDataLoader', 'ERDataset', 'ERModule',
     'LearningRateBase', 'MultiTransform', 'Transform',
+    'sliding_window', 'seed_everything', 'seed_torch',
+    'count_model_parameters', 'auto_device',
 ]

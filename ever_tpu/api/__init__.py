@@ -1,0 +1,1 @@
+from ever_tpu.api import infer_tool

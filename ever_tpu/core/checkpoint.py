@@ -1,0 +1,174 @@
+"""Checkpoint save/resume with a JSON index.
+
+Parity: ``ever/core/checkpoint.py:21-180`` — a checkpoint is the triple
+``{model, opt, global_step}``; files are ``checkpoint-{step}.ckpt`` under the
+model dir; ``checkpoint_info.json`` maps step → file and tracks ``last`` so
+resume-after-crash is discoverable; ``try_resume`` restores model + optimizer
+state + global step.  Serialization is flax msgpack (``flax.serialization``)
+of host-fetched pytrees — multi-host safe because state is replicated and only
+process 0 writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+from ever_tpu.core.dist import is_main_process
+
+__all__ = ['CheckPoint', 'is_checkpoint', 'load_model_state_from_ckpt',
+           'remove_optimizer_in_ckpt']
+
+MODEL = 'model'
+OPTIMIZER = 'opt'
+GLOBALSTEP = 'global_step'
+LASTCHECKPOINT = 'last'
+CHECKPOINT_NAME = 'checkpoint_info.json'
+
+
+def is_checkpoint(obj) -> bool:
+    """Duck-check for a checkpoint dict (parity: ``checkpoint.py:9-18``)."""
+    return isinstance(obj, dict) and all(k in obj for k in (MODEL, OPTIMIZER, GLOBALSTEP))
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: jax.device_get(x), tree)
+
+
+class CheckPoint:
+    MODEL = MODEL
+    OPTIMIZER = OPTIMIZER
+    GLOBALSTEP = GLOBALSTEP
+    LASTCHECKPOINT = LASTCHECKPOINT
+    CHECKPOINT_NAME = CHECKPOINT_NAME
+
+    def __init__(self, launcher=None):
+        self._launcher = launcher
+        self._global_step = 0
+        self._json_log: Dict[str, Any] = {LASTCHECKPOINT: dict(step=0, name='')}
+        self.init_checkpoint_info_from_launcher()
+
+    # -- global step ---------------------------------------------------------
+    def set_global_step(self, value: int) -> None:
+        if value < 0:
+            raise ValueError('The global step must be larger than zero.')
+        self._global_step = int(value)
+
+    @property
+    def global_step(self) -> int:
+        return self._global_step
+
+    def step(self) -> None:
+        self._global_step += 1
+
+    # -- wiring --------------------------------------------------------------
+    def set_launcher(self, launcher) -> None:
+        self._launcher = launcher
+        self.init_checkpoint_info_from_launcher()
+
+    def init_checkpoint_info_from_launcher(self) -> None:
+        if self._launcher is None:
+            return
+        info = self.load_checkpoint_info(self._launcher.model_dir)
+        if info is not None:
+            self._json_log = info
+
+    # -- save ----------------------------------------------------------------
+    def save(self, filename: Optional[str] = None) -> None:
+        state = self._launcher.state
+        ckpt = {
+            MODEL: dict(params=_to_host(state.params),
+                        batch_stats=_to_host(state.batch_stats)),
+            OPTIMIZER: _to_host(state.opt_state),
+            GLOBALSTEP: self.global_step,
+        }
+        if filename is None:
+            filename = self.get_checkpoint_name(self.global_step)
+        filepath = os.path.join(self._launcher.model_dir, filename)
+        if is_main_process():
+            with open(filepath, 'wb') as f:
+                f.write(serialization.to_bytes(ckpt))
+        self._json_log[str(self.global_step)] = filename
+        if self.global_step >= self._json_log[LASTCHECKPOINT]['step']:
+            self._json_log[LASTCHECKPOINT] = dict(step=self.global_step, name=filename)
+        self.save_checkpoint_info(self._launcher.model_dir)
+        if self._launcher.logger is not None:
+            self._launcher.logger.save_log(filename)
+
+    def save_checkpoint_info(self, model_dir: str) -> None:
+        if not is_main_process():
+            return
+        with open(os.path.join(model_dir, CHECKPOINT_NAME), 'w') as f:
+            json.dump(self._json_log, f)
+
+    # -- load ----------------------------------------------------------------
+    @staticmethod
+    def load(filepath: str, template: Optional[dict] = None) -> dict:
+        """Load a checkpoint file.  With ``template`` (a matching pytree of
+        arrays) the stored bytes are restored structurally; without, a raw
+        nested-dict view is returned."""
+        with open(filepath, 'rb') as f:
+            raw = f.read()
+        if template is not None:
+            return serialization.from_bytes(template, raw)
+        return serialization.msgpack_restore(raw)
+
+    def try_resume(self) -> bool:
+        """json → path → load → restore state + global step
+        (parity: ``checkpoint.py:84-117``).  Returns True if resumed."""
+        if self._launcher is None:
+            return False
+        info = self.load_checkpoint_info(self._launcher.model_dir)
+        if info is None or not info[LASTCHECKPOINT]['name']:
+            return False
+        last_path = os.path.join(self._launcher.model_dir, info[LASTCHECKPOINT]['name'])
+        if not os.path.exists(last_path):
+            return False
+        state = self._launcher.state
+        template = {
+            MODEL: dict(params=_to_host(state.params),
+                        batch_stats=_to_host(state.batch_stats)),
+            OPTIMIZER: _to_host(state.opt_state),
+            GLOBALSTEP: 0,
+        }
+        ckpt = self.load(last_path, template)
+        self._launcher.restore_state(
+            params=ckpt[MODEL]['params'],
+            batch_stats=ckpt[MODEL]['batch_stats'],
+            opt_state=ckpt[OPTIMIZER],
+            global_step=int(ckpt[GLOBALSTEP]),
+        )
+        self.set_global_step(int(ckpt[GLOBALSTEP]))
+        if self._launcher.logger is not None:
+            self._launcher.logger.restore_log(last_path)
+        return True
+
+    @staticmethod
+    def load_checkpoint_info(model_dir: str) -> Optional[dict]:
+        json_path = os.path.join(model_dir, CHECKPOINT_NAME)
+        if not os.path.exists(json_path):
+            return None
+        with open(json_path) as f:
+            return json.load(f)
+
+    @staticmethod
+    def get_checkpoint_name(global_step: int) -> str:
+        return f'checkpoint-{global_step}.ckpt'
+
+
+def load_model_state_from_ckpt(filepath: str) -> dict:
+    """Model-only view of a checkpoint file (parity: ``checkpoint.py:176-180``
+    and ``load_model_state_dict_from_ckpt``)."""
+    ckpt = CheckPoint.load(filepath)
+    return ckpt[MODEL] if is_checkpoint(ckpt) else ckpt
+
+
+def remove_optimizer_in_ckpt(fp: str, new_fp: Optional[str] = None) -> None:
+    ckpt = CheckPoint.load(fp)
+    ckpt.pop(OPTIMIZER, None)
+    with open(new_fp or fp, 'wb') as f:
+        f.write(serialization.msgpack_serialize(ckpt))

@@ -1,0 +1,90 @@
+"""Epoch-agnostic infinite iterator over a DataLoader.
+
+Parity: ``ever/core/iterator.py:21-103`` — auto-reset on exhaustion,
+``next(forward_times)`` returning a *list* of batches for gradient
+accumulation, once-per-epoch callback firing, and per-step sampler reseeding
+(``set_seed_for_dist_sampler``) for exact mid-epoch resume.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import List, Optional
+
+from ever_tpu.core.dist import is_main_process, synchronize
+from ever_tpu.interface.callback import Callback
+
+__all__ = ['get_iterator', 'Iterator', 'run_callbacks', 'ITERATOR_TYPE']
+
+
+def run_callbacks(callbacks, current_epoch: int, is_master: bool) -> None:
+    """Fire callbacks due at this epoch (parity: ``iterator.py:21-39``)."""
+    if callbacks is None:
+        return
+    for f in callbacks:
+        if not isinstance(f, Callback):
+            raise TypeError('callbacks must be ever_tpu Callback objects')
+        if f.interval < 0:
+            continue
+        if (current_epoch - 1) % f.interval != 0 or current_epoch == 1:
+            continue
+        if f.only_master:
+            if is_master:
+                f.func()
+            synchronize()
+        else:
+            f.func()
+            synchronize()
+
+
+class Iterator:
+    def __init__(self, data_loader):
+        self._data_loader = data_loader
+        self._iterator = iter(self._data_loader)
+        self._step = 0
+        self._look_up = {}
+
+    def epoch(self, forward_times: int) -> int:
+        return forward_times * self._step // max(len(self._data_loader), 1) + 1
+
+    def _get_one(self):
+        try:
+            return next(self._iterator)
+        except StopIteration:
+            self.reset()
+            return next(self._iterator)
+
+    def next(self, forward_times: int = 1, call_backs=None,
+             is_master: Optional[bool] = None) -> List:
+        if is_master is None:
+            is_master = is_main_process()
+        self._step += 1
+        ep = self.epoch(forward_times)
+        if ep not in self._look_up:
+            run_callbacks(call_backs, ep, is_master)
+            self._look_up[ep] = True
+        return [self._get_one() for _ in range(forward_times)]
+
+    def reset(self) -> None:
+        self._iterator = iter(self._data_loader)
+
+    def set_seed_for_dist_sampler(self, seed: int) -> None:
+        """Reseed the sampler with the current step (duck-typed ``set_step``/
+        ``set_epoch``, parity: ``iterator.py:78-95``)."""
+        sampler = getattr(self._data_loader, 'sampler', None)
+        if sampler is None:
+            warnings.warn('data_loader has no sampler; no shuffle reseeding.')
+            return
+        if hasattr(sampler, 'set_step'):
+            sampler.set_step(seed)
+        elif hasattr(sampler, 'set_epoch'):
+            sampler.set_epoch(seed)
+
+
+ITERATOR_TYPE = dict(normal=Iterator)
+
+
+def get_iterator(type_name: str):
+    if type_name in ITERATOR_TYPE:
+        return ITERATOR_TYPE[type_name]
+    raise KeyError(f'{type_name} is not supported.')

@@ -1,0 +1,323 @@
+"""Launcher — the training engine (host-side orchestration).
+
+Parity target: ``ever/core/launcher.py:31-438``.  The division of labor is
+TPU-native: everything per-step on the device side is ONE jitted SPMD program
+(built by ``ever_tpu/parallel/spmd.py``); the Launcher keeps the host-side
+responsibilities of the reference hot loop (``launcher.py:248-367``):
+iteration counting, per-step sampler reseeding, epoch-boundary callbacks,
+checkpointing, logging with data-time/step-time decomposition, evaluation
+dispatch, and resume.
+
+Mixed precision: select 'fp32'|'bf16' (fp16+GradScaler is a GPU artifact —
+bf16 keeps fp32 exponent range; parity note at SURVEY.md §5.9); the dtype is
+injected into the model config by the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import types
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ever_tpu.core import dist
+from ever_tpu.core.checkpoint import CheckPoint
+from ever_tpu.core.config import AttrDict
+from ever_tpu.core.iterator import get_iterator
+from ever_tpu.core.logger import Logger
+from ever_tpu.interface.callback import (
+    Callback,
+    EvaluationCallback,
+    SaveCheckpointCallback,
+)
+from ever_tpu.parallel.mesh import batch_sharding, host_to_global
+from ever_tpu.parallel.spmd import build_eval_step, build_train_step, create_train_state
+
+__all__ = ['Launcher']
+
+
+class Launcher:
+    def __init__(self,
+                 model_dir: str,
+                 model,
+                 optimizer,                       # built optax GradientTransformation
+                 lr_schedule: Optional[Callable] = None,
+                 mixed_precision: str = 'fp32',
+                 mesh=None,
+                 logger: Optional[Logger] = None,
+                 seed: int = 42):
+        self._model_dir = model_dir
+        self._model = model
+        self._tx = optimizer
+        self._lr_schedule = lr_schedule
+        self._mixed_precision = mixed_precision
+        self._mesh = mesh
+        self._seed = seed
+        self._state = None
+        self._train_step = None
+        self._eval_step = None
+        self._forward_times = 1
+        self._callbacks: List[Callback] = []
+        self._master = dist.is_main_process()
+        if self._master and model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+        self._logger = logger or Logger('ever_tpu', tensorboard_logdir=model_dir or None)
+        self._ckpt = CheckPoint(self)
+        self._evaluate_fn: Optional[Callable] = None
+        self._init_params = None
+        self._init_batch_stats = None
+
+    # -- properties (parity: launcher.py:82-160) -----------------------------
+    @property
+    def model(self):
+        return self._model
+
+    unwrapped_model = model
+    model_without_ddp = model
+
+    @property
+    def state(self):
+        return self._state
+
+    @property
+    def optimizer(self):
+        return self._tx
+
+    @property
+    def lr_schedule(self):
+        return self._lr_schedule
+
+    @property
+    def model_dir(self) -> str:
+        return self._model_dir
+
+    @property
+    def checkpoint(self) -> CheckPoint:
+        return self._ckpt
+
+    @property
+    def global_step(self) -> int:
+        return self._ckpt.global_step
+
+    @property
+    def lr(self) -> float:
+        if self._lr_schedule is None:
+            return 0.0
+        return float(self._lr_schedule(self.global_step))
+
+    @property
+    def logger(self) -> Logger:
+        return self._logger
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @property
+    def mixed_precision(self) -> str:
+        return self._mixed_precision
+
+    def info(self, msg: str) -> None:
+        self._logger.info(msg)
+
+    # -- state management ----------------------------------------------------
+    def set_pretrained_state(self, params=None, batch_stats=None) -> None:
+        """Params/batch_stats to overlay at init (pretrained weights,
+        parity with ``init_from_weight_file``, ``interface/module.py:31-68``)."""
+        self._init_params = params
+        self._init_batch_stats = batch_stats
+
+    def init_state(self, sample_batch) -> None:
+        if self._state is not None:
+            return
+        state = create_train_state(
+            self._model, self._tx, sample_batch,
+            rng=jax.random.key(self._seed),
+            init_params=self._init_params,
+            init_batch_stats=self._init_batch_stats)
+        if self._mesh is not None:
+            from ever_tpu.parallel.mesh import replicated
+            state = jax.device_put(state, replicated(self._mesh))
+        self._state = state
+
+    def restore_state(self, params, batch_stats, opt_state, global_step: int) -> None:
+        if self._state is None:
+            raise RuntimeError('init_state must run before restore_state')
+        self._state = self._state.replace(
+            step=np.int32(global_step),
+            params=params, batch_stats=batch_stats, opt_state=opt_state)
+        if self._mesh is not None:
+            from ever_tpu.parallel.mesh import replicated
+            self._state = jax.device_put(self._state, replicated(self._mesh))
+
+    # -- callbacks (parity: launcher.py:186-191,239-246,295) -----------------
+    def register_callback(self, *callbacks: Callback) -> None:
+        for cb in callbacks:
+            cb.set_launcher(self)
+            self._callbacks.append(cb)
+
+    register_callbacks = register_callback
+
+    def run_callbacks(self, stage_name: str) -> None:
+        for f in self._callbacks:
+            if getattr(f, stage_name):
+                if f.only_master:
+                    if self._master:
+                        f.func()
+                else:
+                    f.func()
+
+    # -- evaluation (parity: launcher.py:413-426) ----------------------------
+    def override_evaluate(self, fn: Callable) -> None:
+        """Inject a user evaluation method: ``fn(self, dataloader, config)``."""
+        self._evaluate_fn = types.MethodType(fn, self)
+
+    def evaluate(self, data_loader, config=None):
+        if self._evaluate_fn is None:
+            self.info('no evaluate fn injected (override_evaluate); skipping eval')
+            return None
+        return self._evaluate_fn(data_loader, config)
+
+    def evaluate_last_ckpt(self, data_loader, config=None):
+        self.init()
+        return self.evaluate(data_loader, config)
+
+    # -- jitted steps --------------------------------------------------------
+    def _ensure_train_step(self, forward_times: int) -> None:
+        if self._train_step is None or self._forward_times != forward_times:
+            self._forward_times = forward_times
+            self._train_step = build_train_step(
+                self._model, self._tx, self._lr_schedule,
+                forward_times=forward_times, mesh=self._mesh,
+                rng_seed=self._seed)
+
+    def get_eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = build_eval_step(self._model, mesh=self._mesh)
+        return self._eval_step
+
+    # -- training loop (parity: launcher.py:248-367) -------------------------
+    def train_iters(self, train_data_loader, test_data_loader=None, **kwargs):
+        num_iters = kwargs.get('num_iters', -1)
+        if num_iters <= 0:
+            raise ValueError('num_iters must be positive')
+        forward_times = kwargs.get('forward_times', 1)
+        eval_per_epoch = kwargs.get('eval_per_epoch', False)
+        eval_interval_epoch = kwargs.get('eval_interval_epoch', -1)
+        eval_after_train = kwargs.get('eval_after_train', False)
+        log_interval_step = kwargs.get('log_interval_step', 1)
+        iterator_type = kwargs.get('iterator_type', 'normal')
+        save_ckpt_interval_epoch = kwargs.get('save_ckpt_interval_epoch', 1)
+        dist_eval = kwargs.get('distributed_evaluate', False)
+        distributed = kwargs.get('distributed', True)
+
+        iterator = get_iterator(iterator_type)(train_data_loader)
+
+        self.register_callback(SaveCheckpointCallback(save_ckpt_interval_epoch))
+        if eval_per_epoch or eval_after_train:
+            if eval_per_epoch and eval_interval_epoch < 0:
+                raise ValueError('eval_interval_epoch must be positive when '
+                                 'eval_per_epoch = True')
+            if not eval_per_epoch and eval_interval_epoch > 0:
+                raise ValueError('eval_per_epoch should be True when '
+                                 'eval_interval_epoch > 0')
+            self.register_callback(EvaluationCallback(
+                test_data_loader, eval_interval_epoch, not dist_eval,
+                config=AttrDict(kwargs), after_train=eval_after_train))
+        self._callbacks.sort(key=lambda cb: cb.prior)
+
+        self.run_callbacks('before_train')
+        self._logger.forward_times_log(forward_times)
+
+        sharding = None
+        if self._mesh is not None:
+            sharding = batch_sharding(self._mesh, accum_leading=forward_times > 1)
+
+        pending = None   # (step_idx, metrics, data_time, t_start) of the async step
+        while self._ckpt.global_step < num_iters:
+            t0 = time.time()
+            if distributed:
+                iterator.set_seed_for_dist_sampler(self._ckpt.global_step)
+            data_list = iterator.next(forward_times, call_backs=self._callbacks,
+                                      is_master=self._master)
+            batch = self._stack_microbatches(data_list, forward_times)
+            # async H2D: dispatch is non-blocking, so while the device runs
+            # step N the host loop is already fetching + transferring N+1
+            batch = (host_to_global(batch, sharding) if sharding is not None
+                     else jax.device_put(batch))
+            data_time = time.time() - t0
+
+            if self._state is None:
+                sample = (jax.tree.map(lambda x: x[0], batch)
+                          if forward_times > 1 else batch)
+                self.init_state(sample)
+                self._maybe_load_init_weights()
+            self._ensure_train_step(forward_times)
+
+            self._state, metrics = self._train_step(self._state, batch)
+            self._ckpt.step()
+            step = self._ckpt.global_step
+
+            # log the *previous* step's (now materialised) metrics so the
+            # device_get doesn't serialise dispatch (async dispatch parity
+            # with the CUDA stream overlap the reference relies on)
+            if pending is not None and (pending[0] % log_interval_step == 0):
+                self._log_step(pending, num_iters)
+            pending = (step, metrics, data_time, time.time() - t0)
+
+        if pending is not None:
+            self._log_step(pending, num_iters)
+        self.run_callbacks('after_train')
+        self._logger.after_train()
+
+    def _maybe_load_init_weights(self) -> None:
+        """Apply config.GLOBAL.weight.path if the model carries one
+        (parity: ``interface/module.py:31-68`` via builder path)."""
+        gcfg = getattr(self._model, 'global_config', None)
+        if not gcfg:
+            return
+        weight = gcfg.get('weight', None)
+        if not weight or not weight.get('path', None):
+            return
+        from ever_tpu.util import weight_io
+        params, batch_stats = weight_io.load_weights(
+            weight['path'], self._state.params, self._state.batch_stats,
+            excepts=weight.get('excepts', None))
+        self._state = self._state.replace(params=params, batch_stats=batch_stats)
+        self.info(f"loaded init weights from {weight['path']}")
+
+    @staticmethod
+    def _stack_microbatches(data_list, forward_times: int):
+        if forward_times == 1:
+            return data_list[0]
+        return jax.tree.map(lambda *xs: np.stack(xs), *data_list)
+
+    def _log_step(self, pending, num_iters: int) -> None:
+        step, metrics, data_time, time_cost = pending
+        host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        lr = host_metrics.pop('learning_rate', self.lr)
+        self._logger.train_log(step, num_iters, host_metrics, data_time,
+                               time_cost, lr)
+
+    # -- config-driven entry (parity: launcher.py:369-408) -------------------
+    def train_by_config(self, train_data_loader, config, test_data_loader=None):
+        cfg = dict(config)
+        resume_from_last = cfg.get('resume_from_last', True)
+        # state must exist before resume; bootstrap from the first batch
+        if resume_from_last and self._state is None:
+            first = next(iter(train_data_loader))
+            self.init_state(first)
+            self._maybe_load_init_weights()
+        if resume_from_last:
+            self.init()
+        self.train_iters(train_data_loader, test_data_loader, **cfg)
+
+    def init(self) -> bool:
+        """Resume from the last checkpoint if one exists."""
+        return self._ckpt.try_resume()
+
+    def save_model(self, filename: Optional[str] = None) -> None:
+        self._ckpt.save(filename or 'model-saved.ckpt')

@@ -1,0 +1,32 @@
+"""Pytree host↔device transfer helpers.
+
+Parity: ``ever/core/to.py:5-56`` (recursive ``to_tensor``/``to_device`` over
+dict/list/tuple/namedtuple).  In JAX a single ``jax.device_put`` already maps
+over pytrees; these wrappers add numpy conversion and optional sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _is_leaf_array(x) -> bool:
+    return isinstance(x, (np.ndarray, np.generic, int, float, bool)) or hasattr(x, '__array__')
+
+
+def to_tensor(data: Any) -> Any:
+    """Recursively convert array-likes to numpy (host staging form)."""
+    return jax.tree.map(lambda x: np.asarray(x) if _is_leaf_array(x) else x, data)
+
+
+def to_device(data: Any, sharding: Optional[Any] = None) -> Any:
+    """Move a pytree of arrays into device memory (optionally sharded)."""
+    if sharding is None:
+        return jax.device_put(data)
+    return jax.device_put(data, sharding)
+
+
+__all__ = ['to_tensor', 'to_device']

@@ -1,0 +1,100 @@
+"""Evaluation closures for ``Launcher.override_evaluate``.
+
+Parity: ``ever/metric/evaluate_fn.py:10-127``.  The inner loop uses the
+launcher's jitted eval step (bf16 forward on device, on-device argmax + CM),
+and the distributed variant rewraps the loader with a non-overlapping
+sequential sampler so ranks cover disjoint samples, then host-gathers +
+sums the tiny CMs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ever_tpu.data.distributed import DistributedNonOverlapSeqSampler
+from ever_tpu.metric.pixel import PixelMetric
+
+__all__ = ['evaluate_pixel_prediction_task',
+           'distributed_evaluate_pixel_prediction_task']
+
+
+def _data_parse_fn(data):
+    x, y_blob = data
+    return x, y_blob, {}
+
+
+def _tune_model_fn(eval_step):
+    return eval_step
+
+
+def _process_prediction_fn(y_true, y_pred, data_info, model_dir, checkpoint):
+    return y_true, y_pred
+
+
+def _progress(iterable, desc: str):
+    try:
+        from tqdm import tqdm
+        return tqdm(iterable, desc=desc)
+    except ImportError:
+        return iterable
+
+
+def _make_eval_loop(num_classes, data_parse_fn, tune_model_fn, prediction_fn,
+                    desc, acc_table_based_callback, distributed):
+    def _evaluate_fn(self, test_dataloader, config=None):
+        loader = test_dataloader
+        if distributed:
+            sampler = getattr(loader, 'sampler', None)
+            if not isinstance(sampler, DistributedNonOverlapSeqSampler):
+                loader = loader.clone(
+                    sampler=DistributedNonOverlapSeqSampler(loader.dataset))
+        pm = PixelMetric(num_classes, self.model_dir, logger=self.logger)
+        eval_step = tune_model_fn(self.get_eval_step())
+        it = _progress(loader, desc) if (not distributed or
+                                         jax.process_index() == 0) else loader
+        for data in it:
+            x, y_true, other_info = data_parse_fn(data)
+            y_pred = eval_step(self.state, (jnp.asarray(x),))
+            y_true, y_pred = prediction_fn(y_true, y_pred, other_info,
+                                           self.model_dir, self.checkpoint)
+            pm.forward(y_true, y_pred)
+        # summary_all already host-gathers CMs across processes
+        acc_tb = pm.summary_all()
+        if acc_table_based_callback is not None:
+            acc_table_based_callback(self, acc_tb)
+        return acc_tb
+
+    return _evaluate_fn
+
+
+def evaluate_pixel_prediction_task(num_classes: int,
+                                   data_parse_fn: Callable = _data_parse_fn,
+                                   tune_model_fn: Callable = _tune_model_fn,
+                                   prediction_fn: Callable = _process_prediction_fn,
+                                   desc: str = '',
+                                   acc_table_based_callback: Optional[Callable] = None,
+                                   cuda_empty_cache: bool = True):
+    """Single-process eval closure (parity: ``evaluate_fn.py:22-59``).
+    ``cuda_empty_cache`` accepted for surface parity (no-op)."""
+    return _make_eval_loop(num_classes, data_parse_fn, tune_model_fn,
+                           prediction_fn, desc, acc_table_based_callback,
+                           distributed=False)
+
+
+def distributed_evaluate_pixel_prediction_task(
+        num_classes: int,
+        data_parse_fn: Callable = _data_parse_fn,
+        tune_model_fn: Callable = _tune_model_fn,
+        prediction_fn: Callable = _process_prediction_fn,
+        desc: str = '',
+        acc_table_based_callback: Optional[Callable] = None,
+        cuda_empty_cache: bool = True):
+    """Exact distributed eval: disjoint per-process partitions, CM gather+sum
+    (parity: ``evaluate_fn.py:62-127``)."""
+    return _make_eval_loop(num_classes, data_parse_fn, tune_model_fn,
+                           prediction_fn, desc, acc_table_based_callback,
+                           distributed=True)

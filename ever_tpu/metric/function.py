@@ -1,0 +1,72 @@
+"""On-device metric functions (jnp).
+
+Parity target: ``ever/metric/function.py:4-80`` (torch sparse CM, OA/AA/
+kappa/IoU/mIoU).  TPU-native formulation: the confusion matrix is ONE
+``bincount`` over ``y_true * C + y_pred`` — dense ``[C, C]``, tiny, computed
+on device, differentiable-free, and cross-device reduction is a single
+``psum``/global sum (replaces the scipy-sparse + gloo-object-gather detour,
+``ever/metric/confusion_matrix.py:6-40`` + ``core/dist.py:63-115``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-7
+
+__all__ = [
+    'confusion_matrix', 'overall_accuracy_score', 'average_accuracy_score',
+    'cohen_kappa_score', 'iou_per_class', 'mean_iou', 'EPS',
+]
+
+
+@partial(jax.jit, static_argnames=('num_classes',))
+def confusion_matrix(y_true: jnp.ndarray, y_pred: jnp.ndarray,
+                     num_classes: int, ignore_index: int = 255) -> jnp.ndarray:
+    """Dense [C, C] confusion matrix (row = gt, col = pred), ignore-aware."""
+    y_true = y_true.reshape(-1)
+    y_pred = y_pred.reshape(-1)
+    valid = (y_true != ignore_index) & (y_true >= 0) & (y_true < num_classes)
+    t = jnp.where(valid, y_true, 0)
+    idx = t * num_classes + jnp.clip(y_pred, 0, num_classes - 1)
+    counts = jnp.bincount(idx, weights=valid.astype(jnp.float32),
+                          length=num_classes * num_classes)
+    return counts.reshape(num_classes, num_classes)
+
+
+def overall_accuracy_score(cm: jnp.ndarray) -> jnp.ndarray:
+    return jnp.trace(cm) / (jnp.sum(cm) + EPS)
+
+
+def average_accuracy_score(cm: jnp.ndarray,
+                           return_accuracys: bool = False):
+    accs = jnp.diag(cm) / (jnp.sum(cm, axis=1) + EPS)
+    if return_accuracys:
+        return jnp.mean(accs), accs
+    return jnp.mean(accs)
+
+
+def cohen_kappa_score(cm: jnp.ndarray) -> jnp.ndarray:
+    cm = cm.astype(jnp.float32)
+    n = cm.shape[0]
+    sum0 = jnp.sum(cm, axis=0)
+    sum1 = jnp.sum(cm, axis=1)
+    expected = jnp.outer(sum0, sum1) / (jnp.sum(sum0) + EPS)
+    w = jnp.ones((n, n)).at[jnp.arange(n), jnp.arange(n)].set(0.0)
+    k = jnp.sum(w * cm) / (jnp.sum(w * expected) + EPS)
+    return 1.0 - k
+
+
+def iou_per_class(cm: jnp.ndarray) -> jnp.ndarray:
+    sum_over_row = jnp.sum(cm, axis=0)
+    sum_over_col = jnp.sum(cm, axis=1)
+    diag = jnp.diag(cm)
+    return diag / (sum_over_row + sum_over_col - diag + EPS)
+
+
+def mean_iou(cm: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(iou_per_class(cm))

@@ -1,0 +1,16 @@
+from ever_tpu.module import loss, ops
+from ever_tpu.module.context_block import ContextBlock2d
+from ever_tpu.module.fpn import FPN, AssymetricDecoder, BiFPN, Fusion, LastLevelMaxPool, LastLevelP6P7
+from ever_tpu.module.fs_relation import FarSeg, FarSegHead, FSRelation, FSRelationV2
+from ever_tpu.module.ops import (
+    ConvBlock,
+    ConvUpsampling,
+    DepthwiseConv2d,
+    LayerNorm2d,
+    PoolBlock,
+    ResidualBlock,
+    SeparableConv2d,
+    SeparableConvBlock,
+)
+from ever_tpu.module.resnet import ResNet, ResNetEncoder
+from ever_tpu.module.se_block import SCSEModule, SEBlock

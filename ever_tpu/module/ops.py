@@ -1,0 +1,244 @@
+"""Building-block ops (NHWC, flax.linen).
+
+Parity target: ``ever/module/ops.py`` — ConvBlock/SeparableConvBlock with
+same-padding, LayerNorm2d, PoolBlock, ResidualBlock, channel utilities.  Key
+TPU-first differences:
+
+- Layout is **NHWC** (TPU conv native; the reference is NCHW).
+- ``Bf16compatible`` (``ops.py:152-166``) disappears: XLA resize/interpolate
+  handles bf16; upsampling here is computed in fp32 and cast back only where
+  numerically warranted, inside :func:`resize`.
+- BatchNorm under ``jit`` + sharded batch is cross-replica by construction
+  (the batch mean is a global mean — XLA inserts the collective), so SyncBN
+  (``th_ddp_trainer.py:21-22``) needs no special module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+__all__ = [
+    'ConvBlock', 'SeparableConvBlock', 'SeparableConv2d', 'DepthwiseConv2d',
+    'LayerNorm2d', 'PoolBlock', 'ResidualBlock', 'ConvUpsampling', 'Norm',
+    'resize', 'upsample', 'global_avg_pool', 'max_pool', 'avg_pool',
+]
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
+           method: str = 'nearest') -> jnp.ndarray:
+    """Spatial resize of an NHWC tensor.
+
+    Replaces ``F.interpolate`` + the bf16 workaround (``ever/module/fpn.py:96-102``,
+    ``ops.py:152-166``): bilinear is computed in fp32 and cast back to the
+    input dtype; nearest is dtype-agnostic.
+    """
+    n, h, w, c = x.shape
+    if shape is None:
+        shape = (int(h * scale), int(w * scale))
+    out_shape = (n, shape[0], shape[1], c)
+    if method == 'nearest':
+        return jax.image.resize(x, out_shape, method='nearest')
+    orig = x.dtype
+    y = jax.image.resize(x.astype(jnp.float32), out_shape, method=method)
+    return y.astype(orig)
+
+
+def upsample(x: jnp.ndarray, scale: int = 2, method: str = 'nearest') -> jnp.ndarray:
+    return resize(x, scale=scale, method=method)
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """``adaptive_avg_pool2d(x, 1)`` equivalent: NHWC → N11C (fp32 accumulate)."""
+    y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims)
+    return y.astype(x.dtype)
+
+
+def max_pool(x, window=3, stride=2, padding='SAME'):
+    w, s = _pair(window), _pair(stride)
+    return nn.max_pool(x, window_shape=w, strides=s, padding=padding)
+
+
+def avg_pool(x, window=3, stride=2, padding='SAME'):
+    w, s = _pair(window), _pair(stride)
+    return nn.avg_pool(x, window_shape=w, strides=s, padding=padding)
+
+
+class Norm(nn.Module):
+    """Pluggable normalization: ``'bn' | 'gn' | 'ln' | None``.
+
+    BatchNorm matches torch defaults (momentum 0.1 → flax momentum 0.9,
+    eps 1e-5).  ``train`` toggles ``use_running_average``; ``frozen=True``
+    pins running stats regardless (parity: BN freezing trick,
+    ``ever/module/resnet.py:155-160,227-234``).
+    """
+
+    kind: Optional[str] = 'bn'
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+    frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind is None:
+            return x
+        if self.kind == 'bn':
+            return nn.BatchNorm(
+                use_running_average=(not train) or self.frozen,
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+        if self.kind == 'gn':
+            return nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
+                                epsilon=1e-5, dtype=self.dtype)(x)
+        if self.kind == 'ln':
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        raise ValueError(f'unknown norm kind: {self.kind!r}')
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm on NHWC (parity: ``ever/module/ops.py:10-22``; in
+    NHWC this is just LayerNorm over the trailing dim)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class ConvBlock(nn.Module):
+    """conv → [norm] → [act] with SAME padding (parity: ``ops.py:45-66``)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    norm: Optional[str] = 'bn'
+    act: Optional[Callable] = nn.relu
+    bn_frozen: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, _pair(self.kernel_size), strides=_pair(self.stride),
+                    kernel_dilation=_pair(self.dilation), padding='SAME',
+                    feature_group_count=self.groups, use_bias=self.use_bias,
+                    dtype=self.dtype)(x)
+        x = Norm(self.norm, dtype=self.dtype, frozen=self.bn_frozen)(x, train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DepthwiseConv2d(nn.Module):
+    """Depthwise conv (parity: ``ops.py:25-30``)."""
+
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        return nn.Conv(c, _pair(self.kernel_size), strides=_pair(self.stride),
+                       kernel_dilation=_pair(self.dilation), padding='SAME',
+                       feature_group_count=c, use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
+
+
+class SeparableConv2d(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (parity: ``ops.py:33-42``)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = DepthwiseConv2d(self.kernel_size, self.stride, self.dilation,
+                            use_bias=False, dtype=self.dtype)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias, dtype=self.dtype)(x)
+        return x
+
+
+class SeparableConvBlock(nn.Module):
+    """separable conv → [norm] → [act] (parity: ``ops.py:69-86``)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    norm: Optional[str] = 'bn'
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SeparableConv2d(self.features, self.kernel_size, self.stride,
+                            self.dilation, use_bias=False, dtype=self.dtype)(x)
+        x = Norm(self.norm, dtype=self.dtype)(x, train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class PoolBlock(nn.Module):
+    """Global pool → 1x1 conv-norm-relu → broadcast back (parity: ``ops.py:89-100``)."""
+
+    features: int
+    norm: Optional[str] = 'bn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, _ = x.shape
+        y = global_avg_pool(x)
+        y = ConvBlock(self.features, 1, norm=self.norm, dtype=self.dtype)(y, train)
+        return jnp.broadcast_to(y, (n, h, w, self.features))
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 conv-norm-relu with identity shortcut (parity: ``ops.py:103-118``)."""
+
+    features: int
+    norm: Optional[str] = 'bn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = ConvBlock(self.features, 3, norm=self.norm, dtype=self.dtype)(x, train)
+        y = ConvBlock(self.features, 3, norm=self.norm, act=None, dtype=self.dtype)(y, train)
+        return nn.relu(y + identity)
+
+
+class ConvUpsampling(nn.Module):
+    """conv → upsample (parity: ``ops.py:169-183``)."""
+
+    features: int
+    scale: int = 2
+    kernel_size: int = 3
+    method: str = 'bilinear'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBlock(self.features, self.kernel_size, norm=None, act=None,
+                      use_bias=True, dtype=self.dtype)(x, train)
+        return resize(x, scale=self.scale, method=self.method)

@@ -1,0 +1,306 @@
+"""ResNet family encoders (NHWC, flax.linen, bf16-ready).
+
+Parity target: ``ever/module/_resnets.py`` (BasicBlock/Bottleneck/ResNet +
+resnet18/34/50/101/152, resnext50_32x4d, resnext101_32x4d/8d, deep-stem
+v1c variants) and ``ever/module/resnet.py:73-265`` (``ResNetEncoder``:
+output_stride 8/16/32 dilation surgery, BN freezing, stage freezing,
+per-stage gradient checkpointing, in-channel patching, multi-scale
+``[c2,c3,c4,c5]`` features, SE/GC plugins).
+
+TPU-first differences:
+
+- The output-stride "surgery" (``resnet.py:236-251``) is not post-hoc module
+  mutation: stage strides/dilations are *computed at construction* so the
+  traced graph is static.
+- ``with_cp`` gradient checkpointing maps to ``nn.remat`` per stage
+  (``resnet.py:189-208``).
+- Stage freezing (``freeze_at``) is an optimizer concern in JAX: the encoder
+  exposes :meth:`frozen_param_prefixes`; the trainer masks those subtrees
+  with ``optax.set_to_zero`` (parity: ``resnet.py:162-173``).
+- BN freezing (``batchnorm_trainable=False``) pins running stats via the
+  ``Norm(frozen=True)`` flag (parity: ``resnet.py:155-160,227-234``).
+- Weight porting from torchvision ``.pth`` (incl. first-conv channel
+  recycling, ``resnet.py:55-69``) lives in ``ever_tpu/util/weight_io.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ever_tpu.core import registry
+from ever_tpu.interface.module import ERModule
+from ever_tpu.module.context_block import ContextBlock2d
+from ever_tpu.module.ops import Norm, max_pool
+from ever_tpu.module.se_block import SEBlock
+
+__all__ = ['BasicBlock', 'Bottleneck', 'ResNet', 'ResNetEncoder', 'RESNET_SPECS']
+
+Dtype = Any
+
+
+def _conv(features, kernel, stride=1, dilation=1, groups=1, name=None, dtype=jnp.float32):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   kernel_dilation=(dilation, dilation), padding='SAME',
+                   feature_group_count=groups, use_bias=False, dtype=dtype,
+                   name=name)
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+    conv_dilation: int = 1       # dilation of the stride-carrying conv
+    downsample: bool = False
+    bn_frozen: bool = False
+    se_ratio: Optional[int] = None
+    gc_ratio: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = _conv(self.filters, 3, self.stride, self.conv_dilation, name='conv1',
+                  dtype=self.dtype)(x)
+        y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(y, train)
+        y = nn.relu(y)
+        y = _conv(self.filters, 3, 1, self.dilation, name='conv2', dtype=self.dtype)(y)
+        y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn2')(y, train)
+        if self.se_ratio:
+            y = SEBlock(self.se_ratio, dtype=self.dtype)(y)
+        if self.gc_ratio:
+            y = ContextBlock2d(self.gc_ratio, dtype=self.dtype)(y)
+        if self.downsample:
+            identity = _conv(self.filters * self.expansion, 1, self.stride,
+                             name='downsample_conv', dtype=self.dtype)(x)
+            identity = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                            name='downsample_bn')(identity, train)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+    conv_dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+    bn_frozen: bool = False
+    se_ratio: Optional[int] = None
+    gc_ratio: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(self.filters * (self.width_per_group / 64.0)) * self.groups
+        identity = x
+        y = _conv(width, 1, name='conv1', dtype=self.dtype)(x)
+        y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(y, train)
+        y = nn.relu(y)
+        # stride on the 3x3 (torchvision v1.5 convention, matching the reference)
+        y = _conv(width, 3, self.stride, self.conv_dilation, groups=self.groups,
+                  name='conv2', dtype=self.dtype)(y)
+        y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn2')(y, train)
+        y = nn.relu(y)
+        y = _conv(self.filters * self.expansion, 1, name='conv3', dtype=self.dtype)(y)
+        y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn3')(y, train)
+        if self.se_ratio:
+            y = SEBlock(self.se_ratio, dtype=self.dtype)(y)
+        if self.gc_ratio:
+            y = ContextBlock2d(self.gc_ratio, dtype=self.dtype)(y)
+        if self.downsample:
+            identity = _conv(self.filters * self.expansion, 1, self.stride,
+                             name='downsample_conv', dtype=self.dtype)(x)
+            identity = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                            name='downsample_bn')(identity, train)
+        return nn.relu(y + identity)
+
+
+class ResNetStage(nn.Module):
+    """One stage (``layerN``) of blocks sharing filters/dilation."""
+
+    block: Any                      # BasicBlock or Bottleneck class
+    filters: int
+    num_blocks: int
+    stride: int = 1
+    dilation: int = 1
+    first_dilation: int = 1
+    groups: int = 1
+    width_per_group: int = 64
+    bn_frozen: bool = False
+    se_ratio: Optional[int] = None
+    gc_ratio: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kwargs = dict(bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,
+                      gc_ratio=self.gc_ratio, dtype=self.dtype)
+        if self.block is Bottleneck:
+            kwargs.update(groups=self.groups, width_per_group=self.width_per_group)
+        needs_ds = self.stride != 1 or x.shape[-1] != self.filters * self.block.expansion
+        x = self.block(self.filters, self.stride, self.dilation,
+                       conv_dilation=self.first_dilation, downsample=needs_ds,
+                       name='block0', **kwargs)(x, train)
+        for i in range(1, self.num_blocks):
+            x = self.block(self.filters, 1, self.dilation,
+                           conv_dilation=self.dilation, name=f'block{i}',
+                           **kwargs)(x, train)
+        return x
+
+
+# name → (block, stage_sizes, groups, width_per_group, deep_stem)
+RESNET_SPECS = {
+    'resnet18': (BasicBlock, (2, 2, 2, 2), 1, 64, False),
+    'resnet34': (BasicBlock, (3, 4, 6, 3), 1, 64, False),
+    'resnet50': (Bottleneck, (3, 4, 6, 3), 1, 64, False),
+    'resnet101': (Bottleneck, (3, 4, 23, 3), 1, 64, False),
+    'resnet152': (Bottleneck, (3, 8, 36, 3), 1, 64, False),
+    'resnext50_32x4d': (Bottleneck, (3, 4, 6, 3), 32, 4, False),
+    'resnext101_32x4d': (Bottleneck, (3, 4, 23, 3), 32, 4, False),
+    'resnext101_32x8d': (Bottleneck, (3, 4, 23, 3), 32, 8, False),
+    'resnet50_v1c': (Bottleneck, (3, 4, 6, 3), 1, 64, True),
+    'resnet101_v1c': (Bottleneck, (3, 4, 23, 3), 1, 64, True),
+}
+
+
+def _stage_geometry(output_stride: int) -> Sequence[Tuple[int, int, int]]:
+    """(stride, dilation, first_dilation) per stage for a given output stride.
+
+    Encodes the ``_nostride_dilate`` surgery (``ever/module/resnet.py:236-251``)
+    statically: os16 → layer4 {s1, d2, first d1}; os8 → layer3 {s1, d2, first
+    d1}, layer4 {s1, d4, first d2}.
+    """
+    if output_stride == 32:
+        return [(1, 1, 1), (2, 1, 1), (2, 1, 1), (2, 1, 1)]
+    if output_stride == 16:
+        return [(1, 1, 1), (2, 1, 1), (2, 1, 1), (1, 2, 1)]
+    if output_stride == 8:
+        return [(1, 1, 1), (2, 1, 1), (1, 2, 1), (1, 4, 2)]
+    raise ValueError('output_stride must be 8, 16 or 32.')
+
+
+class ResNet(nn.Module):
+    """Backbone trunk returning multi-scale features [c2, c3, c4, c5]."""
+
+    resnet_type: str = 'resnet50'
+    output_stride: int = 32
+    include_conv5: bool = True
+    bn_frozen: bool = False
+    with_cp: Sequence[bool] = (False, False, False, False)
+    se_ratio: Optional[int] = None
+    gc_ratio: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block, sizes, groups, wpg, deep_stem = RESNET_SPECS[self.resnet_type]
+        geom = _stage_geometry(self.output_stride)
+
+        # stem: 7x7/2 conv (or deep 3x3x3 stem for v1c), bn, relu, 3x3/2 maxpool
+        if deep_stem:
+            x = _conv(32, 3, 2, name='stem_conv1', dtype=self.dtype)(x)
+            x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='stem_bn1')(x, train)
+            x = nn.relu(x)
+            x = _conv(32, 3, 1, name='stem_conv2', dtype=self.dtype)(x)
+            x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='stem_bn2')(x, train)
+            x = nn.relu(x)
+            x = _conv(64, 3, 1, name='stem_conv3', dtype=self.dtype)(x)
+            x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='stem_bn3')(x, train)
+            x = nn.relu(x)
+        else:
+            x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
+            x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(x, train)
+            x = nn.relu(x)
+        x = max_pool(x, 3, 2)
+
+        feats = []
+        filters = (64, 128, 256, 512)
+        n_stages = 4 if self.include_conv5 else 3
+        for i in range(n_stages):
+            stride, dil, first_dil = geom[i]
+            stage_cls = nn.remat(ResNetStage) if self.with_cp[i] else ResNetStage
+            x = stage_cls(block, filters[i], sizes[i], stride=stride, dilation=dil,
+                          first_dilation=first_dil, groups=groups, width_per_group=wpg,
+                          bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,
+                          gc_ratio=self.gc_ratio, dtype=self.dtype,
+                          name=f'layer{i + 1}')(x, train)
+            feats.append(x)
+        return feats
+
+
+for _name in RESNET_SPECS:
+    registry.MODEL.register(_name, (lambda n: lambda **kw: ResNet(resnet_type=n, **kw))(_name))
+
+
+@registry.MODEL.register()
+class ResNetEncoder(ERModule):
+    """Config surface parity with ``ever/module/resnet.py:73-265``.
+
+    Config keys: ``resnet_type, include_conv5, batchnorm_trainable,
+    pretrained, freeze_at, output_stride, with_cp, in_channels``.
+    ``pretrained`` may be a path to a torchvision ``.pth`` (converted on load
+    by the trainer via ``ever_tpu.util.weight_io``).  ``in_channels != 3`` is
+    handled naturally: the stem conv's input dim comes from the data; the
+    weight converter recycles pretrained RGB channels (``resnet.py:55-69``).
+    """
+
+    def set_default_config(self):
+        self.config.update(dict(
+            resnet_type='resnet50',
+            include_conv5=True,
+            batchnorm_trainable=True,
+            pretrained=False,
+            freeze_at=0,
+            output_stride=32,
+            with_cp=(False, False, False, False),
+            in_channels=3,
+            se_ratio=None,
+            gc_ratio=None,
+            dtype='float32',
+        ))
+
+    def setup(self):
+        self.resnet = ResNet(
+            resnet_type=self.config.resnet_type,
+            output_stride=self.config.output_stride,
+            include_conv5=self.config.include_conv5,
+            bn_frozen=not self.config.batchnorm_trainable,
+            with_cp=tuple(self.config.with_cp),
+            se_ratio=self.config.se_ratio,
+            gc_ratio=self.config.gc_ratio,
+            dtype=jnp.dtype(self.config.dtype),
+        )
+
+    def __call__(self, x, train: bool = False):
+        return self.resnet(x, train)
+
+    @property
+    def out_channels(self) -> Sequence[int]:
+        block, _, _, _, _ = RESNET_SPECS[self.config.resnet_type]
+        base = (64, 128, 256, 512) if not self.config.include_conv5 else (64, 128, 256, 512)
+        n = 4 if self.config.include_conv5 else 3
+        return [f * block.expansion for f in base[:n]]
+
+    def frozen_param_prefixes(self) -> Sequence[str]:
+        """Param-path prefixes to exclude from optimization (``freeze_at``).
+
+        at>=1: stem; at>=2..5: layer1..layer4 (parity: ``resnet.py:162-173``).
+        """
+        at = int(self.config.freeze_at)
+        prefixes = []
+        if at >= 1:
+            prefixes += ['resnet/conv1', 'resnet/bn1', 'resnet/stem_conv1',
+                         'resnet/stem_bn1', 'resnet/stem_conv2', 'resnet/stem_bn2',
+                         'resnet/stem_conv3', 'resnet/stem_bn3']
+        for i in range(2, 6):
+            if at >= i:
+                prefixes.append(f'resnet/layer{i - 1}')
+        return prefixes

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers (the TPU replacement for DDP/NCCL wiring).
+
+The reference's distributed substrate is per-GPU processes + NCCL
+(``ever/trainer/th_ddp_trainer.py:13-17``, ``ever/core/dist.py:34-39``).  On
+TPU the whole pod is one SPMD program: a single :class:`jax.sharding.Mesh`
+over all chips, params replicated (or sharded) via ``NamedSharding``, and XLA
+inserting collectives over ICI (SURVEY.md §5.8, §7 step 5).
+
+Axis conventions:
+- ``'data'``  — batch (data parallelism; replaces DDP)
+- ``'model'`` — optional model axis (tensor-parallel dense layers in ViT
+  heads, spatial sharding for very large tiles)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ['make_mesh', 'replicated', 'batch_sharding', 'host_to_global',
+           'Mesh', 'NamedSharding', 'P']
+
+
+def make_mesh(axes: Sequence[str] = ('data',),
+              shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Build a mesh over all (or the given) devices.
+
+    ``shape`` defaults to all devices on the first axis; for 2-D meshes pass
+    e.g. ``axes=('data', 'model'), shape=(4, 2)``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = [n] + [1] * (len(axes) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f'mesh shape {shape} does not cover {n} devices')
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, *, accum_leading: bool = False,
+                   axis: str = 'data') -> NamedSharding:
+    """Sharding for a batch pytree: batch dim on the ``data`` axis.
+
+    With gradient accumulation the leading dim is the microbatch index
+    (replicated) and dim 1 is the batch.
+    """
+    spec = P(None, axis) if accum_leading else P(axis)
+    return NamedSharding(mesh, spec)
+
+
+def host_to_global(batch: Any, sharding: NamedSharding) -> Any:
+    """Turn per-process host batches into global sharded ``jax.Array``s.
+
+    Single-process: an async ``device_put`` with the target sharding.
+    Multi-process: each process contributes its local shard
+    (``total_batch_size // process_count`` rows, parity with
+    ``ever/interface/dataloader.py:61-67``).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)

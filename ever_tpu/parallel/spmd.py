@@ -1,0 +1,169 @@
+"""SPMD train/eval step builders — the jitted heart of the framework.
+
+This replaces the reference hot loop's device work
+(``ever/core/launcher.py:300-362``: autocast forward → backward → DDP
+all-reduce → unscale → clip → step → zero_grad → loss reduce) with ONE
+compiled XLA program per step:
+
+- forward+backward fused under ``jax.value_and_grad``;
+- gradient accumulation (``forward_times``) as a ``lax.scan`` over
+  microbatches carrying (batch_stats, grad-sum, metric-sum) — parity with
+  ``launcher.py:316-322`` / ``iterator.py:64-73`` without storing per-micro
+  gradients;
+- the cross-device gradient mean is *implicit*: with the batch sharded on the
+  ``data`` mesh axis and params replicated, XLA inserts the psum over ICI
+  (no DDP bucketing);
+- loss "reduce_loss_dict" (``core/dist.py:118-140``) is free: metrics are
+  scalars of globally-reduced sums already;
+- grad-clip + optimizer update are the optax chain (built in
+  ``ever_tpu/opt/optimizer.py``); ``grad_norm`` is reported like the
+  reference's ``clip_grad`` return (``interface/module.py:96-108``);
+- bf16: model computes in bf16 (module dtype), params/optimizer fp32,
+  losses fp32 — no GradScaler (SURVEY.md §5.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ever_tpu.interface.module import sum_losses
+from ever_tpu.parallel.mesh import batch_sharding, replicated
+
+__all__ = ['TrainState', 'create_train_state', 'build_train_step', 'build_eval_step']
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _model_args(batch):
+    if isinstance(batch, (tuple, list)):
+        return tuple(batch)
+    return (batch,)
+
+
+def create_train_state(model, tx, sample_batch, rng=None,
+                       init_params=None, init_batch_stats=None) -> TrainState:
+    """Initialise params/batch_stats from a sample batch and wrap with the
+    optimizer state.  ``init_params``/``init_batch_stats`` override the random
+    init (pretrained weights)."""
+    if rng is None:
+        rng = jax.random.key(0)
+    variables = model.init({'params': rng, 'dropout': jax.random.key(1)},
+                           *_model_args(sample_batch), train=True)
+    params = init_params if init_params is not None else variables['params']
+    batch_stats = (init_batch_stats if init_batch_stats is not None
+                   else variables.get('batch_stats', {}))
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def _forward_loss(model, params, batch_stats, batch, rng):
+    variables = {'params': params}
+    mutable = []
+    if batch_stats:
+        variables['batch_stats'] = batch_stats
+        mutable = ['batch_stats']
+    out = model.apply(variables, *_model_args(batch), train=True,
+                      mutable=mutable, rngs={'dropout': rng})
+    if mutable:
+        loss_dict, mut = out
+        new_bs = mut.get('batch_stats', batch_stats)
+    else:
+        loss_dict, new_bs = out, batch_stats
+    if not isinstance(loss_dict, dict):
+        raise TypeError('training forward must return a dict of losses/metrics '
+                        '(keys ending in "loss" are summed)')
+    total = sum_losses(loss_dict)
+    metrics = {k: jnp.asarray(v, jnp.float32) for k, v in loss_dict.items()}
+    metrics['total_loss'] = total
+    return total, (metrics, new_bs)
+
+
+def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
+                     forward_times: int = 1, mesh=None,
+                     rng_seed: int = 0, donate: bool = True) -> Callable:
+    """Build the jitted ``(state, batch) -> (state, metrics)`` function.
+
+    ``batch`` is a pytree whose leaves have leading dim ``forward_times``
+    (microbatch axis) when ``forward_times > 1``, else plain batch leaves.
+    With ``mesh``, state is replicated and the batch dim sharded on 'data'.
+    """
+    base_rng = jax.random.key(rng_seed)
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(base_rng, state.step)
+        grad_fn = jax.value_and_grad(
+            partial(_forward_loss, model), has_aux=True)
+
+        if forward_times == 1:
+            (_, (metrics, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            # peel microbatch 0 to establish the metric/grad pytree structure,
+            # then scan the rest carrying (batch_stats, grad-sum, metric-sum)
+            mb0 = jax.tree.map(lambda x: x[0], batch)
+            (_, (msum, bs)), gsum = grad_fn(
+                state.params, state.batch_stats, mb0, jax.random.fold_in(rng, 0))
+
+            def micro(carry, xs):
+                bs, gsum, msum = carry
+                i, mb = xs
+                (_, (m, nbs)), g = grad_fn(
+                    state.params, bs, mb, jax.random.fold_in(rng, i))
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                msum = jax.tree.map(jnp.add, msum, m)
+                return (nbs, gsum, msum), None
+
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            idxs = jnp.arange(1, forward_times)
+            (new_bs, gsum, msum), _ = jax.lax.scan(
+                micro, (bs, gsum, msum), (idxs, rest))
+            grads = jax.tree.map(lambda g: g / forward_times, gsum)
+            metrics = jax.tree.map(lambda v: v / forward_times, msum)
+
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = grad_norm
+        if lr_schedule is not None:
+            metrics['learning_rate'] = jnp.asarray(lr_schedule(state.step), jnp.float32)
+        return new_state, metrics
+
+    if mesh is not None:
+        state_sh = replicated(mesh)
+        batch_sh = batch_sharding(mesh, accum_leading=forward_times > 1)
+        return jax.jit(step_fn,
+                       in_shardings=(state_sh, batch_sh),
+                       out_shardings=(state_sh, state_sh),
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(model, mesh=None) -> Callable:
+    """Jitted inference step: ``(state, batch) -> model output`` (eval mode)."""
+
+    def eval_fn(state: TrainState, batch):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        return model.apply(variables, *_model_args(batch), train=False)
+
+    if mesh is not None:
+        state_sh = replicated(mesh)
+        batch_sh = batch_sharding(mesh)
+        return jax.jit(eval_fn, in_shardings=(state_sh, batch_sh),
+                       out_shardings=batch_sh)
+    return jax.jit(eval_fn)

@@ -1,0 +1,24 @@
+from ever_tpu.preprocess import device, function, segm
+from ever_tpu.preprocess.function import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    divisible_pad,
+    mean_std_normalize,
+    pad_to_size,
+)
+from ever_tpu.preprocess.segm import (
+    ChannelFirstToLast,
+    Compose,
+    CustomOp,
+    DivisiblePad,
+    FixedPad,
+    MeanStdNormalize,
+    RandomCrop,
+    RandomDiscreteScale,
+    RandomHorizontalFlip,
+    RandomRotate90K,
+    RandomScale,
+    RandomTranspose,
+    RandomVerticalFlip,
+    ToArray,
+)

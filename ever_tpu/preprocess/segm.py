@@ -1,0 +1,266 @@
+"""Host-side joint image+mask transforms (numpy, HWC).
+
+Parity: ``ever/preprocess/segm.py:16-177`` and ``thsegm.py``/``thcomm.py``
+unified into one numpy family (the reference keeps three parallel families —
+PIL, torch-tensor and albumentations; the TPU rebuild standardizes on numpy
+host transforms feeding the on-device pipeline in ``preprocess/device.py``).
+
+Every transform is ``t(image[H,W,C], mask[H,W]) -> (image, mask)`` with its
+own ``np.random.Generator`` (seedable for determinism).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ['Compose', 'CustomOp', 'ToArray', 'RandomHorizontalFlip',
+           'RandomVerticalFlip', 'RandomTranspose', 'RandomRotate90K',
+           'RandomScale', 'RandomDiscreteScale', 'RandomCrop', 'DivisiblePad',
+           'FixedPad', 'MeanStdNormalize', 'ChannelFirstToLast']
+
+
+class Compose:
+    """Sequential pipeline (parity: ``preprocess/comm.py:4-20``)."""
+
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, image, mask=None):
+        for t in self.transforms:
+            image, mask = t(image, mask)
+        return image, mask
+
+
+class CustomOp:
+    """Wrap a plain callable (parity: ``comm.py:23-34``)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, image, mask=None):
+        return self.fn(image, mask)
+
+
+class ToArray:
+    """float32 image / int32 mask (parity: joint ``ToTensor``,
+    ``segm.py:16-34``; 255-keep is the default since masks are int)."""
+
+    def __call__(self, image, mask=None):
+        image = np.asarray(image, np.float32)
+        if mask is not None:
+            mask = np.asarray(mask, np.int32)
+        return image, mask
+
+
+class _RandomP:
+    def __init__(self, p: float = 0.5, seed: Optional[int] = None):
+        self.p = p
+        self.rng = np.random.default_rng(seed)
+
+
+class RandomHorizontalFlip(_RandomP):
+    def __call__(self, image, mask=None):
+        if self.rng.random() < self.p:
+            image = np.ascontiguousarray(image[:, ::-1])
+            if mask is not None:
+                mask = np.ascontiguousarray(mask[:, ::-1])
+        return image, mask
+
+
+class RandomVerticalFlip(_RandomP):
+    def __call__(self, image, mask=None):
+        if self.rng.random() < self.p:
+            image = np.ascontiguousarray(image[::-1])
+            if mask is not None:
+                mask = np.ascontiguousarray(mask[::-1])
+        return image, mask
+
+
+class RandomTranspose(_RandomP):
+    def __call__(self, image, mask=None):
+        if self.rng.random() < self.p:
+            image = np.ascontiguousarray(np.swapaxes(image, 0, 1))
+            if mask is not None:
+                mask = np.ascontiguousarray(np.swapaxes(mask, 0, 1))
+        return image, mask
+
+
+class RandomRotate90K(_RandomP):
+    """Rotate by a random k∈{1,2,3} quarter turns (parity: ``segm.py:70-82``)."""
+
+    def __call__(self, image, mask=None):
+        if self.rng.random() < self.p:
+            k = int(self.rng.integers(1, 4))
+            image = np.ascontiguousarray(np.rot90(image, k, axes=(0, 1)))
+            if mask is not None:
+                mask = np.ascontiguousarray(np.rot90(mask, k, axes=(0, 1)))
+        return image, mask
+
+
+def _resize_nearest(arr: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    ys = (np.arange(shape[0]) * arr.shape[0] / shape[0]).astype(np.int64)
+    xs = (np.arange(shape[1]) * arr.shape[1] / shape[1]).astype(np.int64)
+    return arr[ys][:, xs]
+
+
+def _resize_bilinear(arr: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    h, w = arr.shape[:2]
+    nh, nw = shape
+    ys = np.linspace(0, h - 1, nh)
+    xs = np.linspace(0, w - 1, nw)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    a = arr.astype(np.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = (a[y0][:, x0] * (1 - wy) * (1 - wx) + a[y1][:, x0] * wy * (1 - wx)
+           + a[y0][:, x1] * (1 - wy) * wx + a[y1][:, x1] * wy * wx)
+    return out[..., 0] if squeeze else out
+
+
+class RandomScale:
+    """Random scale in [min, max] with optional ``size_divisor`` snapping
+    (parity: ``segm.py:85-101``)."""
+
+    def __init__(self, scale_range=(0.5, 2.0), size_divisor: Optional[int] = None,
+                 seed: Optional[int] = None):
+        self.scale_range = scale_range
+        self.size_divisor = size_divisor
+        self.rng = np.random.default_rng(seed)
+
+    def _target(self, h, w, s):
+        nh, nw = int(round(h * s)), int(round(w * s))
+        if self.size_divisor:
+            nh = max(int(round(nh / self.size_divisor)) * self.size_divisor, self.size_divisor)
+            nw = max(int(round(nw / self.size_divisor)) * self.size_divisor, self.size_divisor)
+        return nh, nw
+
+    def __call__(self, image, mask=None):
+        s = float(self.rng.uniform(*self.scale_range))
+        nh, nw = self._target(image.shape[0], image.shape[1], s)
+        image = _resize_bilinear(image, (nh, nw))
+        if mask is not None:
+            mask = _resize_nearest(mask, (nh, nw))
+        return image, mask
+
+
+class RandomDiscreteScale(RandomScale):
+    """Pick from a discrete scale set (parity: ``preprocess/albu.py:13-19``)."""
+
+    def __init__(self, scales: Sequence[float], p: float = 0.5,
+                 size_divisor: Optional[int] = None, seed: Optional[int] = None):
+        super().__init__((min(scales), max(scales)), size_divisor, seed)
+        self.scales = list(scales)
+        self.p = p
+
+    def __call__(self, image, mask=None):
+        if self.rng.random() >= self.p:
+            return image, mask
+        s = float(self.rng.choice(self.scales))
+        nh, nw = self._target(image.shape[0], image.shape[1], s)
+        image = _resize_bilinear(image, (nh, nw))
+        if mask is not None:
+            mask = _resize_nearest(mask, (nh, nw))
+        return image, mask
+
+
+class RandomCrop:
+    """Fixed-size crop with pad-if-small (mask pad 255)
+    (parity: ``segm.py:104-129``)."""
+
+    def __init__(self, size: Tuple[int, int], image_pad_value: float = 0.0,
+                 mask_pad_value: int = 255, seed: Optional[int] = None):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.image_pad_value = image_pad_value
+        self.mask_pad_value = mask_pad_value
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, image, mask=None):
+        th, tw = self.size
+        h, w = image.shape[:2]
+        if h < th or w < tw:
+            ph, pw = max(th - h, 0), max(tw - w, 0)
+            image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
+                           constant_values=self.image_pad_value)
+            if mask is not None:
+                mask = np.pad(mask, ((0, ph), (0, pw)),
+                              constant_values=self.mask_pad_value)
+            h, w = image.shape[:2]
+        y = int(self.rng.integers(0, h - th + 1))
+        x = int(self.rng.integers(0, w - tw + 1))
+        image = image[y:y + th, x:x + tw]
+        if mask is not None:
+            mask = mask[y:y + th, x:x + tw]
+        return image, mask
+
+
+class DivisiblePad:
+    """Pad to size multiples (parity: ``segm.py:132-155``)."""
+
+    def __init__(self, size_divisor: int, image_pad_value: float = 0.0,
+                 mask_pad_value: int = 255):
+        self.size_divisor = size_divisor
+        self.image_pad_value = image_pad_value
+        self.mask_pad_value = mask_pad_value
+
+    def __call__(self, image, mask=None):
+        h, w = image.shape[:2]
+        nh = math.ceil(h / self.size_divisor) * self.size_divisor
+        nw = math.ceil(w / self.size_divisor) * self.size_divisor
+        image = np.pad(image, ((0, nh - h), (0, nw - w), (0, 0)),
+                       constant_values=self.image_pad_value)
+        if mask is not None:
+            mask = np.pad(mask, ((0, nh - h), (0, nw - w)),
+                          constant_values=self.mask_pad_value)
+        return image, mask
+
+
+class FixedPad:
+    """Pad to an exact minimum size (parity: ``segm.py:158-177`` and
+    ``albu.ConstantPad``, ``albu.py:31-78``)."""
+
+    def __init__(self, size: Tuple[int, int], image_pad_value: float = 0.0,
+                 mask_pad_value: int = 255):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.image_pad_value = image_pad_value
+        self.mask_pad_value = mask_pad_value
+
+    def __call__(self, image, mask=None):
+        h, w = image.shape[:2]
+        ph, pw = max(self.size[0] - h, 0), max(self.size[1] - w, 0)
+        image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
+                       constant_values=self.image_pad_value)
+        if mask is not None:
+            mask = np.pad(mask, ((0, ph), (0, pw)),
+                          constant_values=self.mask_pad_value)
+        return image, mask
+
+
+class MeanStdNormalize:
+    """0-255-space normalization (parity: ``thcomm.THMeanStdNormalize``)."""
+
+    def __init__(self, mean=None, std=None):
+        from ever_tpu.preprocess.function import IMAGENET_MEAN, IMAGENET_STD
+        self.mean = np.asarray(mean if mean is not None else IMAGENET_MEAN, np.float32)
+        self.std = np.asarray(std if std is not None else IMAGENET_STD, np.float32)
+
+    def __call__(self, image, mask=None):
+        return (np.asarray(image, np.float32) - self.mean) / self.std, mask
+
+
+class ChannelFirstToLast:
+    """CHW → HWC adapter for reading NCHW sources (the NHWC analog of
+    ``thcomm.THChannelFirst``)."""
+
+    def __call__(self, image, mask=None):
+        return np.ascontiguousarray(np.moveaxis(image, 0, -1)), mask

@@ -1,0 +1,76 @@
+"""Parameter counting / freezing / FLOPs accounting for param pytrees.
+
+Parity: ``ever/util/param_util.py:13-113``.  "Freezing" in JAX is an
+optimizer mask, not a mutable flag: :func:`freeze_mask` builds a bool pytree
+from path prefixes/predicates for ``optax.masked``/``multi_transform``.
+FLOPs come from XLA's own cost analysis (replaces torchprofile).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ever_tpu.core.logger import get_logger
+
+logger = get_logger('ever_tpu.param_util')
+
+__all__ = ['count_model_parameters', 'trainable_parameters', 'freeze_mask',
+           'count_model_flops', 'param_paths']
+
+
+def count_model_parameters(params, _default_logger=logger) -> int:
+    cnt = sum(int(np.prod(p.shape)) if p.ndim else 1
+              for p in jax.tree.leaves(params))
+    _default_logger.info('#params: %d, %s M', cnt, round(cnt / 1e6, 3))
+    return cnt
+
+
+def trainable_parameters(params, mask=None, _default_logger=logger) -> int:
+    """Count params where ``mask`` is True (all, if no mask)."""
+    if mask is None:
+        return count_model_parameters(params, _default_logger)
+    cnt = 0
+    for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)):
+        if m:
+            cnt += int(np.prod(p.shape)) if p.ndim else 1
+    _default_logger.info('#trainable params: %d, %s M', cnt, round(cnt / 1e6, 3))
+    return cnt
+
+
+def param_paths(params) -> Sequence[str]:
+    """Flat '/'-joined path for every leaf."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    return ['/'.join(str(getattr(k, 'key', k)) for k in path)
+            for path, _ in flat]
+
+
+def freeze_mask(params, frozen_prefixes: Sequence[str] = (),
+                predicate: Optional[Callable[[str], bool]] = None):
+    """Bool pytree: True = trainable, False = frozen.
+
+    Matches leaves whose '/'-joined path starts with any prefix (parity with
+    ``freeze_params``/``freeze_modules``/``_freeze_at``,
+    ``param_util.py:37-58`` + ``resnet.py:162-173``).
+    """
+    def decide(path_str: str) -> bool:
+        if predicate is not None and predicate(path_str):
+            return False
+        return not any(path_str.startswith(p) for p in frozen_prefixes)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    flags = [decide('/'.join(str(getattr(k, 'key', k)) for k in path))
+             for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+def count_model_flops(fn: Callable, *sample_args, _default_logger=logger) -> int:
+    """FLOPs of a jitted callable from XLA cost analysis
+    (replaces torchprofile MACs, ``param_util.py:61-75``)."""
+    lowered = jax.jit(fn).lower(*sample_args)
+    analysis = lowered.compile().cost_analysis()
+    flops = int(analysis.get('flops', 0)) if analysis else 0
+    _default_logger.info('# FLOPs: %d, %s G', flops, round(flops / 1e9, 2))
+    return flops

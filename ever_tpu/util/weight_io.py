@@ -1,0 +1,230 @@
+"""Weight loading / conversion utilities.
+
+Parity target: ``ever/interface/module.py:31-68`` (``init_from_weight_file``:
+load, unwrap checkpoint dict, strip ``module.``/``_orig_mod.`` prefixes, drop
+keys matching an ``excepts`` regex, non-strict load with missing/unexpected
+logging) plus the torchvision-``.pth`` pretrained path incl. first-conv
+channel recycling (``ever/module/resnet.py:55-69``).
+
+Formats:
+- ``.ckpt`` / ``.msgpack`` — this framework's flax-msgpack checkpoints;
+- ``.npz`` — flat ``{'params/a/b': array}`` archives;
+- ``.pth`` / ``.pt`` — torch state dicts (requires the CPU torch wheel);
+  torchvision-style ResNet keys are converted automatically.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger('ever_tpu.weight_io')
+
+__all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
+           'convert_torch_resnet', 'patch_first_conv']
+
+
+def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict) or hasattr(tree, 'items'):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f'{prefix}{k}/'))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> dict:
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split('/')
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return root
+
+
+def _strip_prefixes(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop DDP/compile torch prefixes (parity: ``checkpoint.py:144-161``)."""
+    out = {}
+    for k, v in flat.items():
+        for pre in ('module.', '_orig_mod.'):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def patch_first_conv(kernel: np.ndarray, new_in_channels: int,
+                     default_in_channels: int = 3) -> np.ndarray:
+    """Recycle pretrained RGB stem weights for N input channels.
+
+    HWIO layout; channel i copies pretrained channel ``i % 3`` and the whole
+    kernel is rescaled by ``3/N`` (parity: ``ever/module/resnet.py:55-69``).
+    """
+    h, w, _, o = kernel.shape
+    new = np.empty((h, w, new_in_channels, o), kernel.dtype)
+    for i in range(new_in_channels):
+        new[:, :, i] = kernel[:, :, i % default_in_channels]
+    return new * (default_in_channels / new_in_channels)
+
+
+# -- torchvision ResNet conversion ------------------------------------------
+
+_TORCH_RESNET_RE = re.compile(
+    r'^(?:resnet\.)?(layer\d+)\.(\d+)\.(conv\d|bn\d|downsample)(?:\.(\d))?\.(.+)$')
+
+
+def _bn_entries(dst: Dict[str, np.ndarray], base: str, leaf: str, value: np.ndarray):
+    mapping = {
+        'weight': ('params', 'scale'),
+        'bias': ('params', 'bias'),
+        'running_mean': ('batch_stats', 'mean'),
+        'running_var': ('batch_stats', 'var'),
+    }
+    if leaf in mapping:
+        coll, name = mapping[leaf]
+        dst[f'{coll}/{base}/BatchNorm_0/{name}'] = value
+
+
+def convert_torch_resnet(state_dict: Dict[str, np.ndarray],
+                         deep_stem: bool = False) -> Dict[str, np.ndarray]:
+    """torchvision ResNet state_dict → flat {collection/path: array} matching
+    ``ever_tpu.module.resnet.ResNet`` (NHWC/HWIO)."""
+    flat: Dict[str, np.ndarray] = {}
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+
+    def conv_kernel(v):
+        return np.transpose(v, (2, 3, 1, 0))  # OIHW → HWIO
+
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked') or k.startswith('fc.'):
+            continue
+        if k in ('conv1.weight',):
+            flat['params/conv1/kernel'] = conv_kernel(v)
+            continue
+        if k.startswith('bn1.'):
+            _bn_entries(flat, 'bn1', k.split('.', 1)[1], v)
+            continue
+        if deep_stem and k.startswith('stem.'):
+            # stem.{0,3,6} convs / stem.{1,4,7} bns
+            idx, leaf = k.split('.')[1], k.split('.', 2)[2]
+            conv_map = {'0': 'stem_conv1', '3': 'stem_conv2', '6': 'stem_conv3'}
+            bn_map = {'1': 'stem_bn1', '4': 'stem_bn2', '7': 'stem_bn3'}
+            if idx in conv_map and leaf == 'weight':
+                flat[f'params/{conv_map[idx]}/kernel'] = conv_kernel(v)
+            elif idx in bn_map:
+                _bn_entries(flat, bn_map[idx], leaf, v)
+            continue
+        m = _TORCH_RESNET_RE.match(k)
+        if not m:
+            logger.debug('unmapped torch key: %s', k)
+            continue
+        layer, block, part, sub, leaf = m.groups()
+        base = f'{layer}/block{block}'
+        if part.startswith('conv') and leaf == 'weight':
+            flat[f'params/{base}/{part}/kernel'] = conv_kernel(v)
+        elif part.startswith('bn'):
+            _bn_entries(flat, f'{base}/{part}', leaf, v)
+        elif part == 'downsample':
+            if sub == '0' and leaf == 'weight':
+                flat[f'params/{base}/downsample_conv/kernel'] = conv_kernel(v)
+            elif sub == '1':
+                _bn_entries(flat, f'{base}/downsample_bn', leaf, v)
+    return flat
+
+
+# -- generic load ------------------------------------------------------------
+
+def _read_file(path: str) -> Dict[str, np.ndarray]:
+    """Read any supported format into flat {collection/path: array}."""
+    if path.endswith(('.pth', '.pt')):
+        import torch
+        obj = torch.load(path, map_location='cpu', weights_only=False)
+        if isinstance(obj, dict) and 'state_dict' in obj:
+            obj = obj['state_dict']
+        if isinstance(obj, dict) and 'model' in obj and isinstance(obj['model'], dict):
+            obj = obj['model']
+        sd = {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+              for k, v in obj.items()}
+        deep_stem = any(k.startswith('stem.') for k in sd)
+        return convert_torch_resnet(sd, deep_stem=deep_stem)
+    if path.endswith('.npz'):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    # our msgpack checkpoints
+    from ever_tpu.core.checkpoint import CheckPoint, is_checkpoint
+    obj = CheckPoint.load(path)
+    if is_checkpoint(obj):
+        obj = obj['model']
+    return flatten_tree(obj)
+
+
+def _find_subtree_offset(src_keys, dst_keys) -> Optional[str]:
+    """Find a prefix to prepend to source keys so they land inside the target
+    tree (e.g. encoder weights loading into ``encoder/resnet/...``)."""
+    for cand in ('', 'resnet/', 'encoder/resnet/'):
+        sample = next(iter(src_keys))
+        coll, rest = sample.split('/', 1)
+        if f'{coll}/{cand}{rest}' in dst_keys:
+            return cand
+    return None
+
+
+def load_weights(path: str, params, batch_stats=None,
+                 excepts: Optional[str] = None,
+                 log=True) -> Tuple[Any, Any]:
+    """Overlay weights from ``path`` onto (params, batch_stats) pytrees.
+
+    Non-strict: missing/unexpected keys are logged, shape mismatches skipped
+    (parity: ``ever/interface/module.py:54-67``).  ``excepts`` is a regex of
+    keys to drop before loading (``module.py:49-52``).
+    """
+    src = _read_file(path)
+    if excepts:
+        pat = re.compile(excepts)
+        src = {k: v for k, v in src.items() if not pat.search(k)}
+
+    dst_flat = {}
+    dst_flat.update({f'params/{k}': v for k, v in flatten_tree(params).items()})
+    if batch_stats is not None:
+        dst_flat.update({f'batch_stats/{k}': v
+                         for k, v in flatten_tree(batch_stats).items()})
+
+    offset = _find_subtree_offset(src.keys(), dst_flat.keys()) if src else None
+    loaded, missing, unexpected, mismatched = 0, [], [], []
+    new_flat = dict(dst_flat)
+    for k, v in src.items():
+        if offset:
+            coll, rest = k.split('/', 1)
+            k = f'{coll}/{offset}{rest}'
+        if k not in dst_flat:
+            unexpected.append(k)
+            continue
+        if dst_flat[k].shape != v.shape:
+            # stem conv channel mismatch → recycle channels (patch_first_conv)
+            if k.endswith('conv1/kernel') and v.ndim == 4 and \
+                    dst_flat[k].shape[:2] == v.shape[:2] and dst_flat[k].shape[3] == v.shape[3]:
+                v = patch_first_conv(v, dst_flat[k].shape[2])
+            else:
+                mismatched.append((k, v.shape, dst_flat[k].shape))
+                continue
+        new_flat[k] = v.astype(dst_flat[k].dtype)
+        loaded += 1
+    missing = [k for k in dst_flat if k not in {
+        (f"{kk.split('/', 1)[0]}/{offset}{kk.split('/', 1)[1]}" if offset else kk)
+        for kk in src}]
+    if log:
+        logger.info('load_weights(%s): loaded %d tensors; %d missing, %d unexpected, %d mismatched',
+                    path, loaded, len(missing), len(unexpected), len(mismatched))
+        for k, s_src, s_dst in mismatched:
+            logger.warning('shape mismatch %s: file %s vs model %s', k, s_src, s_dst)
+
+    new_tree = unflatten_tree(new_flat)
+    new_params = new_tree.get('params', {})
+    new_bs = new_tree.get('batch_stats', batch_stats) if batch_stats is not None else None
+    return new_params, new_bs

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ever_tpu.interface.transform_base import Transform
+from ever_tpu.magic import (
+    HorizontalFlip,
+    Identity,
+    Rotate90k,
+    Scale,
+    TestTimeAugmentation,
+    Transpose,
+    VerticalFlip,
+    d4_tta,
+    pad_crop_apply,
+    sliding_window,
+    tiled_inference,
+    tta,
+)
+
+
+def test_sliding_window_covers_and_inbounds():
+    boxes = sliding_window((1000, 900), 512, 256)
+    assert boxes.shape[1] == 4
+    # every box full-size and in-bounds (inward shift, not padding)
+    assert np.all(boxes[:, 2] - boxes[:, 0] == 512)
+    assert np.all(boxes[:, 3] - boxes[:, 1] == 512)
+    assert np.all(boxes[:, 0] >= 0) and np.all(boxes[:, 2] <= 900)
+    assert np.all(boxes[:, 1] >= 0) and np.all(boxes[:, 3] <= 1000)
+    # full coverage
+    cover = np.zeros((1000, 900), bool)
+    for x0, y0, x1, y1 in boxes:
+        cover[y0:y1, x0:x1] = True
+    assert cover.all()
+
+
+def test_sliding_window_small_image():
+    boxes = sliding_window((100, 100), 512, 256)
+    assert np.all(boxes == [[0, 0, 100, 100]])
+
+
+def test_transforms_roundtrip():
+    for t in (Identity(), Rotate90k(1), Rotate90k(2), Rotate90k(3),
+              HorizontalFlip(), VerticalFlip(), Transpose()):
+        Transform.unit_test(t)
+    for sf in (0.5, 1.0, 2.0):
+        # Scale round-trip is approximate; check shape restoration
+        s = Scale(scale_factor=sf)
+        x = jnp.ones((1, 64, 64, 3))
+        y = s.inv_transform(s.transform(x))
+        assert y.shape == x.shape
+
+
+def test_tta_identity_average():
+    model = lambda x: x * 2.0
+    x = jnp.arange(2 * 16 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 16, 3)
+    out = tta(model, x, [Identity(), HorizontalFlip(), VerticalFlip()])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0, rtol=1e-6)
+    wrapped = TestTimeAugmentation(model, [Identity(), Rotate90k(2)])
+    np.testing.assert_allclose(np.asarray(wrapped(x)), np.asarray(x) * 2.0, rtol=1e-6)
+
+
+def test_d4_tta_equivariant_model():
+    model = lambda x: x * 3.0  # pointwise → commutes with the group
+    x = jnp.arange(1 * 8 * 8 * 2, dtype=jnp.float32).reshape(1, 8, 8, 2)
+    out = d4_tta(model, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 3.0, rtol=1e-5)
+
+
+def test_tiled_inference_identity():
+    """Identity predictor → tiled output equals the input everywhere,
+    including overlap-averaged regions."""
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(100, 80, 3)).astype(np.float32)
+    out = tiled_inference(lambda t: t, jnp.asarray(img), kernel_size=32,
+                          stride=24, num_classes=3, tile_batch=4)
+    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-5, atol=1e-5)
+
+
+def test_pad_crop_apply():
+    calls = {}
+
+    def fn(x):
+        calls['shape'] = x.shape
+        return x
+
+    x = jnp.ones((1, 30, 50, 3))
+    y = pad_crop_apply(fn, x, size_divisor=32)
+    assert calls['shape'] == (1, 32, 64, 3)
+    assert y.shape == (1, 30, 50, 3)

