@@ -78,14 +78,20 @@ def main():
     except Exception:
         step_flops = 0.0
 
+    def sync(s):
+        # NOTE: on the axon tunnel backend block_until_ready returns early;
+        # a host fetch is the only reliable sync point
+        return float(jax.device_get(jnp.sum(s.params['head']['fpn_decoder']
+                                            ['classifier']['bias'])))
+
     # warmup (compile)
     state, _ = step(state, data)
-    jax.block_until_ready(state.params)
+    sync(state)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, data)
-    jax.block_until_ready(state.params)
+    sync(state)
     dt = (time.perf_counter() - t0) / steps
 
     tiles_per_sec = batch / dt

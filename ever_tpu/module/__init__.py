@@ -1,5 +1,20 @@
 from ever_tpu.module import loss, ops
+from ever_tpu.module.change import ChangeMask, ChangeMixin, ChangeOS, ChangeStar
 from ever_tpu.module.context_block import ContextBlock2d
+from ever_tpu.module.densenet import DenseNet, DenseNetEncoder
+from ever_tpu.module.factseg import FactSeg
+from ever_tpu.module.heads import (
+    ASPPHead,
+    AtrousSpatialPyramidPool,
+    Deeplabv3pDecoder,
+    Deeplabv3pHead,
+    HRNetHead,
+    PPMHead,
+    PyramidPoolModule,
+    SimpleFusion,
+)
+from ever_tpu.module.hrnet import HRNet, HRNetEncoder
+from ever_tpu.module.vit import DinoVisionTransformer, RMSNorm, ViTEncoder
 from ever_tpu.module.fpn import FPN, AssymetricDecoder, BiFPN, Fusion, LastLevelMaxPool, LastLevelP6P7
 from ever_tpu.module.fs_relation import FarSeg, FarSegHead, FSRelation, FSRelationV2
 from ever_tpu.module.ops import (

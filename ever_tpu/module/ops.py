@@ -24,8 +24,28 @@ import flax.linen as nn
 __all__ = [
     'ConvBlock', 'SeparableConvBlock', 'SeparableConv2d', 'DepthwiseConv2d',
     'LayerNorm2d', 'PoolBlock', 'ResidualBlock', 'ConvUpsampling', 'Norm',
-    'resize', 'upsample', 'global_avg_pool', 'max_pool', 'avg_pool',
+    'resize', 'upsample', 'global_avg_pool', 'adaptive_avg_pool', 'max_pool',
+    'avg_pool', 'channel_concat', 'channel_sum', 'list_index',
 ]
+
+
+def channel_concat(features):
+    """Concat a feature list on the channel dim (parity: ``ops.py:124-129``)."""
+    if len(features) == 1:
+        return features[0]
+    return jnp.concatenate(features, axis=-1)
+
+
+def channel_sum(features):
+    """Sum a feature list (parity: ``ops.py:132-137``)."""
+    return features[0] if len(features) == 1 else sum(features)
+
+
+def list_index(features, *index):
+    """Select features by index (parity: ``ListIndex``, ``ops.py:140-149``)."""
+    if len(index) == 1:
+        return features[index[0]]
+    return [features[i] for i in index]
 
 Dtype = Any
 
@@ -61,6 +81,35 @@ def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     """``adaptive_avg_pool2d(x, 1)`` equivalent: NHWC → N11C (fp32 accumulate)."""
     y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims)
     return y.astype(x.dtype)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
+    """Exact torch-style adaptive average pooling over NHWC.
+
+    Bin i spans ``[floor(i*H/OH), ceil((i+1)*H/OH))`` (torch semantics).
+    Implemented with an integral image + static boundary gathers, so uneven
+    bins (e.g. 64→3) are exact and XLA-friendly.
+    """
+    oh, ow = _pair(output_size)
+    n, h, w, c = x.shape
+    if (oh, ow) == (1, 1):
+        return global_avg_pool(x)
+    if (oh, ow) == (h, w):
+        return x
+    ii = jnp.cumsum(jnp.cumsum(x.astype(jnp.float32), axis=1), axis=2)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    import numpy as _np
+    ys0 = (_np.arange(oh) * h) // oh
+    ys1 = -((-(_np.arange(oh) + 1) * h) // oh)      # ceil((i+1)*h/oh)
+    xs0 = (_np.arange(ow) * w) // ow
+    xs1 = -((-(_np.arange(ow) + 1) * w) // ow)      # ceil((i+1)*w/ow)
+    a = ii[:, ys1][:, :, xs1]
+    b = ii[:, ys0][:, :, xs1]
+    cc = ii[:, ys1][:, :, xs0]
+    d = ii[:, ys0][:, :, xs0]
+    areas = ((ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]).astype(_np.float32)
+    out = (a - b - cc + d) / jnp.asarray(areas)[None, :, :, None]
+    return out.astype(x.dtype)
 
 
 def max_pool(x, window=3, stride=2, padding='SAME'):
@@ -199,18 +248,22 @@ class SeparableConvBlock(nn.Module):
 
 
 class PoolBlock(nn.Module):
-    """Global pool → 1x1 conv-norm-relu → broadcast back (parity: ``ops.py:89-100``)."""
+    """Adaptive pool → 1x1 conv-norm-relu → bilinear upsample back to the
+    input size (parity: ``ops.py:89-100``; PSP-style pyramid bin)."""
 
-    features: int
+    output_size: int = 1
+    features: int = 256
     norm: Optional[str] = 'bn'
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, _ = x.shape
-        y = global_avg_pool(x)
+        y = adaptive_avg_pool(x, self.output_size)
         y = ConvBlock(self.features, 1, norm=self.norm, dtype=self.dtype)(y, train)
-        return jnp.broadcast_to(y, (n, h, w, self.features))
+        if y.shape[1] == 1 and y.shape[2] == 1:
+            return jnp.broadcast_to(y, (n, h, w, self.features))
+        return resize(y, shape=(h, w), method='bilinear')
 
 
 class ResidualBlock(nn.Module):

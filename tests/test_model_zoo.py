@@ -1,0 +1,201 @@
+"""Shape/forward tests across the model zoo (SURVEY.md §2.8 inventory)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ever_tpu  # noqa: F401
+from ever_tpu.core import builder
+
+
+def _init_apply(model, *args, train=False):
+    variables = model.init({'params': jax.random.key(0), 'dropout': jax.random.key(1)},
+                           *args, train=train)
+    out = model.apply(variables, *args, train=train,
+                      mutable=['batch_stats'] if 'batch_stats' in variables else [],
+                      rngs={'dropout': jax.random.key(2)})
+    if isinstance(out, tuple) and len(out) == 2 and isinstance(out[1], dict):
+        out = out[0]
+    return variables, out
+
+
+def test_resnet_encoder_multiscale_shapes():
+    m = builder.make_model({'type': 'ResNetEncoder',
+                            'params': dict(resnet_type='resnet18')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
+
+
+def test_resnet_output_stride_8():
+    m = builder.make_model({'type': 'ResNetEncoder',
+                            'params': dict(resnet_type='resnet18', output_stride=8)})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x)
+    # c4/c5 keep os8 spatial size under dilation
+    assert feats[2].shape[1:3] == (8, 8)
+    assert feats[3].shape[1:3] == (8, 8)
+
+
+def test_resnet_in_channels_4():
+    m = builder.make_model({'type': 'ResNetEncoder',
+                            'params': dict(resnet_type='resnet18', in_channels=4)})
+    x = jnp.ones((1, 32, 32, 4))
+    _, feats = _init_apply(m, x)
+    assert feats[0].shape == (1, 8, 8, 64)
+
+
+def test_hrnet_encoder_branches():
+    m = builder.make_model({'type': 'HRNetEncoder',
+                            'params': dict(hrnet_type='hrnetv2_w18')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 18), (1, 8, 8, 36), (1, 4, 4, 72), (1, 2, 2, 144)]
+
+
+def test_densenet_encoder_channels():
+    m = builder.make_model({'type': 'DenseNetEncoder',
+                            'params': dict(densenet_type='densenet121')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert [f.shape[-1] for f in feats] == [256, 512, 1024, 1024]
+    assert m.out_channels() == (256, 512, 1024, 1024)
+
+
+@pytest.mark.parametrize('head_type,feat_spec,kwargs', [
+    ('ASPPHead', 'single', dict(aspp=dict(in_channels=64, out_channels=32,
+                                          atrous_rates=[2, 4]), num_classes=5)),
+    ('PPMHead', 'single', dict(ppm=dict(in_channels=64, pool_channels=16,
+                                        out_channels=32, bins=(1, 2, 3)),
+                               num_classes=5)),
+])
+def test_single_input_heads(head_type, feat_spec, kwargs):
+    m = builder.make_model({'type': head_type, 'params': kwargs})
+    x = jnp.ones((1, 8, 8, 64))
+    _, out = _init_apply(m, x, train=True)
+    assert out.shape[-1] == 5
+    assert out.shape[1] > 8  # upsampled
+
+
+def test_deeplabv3p_head():
+    m = builder.make_model({'type': 'Deeplabv3pHead', 'params': dict(
+        deeplabv3p_decoder=dict(os4_feature_channels=32, os16_feature_channels=64,
+                                aspp_channels=32, aspp_atrous=(2, 4),
+                                reduction_dim=8, out_channels=32,
+                                num_3x3_convs=2, scale_factor=4.0),
+        num_classes=5, upsample_scale=4.0)})
+    os4 = jnp.ones((1, 32, 32, 32))
+    os16 = jnp.ones((1, 8, 8, 64))
+    _, out = _init_apply(m, [os4, os16], train=True)
+    assert out.shape == (1, 128, 128, 5)
+
+
+def test_hrnet_head():
+    m = builder.make_model({'type': 'HRNetHead', 'params': dict(
+        hrnet_decoder=dict(in_channels=30), num_classes=4, upsample_scale=4.0)})
+    feats = [jnp.ones((1, 16, 16, 4)), jnp.ones((1, 8, 8, 8)),
+             jnp.ones((1, 4, 4, 8)), jnp.ones((1, 2, 2, 10))]
+    _, out = _init_apply(m, feats, train=True)
+    assert out.shape == (1, 64, 64, 4)
+
+
+def _bitemp_data(n=1, size=32, c=3):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(n, size, size, 2 * c)).astype(np.float32))
+
+
+def _small_cd_params(extra):
+    p = dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        decoder=dict(in_channels=32, out_channels=32,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+    )
+    p.update(extra)
+    return p
+
+
+def test_changestar_train_and_eval():
+    m = builder.make_model({'type': 'ChangeStar', 'params': _small_cd_params(
+        dict(changemixin=dict(in_channels=64, inner_channels=8, num_convs=2,
+                              scale_factor=4.0), classes=1))})
+    x = _bitemp_data()
+    y = dict(masks=jnp.zeros((1, 32, 32, 2), jnp.int32),
+             change=jnp.zeros((1, 32, 32), jnp.int32))
+    variables = m.init({'params': jax.random.key(0)}, x, y, train=True)
+    losses, _ = m.apply(variables, x, y, train=True, mutable=['batch_stats'])
+    assert 'seg_loss' in losses and 'change_loss' in losses
+    s1, s2, cp = m.apply(variables, x)
+    assert s1.shape == (1, 32, 32, 1) and cp.shape == (1, 32, 32, 1)
+
+
+def test_changemask_train_and_eval():
+    m = builder.make_model({'type': 'ChangeMask', 'params': _small_cd_params(
+        dict(classes=5, loss=dict(ignore_index=255, consistency_weight=0.1)))})
+    x = _bitemp_data()
+    y = dict(masks=jnp.zeros((1, 32, 32, 2), jnp.int32),
+             change=jnp.zeros((1, 32, 32), jnp.int32))
+    variables = m.init({'params': jax.random.key(0)}, x, y, train=True)
+    losses, _ = m.apply(variables, x, y, train=True, mutable=['batch_stats'])
+    assert {'sem_loss', 'change_loss', 'consistency_loss'} <= set(losses)
+    p1, p2, cp = m.apply(variables, x)
+    assert p1.shape == (1, 32, 32, 5)
+
+
+def test_changeos_train_and_eval():
+    m = builder.make_model({'type': 'ChangeOS', 'params': _small_cd_params(
+        dict(damage_classes=5))})
+    x = _bitemp_data()
+    y = dict(loc=jnp.zeros((1, 32, 32), jnp.int32),
+             damage=jnp.zeros((1, 32, 32), jnp.int32))
+    variables = m.init({'params': jax.random.key(0)}, x, y, train=True)
+    losses, _ = m.apply(variables, x, y, train=True, mutable=['batch_stats'])
+    assert {'loc_loss', 'damage_loss'} == set(losses)
+    loc, dam = m.apply(variables, x)
+    assert loc.shape == (1, 32, 32, 1) and dam.shape == (1, 32, 32, 5)
+
+
+def test_factseg_train_and_eval():
+    m = builder.make_model({'type': 'FactSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        decoder=dict(in_channels=32, out_channels=16,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        classes=6)})
+    x = jnp.ones((1, 32, 32, 3))
+    y = jnp.zeros((1, 32, 32), jnp.int32)
+    variables = m.init({'params': jax.random.key(0)}, x, y, train=True)
+    losses, _ = m.apply(variables, x, y, train=True, mutable=['batch_stats'])
+    assert {'cls_loss', 'fa_loss', 'dice_loss'} <= set(losses)
+    joint = m.apply(variables, x)
+    assert joint.shape == (1, 32, 32, 6)
+    np.testing.assert_allclose(np.asarray(joint.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_se_and_gc_plugins():
+    m = builder.make_model({'type': 'ResNetEncoder', 'params': dict(
+        resnet_type='resnet18', se_ratio=8)})
+    x = jnp.ones((1, 32, 32, 3))
+    _, feats = _init_apply(m, x)
+    assert feats[0].shape[-1] == 64
+    m2 = builder.make_model({'type': 'ResNetEncoder', 'params': dict(
+        resnet_type='resnet18', gc_ratio=0.125)})
+    _, feats2 = _init_apply(m2, x)
+    assert feats2[0].shape[-1] == 64
+
+
+def test_adaptive_avg_pool_matches_torch():
+    torch = pytest.importorskip('torch')
+    from ever_tpu.module.ops import adaptive_avg_pool
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 13, 17, 3)).astype(np.float32)
+    for size in (1, 2, 3, 6):
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), size))
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ever_tpu.module  # noqa: F401
+from ever_tpu.core import builder, registry
+from ever_tpu.module.vit import RMSNorm, rope_apply
+
+
+def test_vit_registry_entries():
+    for name in ('vit_small', 'vit_base', 'vit_large', 'vit_7b',
+                 'vitl16_sat493m', 'vit7b16_sat493m', 'ViTEncoder'):
+        assert name in registry.MODEL
+
+
+def test_vit_small_forward_and_params():
+    m = builder.make_model({'type': 'vit_small', 'params': {}})
+    x = jnp.ones((2, 64, 64, 3))
+    v = m.init({'params': jax.random.key(0), 'dropout': jax.random.key(1)},
+               x, train=True)
+    out = m.apply(v, x, train=True, rngs={'dropout': jax.random.key(2)})
+    assert out['x_norm_clstoken'].shape == (2, 384)
+    assert out['x_norm_patchtokens'].shape == (2, 16, 384)
+    assert out['x_storage_tokens'].shape == (2, 4, 384)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v['params']))
+    assert 21e6 < n_params < 23e6  # canonical ViT-S/16 size
+
+
+def test_vit_resolution_agnostic():
+    """RoPE has no learned positional table → any resolution works."""
+    m = builder.make_model({'type': 'vit_small', 'params': {}})
+    v = m.init({'params': jax.random.key(0)}, jnp.ones((1, 64, 64, 3)))
+    out = m.apply(v, jnp.ones((1, 96, 128, 3)))
+    assert out['x_norm_patchtokens'].shape == (1, 6 * 8, 384)
+    assert out['grid'] == (6, 8)
+
+
+def test_vit_encoder_pyramid():
+    enc = builder.make_model({'type': 'ViTEncoder',
+                              'params': dict(vit_type='vit_small')})
+    x = jnp.ones((1, 64, 64, 3))
+    v = enc.init({'params': jax.random.key(0)}, x)
+    feats = enc.apply(v, x)
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]   # os4/8/16/32
+
+
+def test_rope_apply_preserves_norm():
+    """Rotation is orthogonal: per-pair norms are preserved."""
+    rng = np.random.default_rng(0)
+    d = 16
+    x = jnp.asarray(rng.normal(size=(1, 8, d)).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 2 * np.pi, size=(8, d // 2)).astype(np.float32))
+    angles = jnp.tile(theta, (1, 2))
+    y = rope_apply(x, jnp.sin(angles)[None], jnp.cos(angles)[None])
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(y, axis=-1)),
+        np.asarray(jnp.linalg.norm(x, axis=-1)), rtol=1e-5)
+
+
+def test_rmsnorm_matches_formula():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    m = RMSNorm()
+    v = m.init(jax.random.key(0), x)
+    y = np.asarray(m.apply(v, x))
+    expected = np.asarray(x) / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(y, expected, rtol=1e-5)
+
+
+def test_drop_path_training_stochastic():
+    m = builder.make_model({'type': 'vit_small',
+                            'params': dict(drop_path_rate=0.5)})
+    x = jnp.ones((4, 32, 32, 3))
+    v = m.init({'params': jax.random.key(0), 'dropout': jax.random.key(1)},
+               x, train=True)
+    o1 = m.apply(v, x, train=True, rngs={'dropout': jax.random.key(1)})
+    o2 = m.apply(v, x, train=True, rngs={'dropout': jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1['x_norm_clstoken']),
+                           np.asarray(o2['x_norm_clstoken']))
+    # eval is deterministic
+    e1 = m.apply(v, x)
+    e2 = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(e1['x_norm_clstoken']),
+                                  np.asarray(e2['x_norm_clstoken']))
