@@ -69,17 +69,16 @@ def create_train_state(model, tx, sample_batch, rng=None,
 
 def _forward_loss(model, params, batch_stats, batch, rng):
     variables = {'params': params}
-    mutable = []
     if batch_stats:
         variables['batch_stats'] = batch_stats
-        mutable = ['batch_stats']
-    out = model.apply(variables, *_model_args(batch), train=True,
-                      mutable=mutable, rngs={'dropout': rng})
-    if mutable:
-        loss_dict, mut = out
+        loss_dict, mut = model.apply(variables, *_model_args(batch), train=True,
+                                     mutable=['batch_stats'],
+                                     rngs={'dropout': rng})
         new_bs = mut.get('batch_stats', batch_stats)
     else:
-        loss_dict, new_bs = out, batch_stats
+        loss_dict = model.apply(variables, *_model_args(batch), train=True,
+                                rngs={'dropout': rng})
+        new_bs = batch_stats
     if not isinstance(loss_dict, dict):
         raise TypeError('training forward must return a dict of losses/metrics '
                         '(keys ending in "loss" are summed)')
