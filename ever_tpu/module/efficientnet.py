@@ -1,0 +1,178 @@
+"""EfficientNet encoders (native MBConv, NHWC, flax.linen).
+
+Parity target: ``ever/module/efficientnet.py:8-106`` (``EFNetEncoder``): the
+reference wraps the optional ``efficientnet_pytorch`` package with feature
+taps at stride-2 block boundaries and output-stride dilation surgery; here the
+MBConv trunk is implemented natively (b0–b7 compound scaling), with the same
+multi-scale tap points (os4/os8/os16/os32) and static dilation geometry for
+output_stride 16/8.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ever_tpu.core import registry
+from ever_tpu.interface.module import ERModule
+from ever_tpu.module.ops import Norm, global_avg_pool
+
+__all__ = ['EfficientNet', 'EFNetEncoder', 'EFFICIENTNET_SPECS']
+
+Dtype = Any
+
+# base (B0) stage settings: (expand, channels, layers, stride, kernel)
+_B0_STAGES = [
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
+
+# name → (width_mult, depth_mult)
+EFFICIENTNET_SPECS = {
+    'efficientnet-b0': (1.0, 1.0),
+    'efficientnet-b1': (1.0, 1.1),
+    'efficientnet-b2': (1.1, 1.2),
+    'efficientnet-b3': (1.2, 1.4),
+    'efficientnet-b4': (1.4, 1.8),
+    'efficientnet-b5': (1.6, 2.2),
+    'efficientnet-b6': (1.8, 2.6),
+    'efficientnet-b7': (2.0, 3.1),
+}
+
+
+def _round_filters(c: int, width_mult: float, divisor: int = 8) -> int:
+    c = c * width_mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return int(new_c)
+
+
+def _round_repeats(r: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * r))
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with squeeze-excitation."""
+
+    features: int
+    expand_ratio: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    se_ratio: float = 0.25
+    bn_frozen: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        identity = x
+        h = x
+        mid = cin * self.expand_ratio
+        if self.expand_ratio != 1:
+            h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name='expand_conv')(h)
+            h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                     name='expand_bn')(h, train)
+            h = nn.silu(h)
+        h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride,) * 2,
+                    kernel_dilation=(self.dilation,) * 2, padding='SAME',
+                    feature_group_count=mid, use_bias=False, dtype=self.dtype,
+                    name='dw_conv')(h)
+        h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                 name='dw_bn')(h, train)
+        h = nn.silu(h)
+        if self.se_ratio:
+            se_c = max(1, int(cin * self.se_ratio))
+            s = global_avg_pool(h)
+            s = nn.silu(nn.Conv(se_c, (1, 1), dtype=self.dtype, name='se_reduce')(s))
+            s = nn.sigmoid(nn.Conv(mid, (1, 1), dtype=self.dtype, name='se_expand')(s))
+            h = h * s
+        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='project_conv')(h)
+        h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                 name='project_bn')(h, train)
+        if self.stride == 1 and cin == self.features:
+            h = h + identity
+        return h
+
+
+class EfficientNet(nn.Module):
+    """Trunk returning [c2, c3, c4, c5] taps at stride-2 boundaries."""
+
+    model_name: str = 'efficientnet-b0'
+    output_stride: int = 32
+    bn_frozen: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        wm, dm = EFFICIENTNET_SPECS[self.model_name]
+        x = nn.Conv(_round_filters(32, wm), (3, 3), strides=(2, 2),
+                    padding='SAME', use_bias=False, dtype=self.dtype,
+                    name='stem_conv')(x)
+        x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
+                 name='stem_bn')(x, train)
+        x = nn.silu(x)
+
+        feats = []
+        current_stride = 2
+        dilation = 1
+        for si, (expand, c, layers, stride, kernel) in enumerate(_B0_STAGES):
+            features = _round_filters(c, wm)
+            repeats = _round_repeats(layers, dm)
+            if stride == 2:
+                # tap the feature *entering* this downsample (end of previous os level)
+                if current_stride >= 4:
+                    feats.append(x)
+                if current_stride * 2 > self.output_stride:
+                    dilation *= 2     # keep spatial, dilate instead (os surgery)
+                    stride = 1
+                else:
+                    current_stride *= 2
+            for li in range(repeats):
+                x = MBConv(features, expand, kernel,
+                           stride=stride if li == 0 else 1,
+                           dilation=dilation, bn_frozen=self.bn_frozen,
+                           dtype=self.dtype,
+                           name=f'stage{si}_block{li}')(x, train)
+        feats.append(x)
+        return feats
+
+
+for _name in EFFICIENTNET_SPECS:
+    registry.MODEL.register(
+        _name, (lambda n: lambda **kw: EfficientNet(model_name=n, **kw))(_name))
+
+
+@registry.MODEL.register()
+class EFNetEncoder(ERModule):
+    """Config surface parity with ``ever/module/efficientnet.py:8-106``."""
+
+    def set_default_config(self):
+        self.config.update(dict(
+            efficientnet_type='efficientnet-b0',
+            output_stride=32,
+            bn_frozen=False,
+            dtype='float32',
+        ))
+
+    def setup(self):
+        self.net = EfficientNet(
+            model_name=self.config.efficientnet_type,
+            output_stride=self.config.output_stride,
+            bn_frozen=self.config.bn_frozen,
+            dtype=jnp.dtype(self.config.dtype),
+        )
+
+    def __call__(self, x, train: bool = False):
+        return self.net(x, train)

@@ -424,6 +424,32 @@ class DinoVisionTransformer(nn.Module):
         return self.forward_features(x, train)
 
 
+class DINOHead(nn.Module):
+    """DINO projection head: MLP → L2-normalised bottleneck → prototypes
+    (parity: ``dinov3/layers/dino_head.py:11-66``)."""
+
+    out_dim: int = 65536
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    n_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n_layers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f'mlp{i}')(x)
+            x = nn.gelu(x)
+        x = nn.Dense(self.bottleneck_dim, dtype=self.dtype,
+                     name=f'mlp{self.n_layers - 1}')(x)
+        x = x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32),
+                                            axis=-1, keepdims=True), 1e-6).astype(x.dtype)
+        # weight-normalised prototype layer (direction-only weights)
+        w = self.param('prototypes', nn.initializers.normal(0.02),
+                       (self.bottleneck_dim, self.out_dim))
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-6)
+        return x @ w.astype(x.dtype)
+
+
 # satellite-pretrained configurations (parity: ``vision_transformer.py:430-476``)
 SAT_CONFIGS = {
     'vitl16_sat493m': dict(vit_type='vit_large', patch_size=16,

@@ -199,3 +199,40 @@ def test_adaptive_avg_pool_matches_torch():
         ref = torch.nn.functional.adaptive_avg_pool2d(
             torch.from_numpy(x).permute(0, 3, 1, 2), size).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_efficientnet_encoder():
+    m = builder.make_model({'type': 'EFNetEncoder',
+                            'params': dict(efficientnet_type='efficientnet-b0')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert len(feats) == 4
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]   # os4/8/16/32
+    assert [f.shape[-1] for f in feats] == [24, 40, 112, 320]
+
+
+def test_efficientnet_output_stride_16():
+    m = builder.make_model({'type': 'EFNetEncoder',
+                            'params': dict(efficientnet_type='efficientnet-b0',
+                                           output_stride=16)})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x)
+    assert feats[-1].shape[1] == 4   # os16 held via dilation
+
+
+def test_convnext_encoder():
+    m = builder.make_model({'type': 'ConvNeXtEncoder',
+                            'params': dict(convnext_type='convnext_tiny')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert [f.shape[-1] for f in feats] == [96, 192, 384, 768]
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
+
+
+def test_resnest_encoder():
+    m = builder.make_model({'type': 'ResNeStEncoder',
+                            'params': dict(resnest_type='resnest50')})
+    x = jnp.ones((1, 64, 64, 3))
+    _, feats = _init_apply(m, x, train=True)
+    assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
