@@ -68,6 +68,9 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
     out_shape = (n, shape[0], shape[1], c)
     if method == 'nearest':
         return jax.image.resize(x, out_shape, method='nearest')
+    if x.dtype == jnp.bfloat16:
+        # XLA resize is bf16-native on TPU; upcasting doubles HBM traffic
+        return jax.image.resize(x, out_shape, method=method)
     orig = x.dtype
     y = jax.image.resize(x.astype(jnp.float32), out_shape, method=method)
     return y.astype(orig)

@@ -15,14 +15,62 @@ the final ``optax.GradientTransformation``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from ever_tpu.core import registry
 
 # Reference default clip (``ever/interface/module.py:96-108``).
 DEFAULT_GRAD_CLIP = dict(max_norm=35.0)
+
+
+class ClipByGlobalNormState(NamedTuple):
+    """Carries the pre-clip gradient norm so the train step can report it
+    without a SECOND ``optax.global_norm`` — measured on TPU, a separate
+    norm over the grads doubles the step time (XLA re-materialises the
+    backward instead of CSE-ing with the clip's own norm)."""
+
+    grad_norm: jnp.ndarray
+
+
+def clip_by_global_norm_recording(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` that records the norm in its state.
+
+    Clip semantics match the reference (`clip_grad`,
+    ``ever/interface/module.py:96-108``): scale = min(1, max_norm / norm).
+    """
+
+    def init_fn(params):
+        del params
+        return ClipByGlobalNormState(jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        updates = jax.tree.map(lambda u: u * scale, updates)
+        return updates, ClipByGlobalNormState(jnp.asarray(norm, jnp.float32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_recorded_grad_norm(opt_state) -> Optional[jnp.ndarray]:
+    """Fish the recorded pre-clip norm out of a (possibly nested) opt state."""
+    found = []
+
+    def visit(node):
+        if isinstance(node, ClipByGlobalNormState):
+            found.append(node.grad_norm)
+            return
+        if isinstance(node, tuple):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    return found[0] if found else None
 
 
 class OptimizerFactory:
@@ -49,7 +97,8 @@ class OptimizerFactory:
         """
         parts = []
         if grad_clip:
-            parts.append(optax.clip_by_global_norm(float(grad_clip.get('max_norm', 35.0))))
+            parts.append(clip_by_global_norm_recording(
+                float(grad_clip.get('max_norm', 35.0))))
         core = self._make_core(learning_rate)
         if param_groups is not None:
             labels, mults = param_groups
@@ -110,4 +159,6 @@ registry.OPT.register('lamb', _factory(_lamb))
 # 'fused_adam' parity alias — on TPU plain adam *is* fused by XLA.
 registry.OPT.register('fused_adam', _factory(_adam))
 
-__all__ = ['OptimizerFactory', 'DEFAULT_GRAD_CLIP']
+__all__ = ['OptimizerFactory', 'DEFAULT_GRAD_CLIP',
+           'clip_by_global_norm_recording', 'find_recorded_grad_norm',
+           'ClipByGlobalNormState']

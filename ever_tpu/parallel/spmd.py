@@ -130,13 +130,18 @@ def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
             grads = jax.tree.map(lambda g: g / forward_times, gsum)
             metrics = jax.tree.map(lambda v: v / forward_times, msum)
 
-        grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
         metrics = dict(metrics)
-        metrics['grad_norm'] = grad_norm
+        # grad_norm comes from the recording clip transform — computing a
+        # SECOND optax.global_norm over the grads doubles the step time on
+        # TPU (XLA re-materialises the backward instead of reusing clip's)
+        from ever_tpu.opt.optimizer import find_recorded_grad_norm
+        grad_norm = find_recorded_grad_norm(new_opt)
+        if grad_norm is not None:
+            metrics['grad_norm'] = grad_norm
         if lr_schedule is not None:
             metrics['learning_rate'] = jnp.asarray(lr_schedule(state.step), jnp.float32)
         return new_state, metrics

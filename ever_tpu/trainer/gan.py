@@ -87,10 +87,13 @@ def build_gan_train_step(model, txs: Dict[str, optax.GradientTransformation],
                 loss_wrt_role, has_aux=True)(params[role])
             metrics.update({f'{role}_{k}': jnp.asarray(v, jnp.float32)
                             for k, v in loss_dict.items()})
-            metrics[f'{role.lower()}_grad_norm'] = optax.global_norm(grads)
             updates, opt_state[role] = txs[role].update(
                 grads, opt_state[role], params[role])
             params[role] = optax.apply_updates(params[role], updates)
+            from ever_tpu.opt.optimizer import find_recorded_grad_norm
+            gn = find_recorded_grad_norm(opt_state[role])
+            if gn is not None:
+                metrics[f'{role.lower()}_grad_norm'] = gn
 
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=batch_stats, opt_state=opt_state)
