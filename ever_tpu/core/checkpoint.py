@@ -46,7 +46,12 @@ class CheckPoint:
     LASTCHECKPOINT = LASTCHECKPOINT
     CHECKPOINT_NAME = CHECKPOINT_NAME
 
-    def __init__(self, launcher=None):
+    def __init__(self, launcher=None, backend: str = 'msgpack'):
+        """``backend``: 'msgpack' (single-file, default) or 'orbax'
+        (directory-per-checkpoint; for sharded/multi-host state at scale)."""
+        if backend not in ('msgpack', 'orbax'):
+            raise ValueError(f'unknown checkpoint backend: {backend!r}')
+        self.backend = backend
         self._launcher = launcher
         self._global_step = 0
         self._json_log: Dict[str, Any] = {LASTCHECKPOINT: dict(step=0, name='')}
@@ -80,18 +85,22 @@ class CheckPoint:
     # -- save ----------------------------------------------------------------
     def save(self, filename: Optional[str] = None) -> None:
         state = self._launcher.state
-        ckpt = {
-            MODEL: dict(params=_to_host(state.params),
-                        batch_stats=_to_host(state.batch_stats)),
-            OPTIMIZER: _to_host(state.opt_state),
-            GLOBALSTEP: self.global_step,
-        }
         if filename is None:
-            filename = self.get_checkpoint_name(self.global_step)
+            filename = self.get_checkpoint_name(self.global_step,
+                                                backend=self.backend)
         filepath = os.path.join(self._launcher.model_dir, filename)
-        if is_main_process():
-            with open(filepath, 'wb') as f:
-                f.write(serialization.to_bytes(ckpt))
+        if self.backend == 'orbax':
+            self._save_orbax(filepath, state)
+        else:
+            ckpt = {
+                MODEL: dict(params=_to_host(state.params),
+                            batch_stats=_to_host(state.batch_stats)),
+                OPTIMIZER: _to_host(state.opt_state),
+                GLOBALSTEP: self.global_step,
+            }
+            if is_main_process():
+                with open(filepath, 'wb') as f:
+                    f.write(serialization.to_bytes(ckpt))
         self._json_log[str(self.global_step)] = filename
         if self.global_step >= self._json_log[LASTCHECKPOINT]['step']:
             self._json_log[LASTCHECKPOINT] = dict(step=self.global_step, name=filename)
@@ -105,12 +114,33 @@ class CheckPoint:
         with open(os.path.join(model_dir, CHECKPOINT_NAME), 'w') as f:
             json.dump(self._json_log, f)
 
+    # -- orbax backend ---------------------------------------------------------
+    def _save_orbax(self, dirpath: str, state) -> None:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = {
+            MODEL: dict(params=state.params, batch_stats=state.batch_stats),
+            OPTIMIZER: state.opt_state,
+            GLOBALSTEP: self.global_step,
+        }
+        ckptr.save(os.path.abspath(dirpath), tree, force=True)
+
+    @staticmethod
+    def _load_orbax(dirpath: str, template: Optional[dict] = None) -> dict:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        if template is not None:
+            return ckptr.restore(os.path.abspath(dirpath), item=template)
+        return ckptr.restore(os.path.abspath(dirpath))
+
     # -- load ----------------------------------------------------------------
     @staticmethod
     def load(filepath: str, template: Optional[dict] = None) -> dict:
-        """Load a checkpoint file.  With ``template`` (a matching pytree of
-        arrays) the stored bytes are restored structurally; without, a raw
-        nested-dict view is returned."""
+        """Load a checkpoint file (msgpack) or directory (orbax).  With
+        ``template`` (a matching pytree of arrays) the stored bytes are
+        restored structurally; without, a raw nested-dict view is returned."""
+        if os.path.isdir(filepath):
+            return CheckPoint._load_orbax(filepath, template)
         with open(filepath, 'rb') as f:
             raw = f.read()
         if template is not None:
@@ -156,7 +186,9 @@ class CheckPoint:
             return json.load(f)
 
     @staticmethod
-    def get_checkpoint_name(global_step: int) -> str:
+    def get_checkpoint_name(global_step: int, backend: str = 'msgpack') -> str:
+        if backend == 'orbax':
+            return f'checkpoint-{global_step}'
         return f'checkpoint-{global_step}.ckpt'
 
 

@@ -48,7 +48,8 @@ class Launcher:
                  mixed_precision: str = 'fp32',
                  mesh=None,
                  logger: Optional[Logger] = None,
-                 seed: int = 42):
+                 seed: int = 42,
+                 checkpoint_backend: str = 'msgpack'):
         self._model_dir = model_dir
         self._model = model
         self._tx = optimizer
@@ -65,7 +66,7 @@ class Launcher:
         if self._master and model_dir:
             os.makedirs(model_dir, exist_ok=True)
         self._logger = logger or Logger('ever_tpu', tensorboard_logdir=model_dir or None)
-        self._ckpt = CheckPoint(self)
+        self._ckpt = CheckPoint(self, backend=checkpoint_backend)
         self._evaluate_fn: Optional[Callable] = None
         self._init_params = None
         self._init_batch_stats = None

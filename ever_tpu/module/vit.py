@@ -192,6 +192,7 @@ class SelfAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     proj_bias: bool = True
+    attn_impl: Optional[str] = None     # None=auto | 'xla' | 'flash' (Pallas)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,7 +216,8 @@ class SelfAttention(nn.Module):
                 return jnp.concatenate([t32[:, :prefix], rotated], axis=1).astype(t.dtype)
 
             q, k = rot(q), rot(k)
-        out = jax.nn.dot_product_attention(q, k, v)          # [B, N, H, D]
+        from ever_tpu.ops.attention import attention
+        out = attention(q, k, v, impl=self.attn_impl)        # [B, N, H, D]
         out = out.reshape(b, n, c)
         out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
                        name='proj')(out)

@@ -1,0 +1,151 @@
+"""Int8 quantization kernels (Pallas) + a quantized Dense layer for serving.
+
+The reference ships GPU-only low-precision linears: fp8 via
+``torch._scaled_mm`` (``ever/module/dinov3/layers/fp8_linear.py:46-141``) and
+2:4 structured sparsity via cuSPARSELt (``sparse_linear.py:19-90``).  The TPU
+production-serving analog is int8: this module provides
+
+- :func:`quantize_int8` — a Pallas kernel computing the per-tensor absmax
+  scale and stochastically-rounded int8 values in ONE VMEM pass (the PRNG +
+  ``pltpu.stochastic_round`` path from the TPU kernel playbook);
+- :func:`int8_matmul` — int8×int8 matmul with fp32 rescale, MXU-tiled;
+- :class:`QuantDense` — a drop-in serving layer holding int8 weights +
+  scale, built from trained fp32 params via :func:`quantize_params`.
+
+CPU/test fallback: kernels run under ``interpret=True`` off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['quantize_int8', 'int8_matmul', 'QuantDense', 'quantize_params']
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == 'tpu'
+
+
+def _quant_kernel(seed_ref, x_ref, values_ref, scale_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0])
+    abs_max = jnp.max(jnp.abs(x_ref[:]))
+    scale = jnp.maximum(abs_max / 127.0, 1e-8)
+    scale_ref[0, 0] = scale
+    scaled = x_ref[:] / scale
+    random_bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    values_ref[:] = pltpu.stochastic_round(scaled, random_bits,
+                                           target_dtype=jnp.int8)
+
+
+def quantize_int8(x: jnp.ndarray, seed: int = 0,
+                  interpret: Optional[bool] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor int8 quantization with stochastic rounding.
+
+    Returns ``(values int8, scale fp32[1,1])`` such that
+    ``values * scale ≈ x``.  2-D inputs only (reshape first).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if x.ndim != 2:
+        raise ValueError('quantize_int8 expects 2-D input')
+    x = x.astype(jnp.float32)
+    if interpret:
+        # CPU fallback: the TPU PRNG primitives (pltpu.prng_seed /
+        # stochastic_round) have no interpret-mode lowering — use
+        # round-to-nearest (same scale contract, deterministic)
+        abs_max = jnp.max(jnp.abs(x))
+        scale = jnp.maximum(abs_max / 127.0, 1e-8).reshape(1, 1)
+        values = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
+        return values, scale
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    values, scale = pl.pallas_call(
+        _quant_kernel,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.int8),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )(seed_arr, x)
+    return values, scale
+
+
+def _matmul_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = acc.astype(jnp.float32) * (xs_ref[0, 0] * ws_ref[0, 0])
+
+
+def int8_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
+                w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """``(x_q · w_q) * (x_scale * w_scale)`` with int32 MXU accumulation."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, k = x_q.shape
+    k2, n = w_q.shape
+    assert k == k2
+    return pl.pallas_call(
+        _matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_q, w_q, x_scale, w_scale)
+
+
+def quantize_params(kernel: jnp.ndarray, seed: int = 0):
+    """Quantize a [in, out] dense kernel for serving."""
+    w_q, w_scale = quantize_int8(kernel, seed)
+    return dict(kernel_q=w_q, scale=w_scale)
+
+
+class QuantDense:
+    """Serving-time int8 dense layer: y = int8_matmul(q(x), W_q) + b.
+
+    Built from trained params::
+
+        qd = QuantDense.from_params(params['head']['fc'])
+        y = qd(x)                    # x: [M, in] fp32/bf16
+    """
+
+    def __init__(self, kernel_q, w_scale, bias=None):
+        self.kernel_q = kernel_q
+        self.w_scale = w_scale
+        self.bias = bias
+
+    @classmethod
+    def from_params(cls, dense_params: dict, seed: int = 0) -> 'QuantDense':
+        q = quantize_params(jnp.asarray(dense_params['kernel'], jnp.float32), seed)
+        bias = dense_params.get('bias')
+        return cls(q['kernel_q'], q['scale'],
+                   None if bias is None else jnp.asarray(bias, jnp.float32))
+
+    def __call__(self, x: jnp.ndarray, seed: int = 1) -> jnp.ndarray:
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        x_q, x_scale = quantize_int8(x2, seed)
+        y = int8_matmul(x_q, x_scale, self.kernel_q, self.w_scale)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.reshape(*orig_shape[:-1], y.shape[-1])

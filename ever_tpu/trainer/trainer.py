@@ -130,6 +130,7 @@ class Trainer:
             mesh=self.make_mesh(),
             logger=logger,
             seed=int(self._config.get('seed', 42)),
+            checkpoint_backend=self._config.get('checkpoint_backend', 'msgpack'),
         )
         return self._launcher
 

@@ -1,0 +1,58 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ever_tpu.ops.attention import attention
+from ever_tpu.ops.quant import QuantDense, int8_matmul, quantize_int8
+
+
+def test_attention_xla_matches_reference():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+    out = attention(q, k, v, impl='xla')
+    # manual reference
+    scores = jnp.einsum('bqhd,bkhd->bhqk', q, k) / np.sqrt(8)
+    ref = jnp.einsum('bhqk,bkhd->bqhd', jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_quantize_int8_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    values, scale = quantize_int8(x, seed=3)
+    assert values.dtype == jnp.int8
+    recon = np.asarray(values, np.float32) * float(scale[0, 0])
+    # stochastic rounding: error bounded by one quantization step
+    step = float(scale[0, 0])
+    assert np.abs(recon - np.asarray(x)).max() <= step + 1e-6
+
+
+def test_int8_matmul_close_to_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    x_q, xs = quantize_int8(x, 1)
+    w_q, ws = quantize_int8(w, 2)
+    y = int8_matmul(x_q, xs, w_q, ws)
+    ref = np.asarray(x) @ np.asarray(w)
+    rel_err = np.abs(np.asarray(y) - ref).mean() / np.abs(ref).mean()
+    assert rel_err < 0.05  # int8 per-tensor quantization noise
+
+
+def test_quant_dense_from_params():
+    rng = np.random.default_rng(2)
+    params = dict(kernel=rng.normal(size=(64, 32)).astype(np.float32),
+                  bias=rng.normal(size=(32,)).astype(np.float32))
+    qd = QuantDense.from_params(params)
+    x = jnp.asarray(rng.normal(size=(4, 8, 64)).astype(np.float32))
+    y = np.asarray(qd(x))
+    ref = np.asarray(x) @ params['kernel'] + params['bias']
+    assert y.shape == (4, 8, 32)
+    rel_err = np.abs(y - ref).mean() / np.abs(ref).mean()
+    assert rel_err < 0.08

@@ -111,3 +111,45 @@ def test_gradient_accumulation_matches_big_batch(tmp_path):
     trainer = SPMDTrainer(_args(cfg_path, tmp_path / 'run_ft2'))
     result = trainer.run()
     assert result['launcher'].global_step == 2
+
+
+@pytest.mark.slow
+def test_orbax_checkpoint_backend(tmp_path):
+    """Same train/resume flow through the orbax directory backend."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.data.distributed import StepDistributedSampler
+
+    ds = SyntheticSegDataset(dict(num_samples=16, image_size=32))
+    dl = DataLoader(ds, sampler=StepDistributedSampler(ds), batch_size=8)
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=7)})
+    schedule = builder.make_learningrate(
+        {'type': 'constant', 'params': dict(base_lr=0.01)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tx = factory.build(schedule)
+
+    def make_launcher():
+        return Launcher(str(tmp_path / 'run'), model, tx, schedule,
+                        checkpoint_backend='orbax')
+
+    tl = make_launcher()
+    tl.train_by_config(dl, dict(num_iters=2, resume_from_last=True))
+    assert tl.global_step == 2
+    assert os.path.isdir(tmp_path / 'run' / 'checkpoint-2')
+
+    tl2 = make_launcher()
+    tl2.train_by_config(dl, dict(num_iters=3, resume_from_last=True))
+    assert tl2.global_step == 3
+    assert int(tl2.state.step) == 3  # resumed at 2, trained 1 more
