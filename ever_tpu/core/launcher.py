@@ -238,6 +238,24 @@ class Launcher:
             sharding = batch_sharding(self._mesh, accum_leading=forward_times > 1)
 
         pending = None   # (step_idx, metrics, data_time, t_start) of the async step
+        try:
+            self._train_loop(iterator, num_iters, forward_times, distributed,
+                             log_interval_step, sharding, pending)
+        except (KeyboardInterrupt, Exception):
+            # crash-save: make the interrupted step resumable (additive over
+            # the reference's resume-from-last-periodic-save posture)
+            if self._state is not None and self._ckpt.global_step > 0:
+                try:
+                    self._ckpt.save()
+                    self.info(f'crash-saved checkpoint at step {self._ckpt.global_step}')
+                except Exception:
+                    pass
+            raise
+        self.run_callbacks('after_train')
+        self._logger.after_train()
+
+    def _train_loop(self, iterator, num_iters, forward_times, distributed,
+                    log_interval_step, sharding, pending):
         while self._ckpt.global_step < num_iters:
             t0 = time.time()
             if distributed:
@@ -271,8 +289,6 @@ class Launcher:
 
         if pending is not None:
             self._log_step(pending, num_iters)
-        self.run_callbacks('after_train')
-        self._logger.after_train()
 
     def _maybe_load_init_weights(self) -> None:
         """Apply config.GLOBAL.weight.path if the model carries one

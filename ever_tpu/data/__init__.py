@@ -1,4 +1,4 @@
-from ever_tpu.data import cross_validation, distributed
+from ever_tpu.data import cross_validation, distributed, geotile
 from ever_tpu.data.cross_validation import CrossValSamplerGenerator, make_CVSamplers
 from ever_tpu.data.distributed import (
     DistributedInfiniteSampler,
@@ -11,3 +11,4 @@ from ever_tpu.data.distributed import (
     as_ddp_inference_loader,
 )
 from ever_tpu.data.loader import DataLoader, default_collate
+from ever_tpu.data.geotile import GeoTileDataset, read_raster

@@ -1,0 +1,149 @@
+"""Geo-tile patch sampling over large scenes.
+
+The BASELINE north star names "geotile patch sampling" as the data-layer
+core: datasets are folders of large rasters (scenes), and training samples
+are fixed-size patches cut on a sliding-window grid (the same inward-shifted
+box math as inference, ``ever_tpu/magic/sliding_window.py`` — every patch is
+full-size, so the batch shape is static).
+
+``GeoTileDataset`` indexes (scene, x, y) patches once at construction, keeps
+an LRU of decoded scenes, and yields ``(image HWC float32, mask HW int32)``
+numpy pairs ready for the host loader; pixel/geometric augmentation composes
+via ``transforms`` (``ever_tpu.preprocess``) or runs fused on device.
+Sources: PNG/JPG/TIF via PIL, ``.npy`` via numpy memory-mapping.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections import OrderedDict
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ever_tpu.core import registry
+from ever_tpu.interface.dataloader import ERDataset
+from ever_tpu.magic.sliding_window import sliding_window
+
+__all__ = ['GeoTileDataset', 'read_raster']
+
+
+def read_raster(path: str) -> np.ndarray:
+    """Decode a scene to numpy (HWC for images, HW for single-band masks)."""
+    if path.endswith('.npy'):
+        return np.load(path, mmap_mode='r')
+    try:
+        import tifffile
+        if path.endswith(('.tif', '.tiff')):
+            return tifffile.imread(path)
+    except ImportError:
+        pass
+    from PIL import Image
+    Image.MAX_IMAGE_PIXELS = None   # remote-sensing scenes exceed the default
+    return np.asarray(Image.open(path))
+
+
+class _SceneCache:
+    def __init__(self, max_items: int = 4):
+        self.max_items = max_items
+        self._cache: 'OrderedDict[str, np.ndarray]' = OrderedDict()
+
+    def get(self, path: str) -> np.ndarray:
+        if path in self._cache:
+            self._cache.move_to_end(path)
+            return self._cache[path]
+        arr = read_raster(path)
+        self._cache[path] = arr
+        if len(self._cache) > self.max_items:
+            self._cache.popitem(last=False)
+        return arr
+
+
+@registry.DATASET.register('geotile')
+class GeoTileDataset(ERDataset):
+    """Patch-grid dataset over paired (image, mask) scene files.
+
+    Config::
+
+        dict(image_glob='…/images/*.png', mask_glob='…/masks/*.png',
+             patch_size=512, stride=512, scene_pairs=None,  # or explicit list
+             transforms=None,           # list of (img, mask)->(img, mask)
+             cache_scenes=4, mask_dtype='int32')
+
+    Scenes are paired by sorted glob order (or pass ``scene_pairs``
+    explicitly).  ``len`` = total patches across scenes.
+    """
+
+    def set_default_config(self):
+        self._config.update(dict(
+            image_glob='',
+            mask_glob='',
+            scene_pairs=None,
+            patch_size=512,
+            stride=512,
+            transforms=None,
+            cache_scenes=4,
+        ))
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        cfg = self.config
+        if cfg.scene_pairs:
+            pairs = [tuple(p) for p in cfg.scene_pairs]
+        else:
+            images = sorted(_glob.glob(cfg.image_glob)) if cfg.image_glob else []
+            masks = sorted(_glob.glob(cfg.mask_glob)) if cfg.mask_glob else []
+            if cfg.mask_glob and len(images) != len(masks):
+                raise ValueError(
+                    f'image/mask scene count mismatch: {len(images)} images vs '
+                    f'{len(masks)} masks (mask_glob={cfg.mask_glob!r})')
+            pairs = list(zip(images, masks)) if masks else [(i, None) for i in images]
+        self.scene_pairs: List[Tuple[str, Optional[str]]] = pairs
+        self._cache = _SceneCache(cfg.cache_scenes)
+
+        # build the global patch index: (scene_idx, x0, y0)
+        self._index: List[Tuple[int, int, int]] = []
+        k, s = int(cfg.patch_size), int(cfg.stride)
+        for si, (img_path, _) in enumerate(self.scene_pairs):
+            h, w = self._scene_size(img_path)
+            boxes = sliding_window((h, w), k, s)
+            seen = set()
+            for x0, y0, _, _ in boxes:
+                key = (int(x0), int(y0))
+                if key not in seen:      # edge shifts can duplicate boxes
+                    seen.add(key)
+                    self._index.append((si, int(x0), int(y0)))
+
+    @staticmethod
+    def _scene_size(path: str) -> Tuple[int, int]:
+        if path.endswith('.npy'):
+            arr = np.load(path, mmap_mode='r')
+            return arr.shape[0], arr.shape[1]
+        from PIL import Image
+        Image.MAX_IMAGE_PIXELS = None
+        with Image.open(path) as im:
+            return im.height, im.width
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int):
+        si, x0, y0 = self._index[int(idx)]
+        img_path, mask_path = self.scene_pairs[si]
+        k = int(self.config.patch_size)
+        image = np.asarray(self._cache.get(img_path)[y0:y0 + k, x0:x0 + k],
+                           dtype=np.float32)
+        if image.ndim == 2:
+            image = image[..., None]
+        mask = None
+        if mask_path is not None:
+            mask = np.asarray(self._cache.get(mask_path)[y0:y0 + k, x0:x0 + k],
+                              dtype=np.int32)
+        transforms = self.config.get('transforms', None)
+        if transforms:
+            for t in transforms:
+                image, mask = t(image, mask)
+        if mask is None:
+            return image
+        return image, mask

@@ -84,6 +84,7 @@ class OptimizerFactory:
               learning_rate,
               grad_clip: Optional[dict] = DEFAULT_GRAD_CLIP,
               param_groups: Optional[Tuple[Any, Dict[str, float]]] = None,
+              frozen_prefixes: Optional[Tuple[str, ...]] = None,
               ) -> optax.GradientTransformation:
         """Build the full update chain.
 
@@ -94,6 +95,8 @@ class OptimizerFactory:
         - ``param_groups``: optional ``(labels_pytree, {label: lr_mult})`` for
           per-group LR multipliers (parity: ``custom_param_groups``,
           ``ever/interface/module.py:73-74`` / ``trainer/trainer.py:84-119``).
+        - ``frozen_prefixes``: param-path prefixes excluded from optimization
+          (parity: ``freeze_at``/``frozen_stages``, ``resnet.py:162-173``).
         """
         parts = []
         if grad_clip:
@@ -109,6 +112,20 @@ class OptimizerFactory:
             parts.append(optax.multi_transform(scaled, labels))
         else:
             parts.append(core)
+        if frozen_prefixes:
+            from ever_tpu.util.param_util import freeze_mask
+            import jax as _jax
+
+            def label_fn(params):
+                mask = freeze_mask(params, frozen_prefixes)
+                return _jax.tree.map(lambda trainable: 'train' if trainable
+                                     else 'frozen', mask)
+
+            # frozen subtrees get hard-zero updates (optax.masked would pass
+            # the raw gradient through for masked-out leaves)
+            return optax.multi_transform(
+                {'train': optax.chain(*parts), 'frozen': optax.set_to_zero()},
+                label_fn)
         return optax.chain(*parts)
 
     def _make_core(self, learning_rate) -> optax.GradientTransformation:

@@ -103,7 +103,23 @@ class Trainer:
             pg = model.custom_param_groups(None)
             if pg is not None:
                 param_groups = pg
-        tx = factory.build(schedule, grad_clip=grad_clip, param_groups=param_groups)
+        frozen = None
+        # freeze_at / frozen_stages: collect prefixes from the model and its
+        # direct encoder submodule (parity: ``resnet.py:162-173``)
+        for owner, prefix in ((model, ''),):
+            fn = getattr(owner, 'frozen_param_prefixes', None)
+            if callable(fn):
+                got = tuple(fn())
+                if got:
+                    frozen = got
+        if frozen is None and hasattr(model, 'config'):
+            enc_cfg = model.config.get('encoder', None)
+            if enc_cfg and int(enc_cfg.get('freeze_at', 0) or 0) >= 1:
+                from ever_tpu.module.resnet import ResNetEncoder
+                probe = ResNetEncoder(dict(enc_cfg))
+                frozen = tuple('encoder/' + p for p in probe.frozen_param_prefixes())
+        tx = factory.build(schedule, grad_clip=grad_clip,
+                           param_groups=param_groups, frozen_prefixes=frozen)
         return schedule, tx
 
     # -- launcher wiring ------------------------------------------------------

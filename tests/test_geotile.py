@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from ever_tpu.data.geotile import GeoTileDataset
+
+
+def _make_scene(tmp_path, name, h, w):
+    from PIL import Image
+    rng = np.random.default_rng(hash(name) % 2**31)
+    img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    mask = rng.integers(0, 7, size=(h, w)).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / f'{name}_img.png')
+    Image.fromarray(mask).save(tmp_path / f'{name}_mask.png')
+
+
+def test_geotile_grid_and_patches(tmp_path):
+    _make_scene(tmp_path, 'a', 100, 130)
+    _make_scene(tmp_path, 'b', 64, 64)
+    ds = GeoTileDataset(dict(
+        image_glob=str(tmp_path / '*_img.png'),
+        mask_glob=str(tmp_path / '*_mask.png'),
+        patch_size=64, stride=48))
+    # scene a: rows at y=0,36(shifted); cols x=0,48,66 → 2x3=6; scene b: 1
+    assert len(ds) == 7
+    img, mask = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.float32
+    assert mask.shape == (64, 64) and mask.dtype == np.int32
+    # every patch full-size (inward shift at edges)
+    for i in range(len(ds)):
+        im, m = ds[i]
+        assert im.shape == (64, 64, 3)
+
+
+def test_geotile_with_transforms_and_loader(tmp_path):
+    from ever_tpu import preprocess as pp
+    from ever_tpu.data.loader import DataLoader
+    _make_scene(tmp_path, 'c', 96, 96)
+    ds = GeoTileDataset(dict(
+        image_glob=str(tmp_path / 'c_img.png'),
+        mask_glob=str(tmp_path / 'c_mask.png'),
+        patch_size=64, stride=32,
+        transforms=[pp.MeanStdNormalize()]))
+    dl = DataLoader(ds, batch_size=4)
+    batch = next(iter(dl))
+    assert batch[0].shape == (4, 64, 64, 3)
+    assert abs(float(batch[0].mean())) < 3.0  # normalized scale
+
+
+def test_geotile_npy_and_imageless(tmp_path):
+    np.save(tmp_path / 'scene.npy', np.zeros((80, 80, 4), np.float32))
+    ds = GeoTileDataset(dict(image_glob=str(tmp_path / 'scene.npy'),
+                             patch_size=64, stride=64))
+    img = ds[0]
+    assert img.shape == (64, 64, 4)
+
+
+def test_geotile_mismatch_raises(tmp_path):
+    _make_scene(tmp_path, 'd', 64, 64)
+    with pytest.raises(ValueError):
+        GeoTileDataset(dict(image_glob=str(tmp_path / '*_img.png'),
+                            mask_glob=str(tmp_path / 'nope*.png') if False else
+                            str(tmp_path / '*unmatched*.png')))

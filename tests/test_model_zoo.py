@@ -236,3 +236,38 @@ def test_resnest_encoder():
     _, feats = _init_apply(m, x, train=True)
     assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
     assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
+
+
+def test_s2d_stem_exact_fold():
+    """S2DStemConv == 7x7/2 conv with torch-style (3,3) padding, exactly."""
+    import jax
+    from ever_tpu.module.resnet import S2DStemConv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = S2DStemConv(features=16).apply({'params': {'kernel': w}}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_s2d_stem_variant_same_params():
+    """stem='s2d' keeps the conv1/kernel param path and output shapes."""
+    import jax
+    from ever_tpu.module.resnet import ResNet
+    x = jnp.ones((1, 64, 64, 3))
+    a = ResNet(resnet_type='resnet18', stem='conv')
+    b = ResNet(resnet_type='resnet18', stem='s2d')
+    va = a.init({'params': jax.random.key(0)}, x)
+    vb = b.init({'params': jax.random.key(0)}, x)
+    assert va['params']['conv1']['kernel'].shape == \
+        vb['params']['conv1']['kernel'].shape == (7, 7, 3, 64)
+    fa = a.apply(va, x)
+    fb = b.apply(vb, x)
+    assert [f.shape for f in fa] == [f.shape for f in fb]
+    # identical params → identical outputs (exact fold)
+    fb_same = b.apply(va, x)
+    np.testing.assert_allclose(np.asarray(fa[-1]), np.asarray(fb_same[-1]),
+                               rtol=1e-4, atol=1e-4)

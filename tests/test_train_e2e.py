@@ -153,3 +153,52 @@ def test_orbax_checkpoint_backend(tmp_path):
     tl2.train_by_config(dl, dict(num_iters=3, resume_from_last=True))
     assert tl2.global_step == 3
     assert int(tl2.state.step) == 3  # resumed at 2, trained 1 more
+
+
+def test_freeze_at_masks_encoder_updates(tmp_path):
+    """encoder.freeze_at=2 → stem + layer1 params must not move."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import build_train_step, create_train_state
+    from ever_tpu.util.weight_io import flatten_tree
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18', freeze_at=2),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=7)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    prefixes = tuple('encoder/' + p
+                     for p in model.encoder.frozen_param_prefixes()) \
+        if hasattr(model, 'encoder') else ()
+    # model.encoder only exists post-setup; rebuild prefixes directly
+    from ever_tpu.module.resnet import ResNetEncoder
+    probe = ResNetEncoder(dict(resnet_type='resnet18', freeze_at=2))
+    prefixes = tuple('encoder/' + p for p in probe.frozen_param_prefixes())
+    tx = factory.build(0.1, frozen_prefixes=prefixes)
+
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    y = np.zeros((2, 32, 32), np.int32)
+    state = create_train_state(model, tx, (x, y))
+    step = build_train_step(model, tx, None, donate=False)
+    new_state, _ = step(state, (x, y))
+
+    before = flatten_tree(jax.device_get(state.params))
+    after = flatten_tree(jax.device_get(new_state.params))
+    frozen_moved, trainable_moved = [], 0
+    for k in before:
+        moved = not np.allclose(before[k], after[k])
+        if k.startswith(('encoder/resnet/conv1', 'encoder/resnet/bn1',
+                         'encoder/resnet/layer1')):
+            if moved:
+                frozen_moved.append(k)
+        elif moved:
+            trainable_moved += 1
+    assert not frozen_moved, f'frozen params moved: {frozen_moved[:3]}'
+    assert trainable_moved > 10
