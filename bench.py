@@ -99,6 +99,26 @@ def main():
     peak = _peak_for(devices[0]) * n_chips
     mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
 
+    # secondary: whole-scene sliding-window inference (north star:
+    # >= 5000 512² tiles/sec on v5e-8 = 625/chip)
+    infer_tiles_per_sec_chip = 0.0
+    if on_tpu and n_chips == 1:
+        from ever_tpu.magic.tiled import tiled_inference
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+        def predict(tiles):
+            return model.apply(variables, tiles, train=False)
+
+        scene = jnp.asarray(rng.normal(size=(4096, 4096, 3)).astype(np.float32))
+        n_tiles = 64
+        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=16)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=16)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        infer_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3)
+
     print(json.dumps({
         'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
         'value': round(tiles_per_sec_chip, 2),
@@ -107,6 +127,8 @@ def main():
         'mfu': round(mfu, 4),
         'step_time_ms': round(dt * 1000, 2),
         'step_flops_g': round(step_flops / 1e9, 1),
+        'infer_tiles_per_sec_per_chip': round(infer_tiles_per_sec_chip, 1),
+        'infer_vs_baseline': round(infer_tiles_per_sec_chip / 625.0, 4),
         'n_chips': n_chips,
         'global_batch': batch,
         'device': devices[0].device_kind,

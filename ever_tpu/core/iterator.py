@@ -81,7 +81,33 @@ class Iterator:
             sampler.set_epoch(seed)
 
 
-ITERATOR_TYPE = dict(normal=Iterator)
+class PrefetchedIterator(Iterator):
+    """Iterator whose batches are already in device memory.
+
+    Parity: the reference's ``iterator_type='prefetched'`` extension point
+    (``docs/DEFAULT_SETTING.md``, ``iterator.py:101-103``).  Wraps the host
+    loader with :func:`ever_tpu.core.prefetch.prefetch_to_device` so H2D
+    transfer runs a batch ahead of the hot loop.
+    """
+
+    def __init__(self, data_loader, prefetch_size: int = 2, sharding=None):
+        super().__init__(data_loader)
+        self._prefetch_size = prefetch_size
+        self._sharding = sharding
+        self.reset()
+
+    def reset(self) -> None:
+        from ever_tpu.core.prefetch import prefetch_to_device
+        if not hasattr(self, '_prefetch_size'):
+            # parent __init__ calls reset before our fields exist
+            self._iterator = iter(self._data_loader)
+            return
+        self._iterator = prefetch_to_device(iter(self._data_loader),
+                                            size=self._prefetch_size,
+                                            sharding=self._sharding)
+
+
+ITERATOR_TYPE = dict(normal=Iterator, prefetched=PrefetchedIterator)
 
 
 def get_iterator(type_name: str):

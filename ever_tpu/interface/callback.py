@@ -100,6 +100,40 @@ class SaveCheckpointCallback(Callback):
         return 'SaveCheckpoint'
 
 
+class BestCheckpointCallback(Callback):
+    """Track an eval metric and keep ``model-best.ckpt`` updated.
+
+    The reference *consumes* ``model-best.pth`` at inference time
+    (``ever/api/infer_tool.py:49-57``) but leaves producing it to user code;
+    this callback closes the loop.  ``metric_fn(launcher) -> float`` extracts
+    the score after each evaluation (higher is better by default).
+    """
+
+    def __init__(self, dataloader, epoch_interval: int, metric_fn,
+                 mode: str = 'max', only_master: bool = True,
+                 after_train: bool = True, config=None):
+        super().__init__(epoch_interval=epoch_interval, only_master=only_master,
+                         before_train=False, after_train=after_train)
+        self._dataloader = dataloader
+        self._metric_fn = metric_fn
+        self._mode = mode
+        self._best: Optional[float] = None
+        self._config = config
+
+    def func(self):
+        self.launcher.evaluate(self._dataloader, config=self._config)
+        score = float(self._metric_fn(self.launcher))
+        better = (self._best is None
+                  or (score > self._best if self._mode == 'max' else score < self._best))
+        if better:
+            self._best = score
+            self.launcher.checkpoint.save('model-best.ckpt')
+            self.info(f'new best score {score:.5f} → model-best.ckpt')
+
+    def name(self) -> str:
+        return 'BestCheckpoint'
+
+
 class EvaluationCallback(Callback):
     """Run ``launcher.evaluate`` every N epochs (parity: ``callback.py:93-113``)."""
 
@@ -117,4 +151,5 @@ class EvaluationCallback(Callback):
         return 'Evaluation'
 
 
-__all__ = ['Callback', 'SaveCheckpointCallback', 'EvaluationCallback']
+__all__ = ['Callback', 'SaveCheckpointCallback', 'EvaluationCallback',
+           'BestCheckpointCallback']

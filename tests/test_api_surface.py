@@ -1,0 +1,105 @@
+"""Public API surface + inference tooling tests."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ever_tpu as er
+
+
+def test_top_level_exports():
+    # parity with reference ever/__init__.py:23-30
+    for name in ('registry', 'builder', 'config', 'to', 'param_util', 'data',
+                 'metric', 'preprocess', 'infer_tool', 'ERDataLoader',
+                 'LearningRateBase', 'ERModule', 'Transform', 'MultiTransform',
+                 'Callback', 'seed_torch', 'sliding_window', 'auto_device'):
+        assert hasattr(er, name), f'missing export: {name}'
+
+
+def test_registry_population():
+    assert {'FarSeg', 'FactSeg', 'ChangeStar', 'ChangeMask', 'ChangeOS',
+            'ResNetEncoder', 'HRNetEncoder', 'DenseNetEncoder', 'EFNetEncoder',
+            'ResNeStEncoder', 'ConvNeXtEncoder', 'ViTEncoder', 'FarSegHead',
+            'ASPPHead', 'PPMHead', 'Deeplabv3pHead',
+            'HRNetHead'} <= set(er.registry.MODEL)
+    assert {'multistep', 'poly', 'cosine', 'constant', 'search'} <= set(er.registry.LR)
+    assert {'sgd', 'adam', 'adamw', 'lamb', 'fused_adam'} <= set(er.registry.OPT)
+    assert {'softmax_ce', 'dice', 'tversky', 'ohem', 'focal'} <= set(er.registry.LOSS)
+    assert 'geotile' in er.registry.DATASET
+
+
+def test_project_scaffold(tmp_path):
+    out = subprocess.run(
+        [sys.executable, '-m', 'ever_tpu', 'create', str(tmp_path / 'proj')],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    for f in ('train.py', 'infer.py', 'configs', 'module', 'data'):
+        assert (tmp_path / 'proj' / f).exists()
+
+
+def test_export_model_roundtrip(tmp_path):
+    """jax.export serialisation of a trained model (torch.jit.trace analog)."""
+    from ever_tpu.core.config import save_pkl
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.core import builder
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=16),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(16,) * 4,
+                                   out_channels=16, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=16, out_channels=16,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=3)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path), model, factory.build(0.01), None)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    y = np.zeros((1, 32, 32), np.int32)
+    tl.init_state((x, y))
+    tl.checkpoint.set_global_step(1)
+    tl.checkpoint.save()
+
+    cfg_path = tmp_path / 'config.py'
+    cfg_path.write_text(
+        'config = dict(model=dict(type="FarSeg", params='
+        + repr(model.config.to_dict()) + '))\n')
+    out_path = tmp_path / 'model.jaxexport'
+    er.infer_tool.export_model(str(cfg_path), str(tmp_path / 'checkpoint-1.ckpt'),
+                               (1, 32, 32, 3), str(out_path))
+    assert out_path.exists() and out_path.stat().st_size > 0
+
+    # deserialise and run
+    from jax import export as jax_export
+    with open(out_path, 'rb') as f:
+        exported = jax_export.deserialize(f.read())
+    probs = exported.call(jnp.zeros((1, 32, 32, 3)))
+    assert probs.shape == (1, 32, 32, 3)
+
+
+def test_as_ddp_inference_loader_rewraps():
+    from ever_tpu.data import as_ddp_inference_loader
+    from ever_tpu.data.distributed import DistributedNonOverlapSeqSampler, \
+        StepDistributedSampler
+    from ever_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.zeros(2, np.float32)
+
+    ds = DS()
+    dl = DataLoader(ds, sampler=StepDistributedSampler(ds), batch_size=4)
+    wrapped = as_ddp_inference_loader(dl)
+    assert isinstance(wrapped.sampler, DistributedNonOverlapSeqSampler)
+    assert wrapped.batch_size == 4
+    # idempotent
+    assert as_ddp_inference_loader(wrapped) is wrapped

@@ -202,3 +202,62 @@ def test_freeze_at_masks_encoder_updates(tmp_path):
             trainable_moved += 1
     assert not frozen_moved, f'frozen params moved: {frozen_moved[:3]}'
     assert trainable_moved > 10
+
+
+def test_prefetched_iterator_type(tmp_path):
+    from ever_tpu.core.iterator import get_iterator
+    from ever_tpu.data.loader import DataLoader
+
+    ds = SyntheticSegDataset(dict(num_samples=8, image_size=16))
+    dl = DataLoader(ds, batch_size=4)
+    it = get_iterator('prefetched')(dl)
+    batches = it.next(2)
+    assert len(batches) == 2
+    import jax
+    assert isinstance(batches[0][0], jax.Array)  # already on device
+    # auto-reset across epoch boundary
+    for _ in range(4):
+        it.next(1)
+
+
+def test_best_checkpoint_callback(tmp_path):
+    import jax
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.interface.callback import BestCheckpointCallback
+
+    ds = SyntheticSegDataset(dict(num_samples=8, image_size=32))
+    dl = DataLoader(ds, batch_size=8)
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=7)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), model, factory.build(0.01), None)
+
+    scores = iter([0.5, 0.7, 0.6])
+    tl.override_evaluate(lambda self, loader, config=None: None)
+    cb = BestCheckpointCallback(dl, epoch_interval=1,
+                                metric_fn=lambda launcher: next(scores))
+    tl.register_callback(cb)
+    tl.init_state(next(iter(dl)))
+    for _ in range(3):
+        cb.func()
+    assert os.path.exists(tmp_path / 'run' / 'model-best.ckpt')
+    assert cb._best == 0.7  # 0.6 did not overwrite
+
+    # infer_tool prefers model-best
+    import ever_tpu as er
+    from ever_tpu.core.config import save_pkl
+    save_pkl(er.AttrDict(dict(model=dict(
+        type='FarSeg', params=model.config.to_dict()))),
+        str(tmp_path / 'run' / 'config.pkl'))
+    _, variables, tag = er.infer_tool.build_from_model_dir(str(tmp_path / 'run'))
+    assert tag == 'best'
