@@ -18,6 +18,7 @@ from ever_tpu.module.convnext import ConvNeXt, ConvNeXtEncoder
 from ever_tpu.module.efficientnet import EfficientNet, EFNetEncoder
 from ever_tpu.module.resnest import ResNeSt, ResNeStEncoder, SplAtConv2d
 from ever_tpu.module.vit import DinoVisionTransformer, RMSNorm, ViTEncoder
+from ever_tpu.module.freenet import FreeNet, SpectralAttention
 from ever_tpu.module.fpn import FPN, AssymetricDecoder, BiFPN, Fusion, LastLevelMaxPool, LastLevelP6P7
 from ever_tpu.module.fs_relation import FarSeg, FarSegHead, FSRelation, FSRelationV2
 from ever_tpu.module.ops import (

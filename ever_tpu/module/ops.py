@@ -148,8 +148,11 @@ class Norm(nn.Module):
                 use_running_average=(not train) or self.frozen,
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         if self.kind == 'gn':
-            return nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
-                                epsilon=1e-5, dtype=self.dtype)(x)
+            c = x.shape[-1]
+            g = min(self.groups, c)
+            while c % g != 0:       # GroupNorm needs groups | channels
+                g -= 1
+            return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype)(x)
         if self.kind == 'ln':
             return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         raise ValueError(f'unknown norm kind: {self.kind!r}')

@@ -1,4 +1,4 @@
-from ever_tpu.parallel import mesh, spmd
+from ever_tpu.parallel import mesh, spatial, spmd, tp
 from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh, replicated
 from ever_tpu.parallel.spmd import (
     TrainState,
@@ -6,3 +6,5 @@ from ever_tpu.parallel.spmd import (
     build_train_step,
     create_train_state,
 )
+from ever_tpu.parallel.spatial import halo_exchange, spatial_partition_apply
+from ever_tpu.parallel.tp import apply_tp, vit_tp_shardings

@@ -271,3 +271,19 @@ def test_resnet_s2d_stem_variant_same_params():
     fb_same = b.apply(va, x)
     np.testing.assert_allclose(np.asarray(fa[-1]), np.asarray(fb_same[-1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_freenet_hyperspectral():
+    m = builder.make_model({'type': 'FreeNet', 'params': dict(
+        stage_channels=(16, 24, 32, 48), classes=16)})
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 200)).astype(np.float32))
+    y = np.full((1, 64, 64), 255, np.int32)   # sparse GT: few labeled pixels
+    y[0, 10:20, 10:20] = 3
+    y = jnp.asarray(y)
+    v = m.init({'params': jax.random.key(0)}, x, y, train=True)
+    losses = m.apply(v, x, y, train=True)
+    assert 'cls_loss' in losses and np.isfinite(float(losses['cls_loss']))
+    probs = m.apply(v, x)
+    assert probs.shape == (1, 64, 64, 16)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
