@@ -214,6 +214,10 @@ class Launcher:
         save_ckpt_interval_epoch = kwargs.get('save_ckpt_interval_epoch', 1)
         dist_eval = kwargs.get('distributed_evaluate', False)
         distributed = kwargs.get('distributed', True)
+        profile_dir = kwargs.get('profile_dir', None)
+        profile_steps = kwargs.get('profile_steps', (10, 20))
+        self._summary_weights = kwargs.get('summary_weights', False)
+        self._tensorboard_interval = kwargs.get('tensorboard_interval_step', 100)
 
         iterator = get_iterator(iterator_type)(train_data_loader)
 
@@ -240,7 +244,8 @@ class Launcher:
         pending = None   # (step_idx, metrics, data_time, t_start) of the async step
         try:
             self._train_loop(iterator, num_iters, forward_times, distributed,
-                             log_interval_step, sharding, pending)
+                             log_interval_step, sharding, pending,
+                             profile_dir, profile_steps)
         except (KeyboardInterrupt, Exception):
             # crash-save: make the interrupted step resumable (additive over
             # the reference's resume-from-last-periodic-save posture)
@@ -255,18 +260,31 @@ class Launcher:
         self._logger.after_train()
 
     def _train_loop(self, iterator, num_iters, forward_times, distributed,
-                    log_interval_step, sharding, pending):
+                    log_interval_step, sharding, pending,
+                    profile_dir=None, profile_steps=(10, 20)):
+        profiling = False
         while self._ckpt.global_step < num_iters:
+            # optional XLA trace capture over [profile_steps) — the analog of
+            # the reference's record_function NVTX regions (launcher.py:305,316)
+            if profile_dir and not profiling and \
+                    self._ckpt.global_step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and self._ckpt.global_step >= profile_steps[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.info(f'profile trace written to {profile_dir}')
             t0 = time.time()
             if distributed:
                 iterator.set_seed_for_dist_sampler(self._ckpt.global_step)
-            data_list = iterator.next(forward_times, call_backs=self._callbacks,
-                                      is_master=self._master)
-            batch = self._stack_microbatches(data_list, forward_times)
-            # async H2D: dispatch is non-blocking, so while the device runs
-            # step N the host loop is already fetching + transferring N+1
-            batch = (host_to_global(batch, sharding) if sharding is not None
-                     else jax.device_put(batch))
+            with jax.profiler.TraceAnnotation('load_data'):
+                data_list = iterator.next(forward_times, call_backs=self._callbacks,
+                                          is_master=self._master)
+                batch = self._stack_microbatches(data_list, forward_times)
+                # async H2D: dispatch is non-blocking, so while the device
+                # runs step N the host loop is already transferring N+1
+                batch = (host_to_global(batch, sharding) if sharding is not None
+                         else jax.device_put(batch))
             data_time = time.time() - t0
 
             if self._state is None:
@@ -276,7 +294,9 @@ class Launcher:
                 self._maybe_load_init_weights()
             self._ensure_train_step(forward_times)
 
-            self._state, metrics = self._train_step(self._state, batch)
+            with jax.profiler.StepTraceAnnotation(
+                    'train', step_num=self._ckpt.global_step):
+                self._state, metrics = self._train_step(self._state, batch)
             self._ckpt.step()
             step = self._ckpt.global_step
 
@@ -285,8 +305,14 @@ class Launcher:
             # with the CUDA stream overlap the reference relies on)
             if pending is not None and (pending[0] % log_interval_step == 0):
                 self._log_step(pending, num_iters)
+            if getattr(self, '_summary_weights', False) and \
+                    step % self._tensorboard_interval == 0:
+                self._logger.log_histograms(self._state.params, step)
             pending = (step, metrics, data_time, time.time() - t0)
 
+        if profiling:
+            jax.profiler.stop_trace()
+            self.info(f'profile trace written to {profile_dir}')
         if pending is not None:
             self._log_step(pending, num_iters)
 

@@ -170,6 +170,19 @@ class Logger:
         for hook in self._hooks:
             hook.after_train()
 
+    def log_histograms(self, tree, step: int, prefix: str = 'weights') -> None:
+        """Param histogram summaries (parity: ``logger.py:183-195``,
+        ``summary_weights``).  TensorBoard sink only; no-op without it."""
+        if not (self.on() and self._tb):
+            return
+        import jax
+        import numpy as np
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf in flat:
+            name = '/'.join(str(getattr(k, 'key', k)) for k in path)
+            self._tb.add_histogram(f'{prefix}/{name}',
+                                   np.asarray(jax.device_get(leaf)), step)
+
     # -- evaluation ----------------------------------------------------------
     def eval_log(self, metrics: Dict[str, float], step: int = 0) -> None:
         """Eval scalar logging (parity: ``logger.py:264-279``)."""

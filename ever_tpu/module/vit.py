@@ -426,6 +426,26 @@ class DinoVisionTransformer(nn.Module):
         return self.forward_features(x, train)
 
 
+def cat_keep_shapes(x_list):
+    """Flatten a list of [B, N_i, D] token tensors into one [ΣBN_i, D] with
+    restore info (parity: ``dinov3/utils/utils.py:19-76``; lets one Dense
+    call serve variable-resolution multi-crop lists)."""
+    shapes = [x.shape for x in x_list]
+    num_tokens = [int(jnp.prod(jnp.asarray(s[:-1]))) for s in shapes]
+    flat = jnp.concatenate([x.reshape(-1, x.shape[-1]) for x in x_list], axis=0)
+    return flat, shapes, num_tokens
+
+
+def uncat_with_shapes(flat, shapes, num_tokens):
+    """Inverse of :func:`cat_keep_shapes`."""
+    outs = []
+    offset = 0
+    for s, n in zip(shapes, num_tokens):
+        outs.append(flat[offset:offset + n].reshape(*s[:-1], flat.shape[-1]))
+        offset += n
+    return outs
+
+
 class DINOHead(nn.Module):
     """DINO projection head: MLP → L2-normalised bottleneck → prototypes
     (parity: ``dinov3/layers/dino_head.py:11-66``)."""

@@ -39,9 +39,13 @@ def _quant_kernel(seed_ref, x_ref, values_ref, scale_ref):
     scale = jnp.maximum(abs_max / 127.0, 1e-8)
     scale_ref[0, 0] = scale
     scaled = x_ref[:] / scale
-    random_bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    values_ref[:] = pltpu.stochastic_round(scaled, random_bits,
-                                           target_dtype=jnp.int8)
+    # stochastic round to int: floor(x + u), u ~ U[0, 1) from the hardware
+    # PRNG (pltpu.stochastic_round only targets bf16/fp8 dtypes)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    # Mosaic can't cast uint32→f32 directly; the >>8 result fits in 24 bits
+    # so the int32 view is non-negative
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    values_ref[:] = jnp.clip(jnp.floor(scaled + u), -128, 127).astype(jnp.int8)
 
 
 def quantize_int8(x: jnp.ndarray, seed: int = 0,

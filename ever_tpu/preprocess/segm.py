@@ -45,13 +45,18 @@ class CustomOp:
 
 
 class ToArray:
-    """float32 image / int32 mask (parity: joint ``ToTensor``,
-    ``segm.py:16-34``; 255-keep is the default since masks are int)."""
+    """float32 image / int32 mask(s) (parity: joint ``ToTensor``,
+    ``segm.py:16-34`` and the multi-mask variant ``albu.py:22-28``; 255-keep
+    is the default since masks stay integer).  ``mask`` may be a single HW
+    array or a list of them (multi-task labels)."""
 
     def __call__(self, image, mask=None):
         image = np.asarray(image, np.float32)
         if mask is not None:
-            mask = np.asarray(mask, np.int32)
+            if isinstance(mask, (list, tuple)):
+                mask = type(mask)(np.asarray(m, np.int32) for m in mask)
+            else:
+                mask = np.asarray(mask, np.int32)
         return image, mask
 
 

@@ -18,7 +18,8 @@ from ever_tpu.core.logger import get_logger
 logger = get_logger('ever_tpu.param_util')
 
 __all__ = ['count_model_parameters', 'trainable_parameters', 'freeze_mask',
-           'count_model_flops', 'param_paths']
+           'count_model_flops', 'param_paths', 'copy_conv_parameters',
+           'copy_bn_parameters']
 
 
 def count_model_parameters(params, _default_logger=logger) -> int:
@@ -64,6 +65,37 @@ def freeze_mask(params, frozen_prefixes: Sequence[str] = (),
     flags = [decide('/'.join(str(getattr(k, 'key', k)) for k in path))
              for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+def copy_conv_parameters(src: dict, dst: dict) -> dict:
+    """Copy conv kernel (+bias) params between matching subtrees
+    (parity: ``ever/util/param_util.py:78-95``).  Returns a new dst dict."""
+    out = dict(dst)
+    for k in ('kernel', 'bias'):
+        if k in src and k in dst:
+            if np.shape(src[k]) != np.shape(dst[k]):
+                raise ValueError(f'{k} shape mismatch: '
+                                 f'{np.shape(src[k])} vs {np.shape(dst[k])}')
+            out[k] = np.array(src[k])
+    return out
+
+
+def copy_bn_parameters(src_params: dict, dst_params: dict,
+                       src_stats: Optional[dict] = None,
+                       dst_stats: Optional[dict] = None):
+    """Copy BatchNorm scale/bias (+ running stats) between matching subtrees
+    (parity: ``ever/util/param_util.py:98-113``)."""
+    new_params = dict(dst_params)
+    for k in ('scale', 'bias'):
+        if k in src_params:
+            new_params[k] = np.array(src_params[k])
+    if src_stats is not None and dst_stats is not None:
+        new_stats = dict(dst_stats)
+        for k in ('mean', 'var'):
+            if k in src_stats:
+                new_stats[k] = np.array(src_stats[k])
+        return new_params, new_stats
+    return new_params
 
 
 def count_model_flops(fn: Callable, *sample_args, _default_logger=logger) -> int:
