@@ -66,7 +66,7 @@ class DenseNet(nn.Module):
         x = _conv(init_feats, 7, 2, name='conv0', dtype=self.dtype)(x)
         x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='norm0')(x, train)
         x = nn.relu(x)
-        x = max_pool(x, 3, 2)
+        x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)))
 
         feats = []
         for bi, n_layers in enumerate(blocks):

@@ -232,7 +232,7 @@ class BiFPN(nn.Module):
                                  dtype=self.dtype,
                                  name=f'down{idx}')(x_bottom, train)
             else:
-                down = max_pool(x_bottom, 3, 2)
+                down = max_pool(x_bottom, 3, 2, padding=((1, 1), (1, 1)))
             fused = _FusedConv3x3(3, self.in_channels, self.normalized_fusion,
                                   dtype=self.dtype,
                                   name=f'tri_fusion{idx}')(

@@ -123,7 +123,7 @@ class ResNeSt(nn.Module):
             x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
                      name=f'stem_bn{i + 1}')(x, train)
             x = nn.relu(x)
-        x = max_pool(x, 3, 2)
+        x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)))
 
         feats = []
         filters = (64, 128, 256, 512)

@@ -313,7 +313,7 @@ class ResNet(nn.Module):
                 x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
             x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(x, train)
             x = nn.relu(x)
-        x = max_pool(x, 3, 2)
+        x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)))
 
         feats = []
         filters = (64, 128, 256, 512)

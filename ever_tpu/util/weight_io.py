@@ -24,7 +24,7 @@ import numpy as np
 logger = logging.getLogger('ever_tpu.weight_io')
 
 __all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
-           'convert_torch_resnet', 'patch_first_conv']
+           'convert_torch_resnet', 'convert_torch_densenet', 'patch_first_conv']
 
 
 def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
@@ -138,6 +138,52 @@ def convert_torch_resnet(state_dict: Dict[str, np.ndarray],
     return flat
 
 
+_TORCH_DENSENET_RE = re.compile(
+    r'^(?:features\.)?denseblock(\d+)\.denselayer(\d+)\.(norm\d|conv\d)\.(.+)$')
+_TORCH_DENSENET_TRANS_RE = re.compile(
+    r'^(?:features\.)?transition(\d+)\.(norm|conv)\.(.+)$')
+
+
+def convert_torch_densenet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torchvision/vendored DenseNet state_dict → flat tree matching
+    ``ever_tpu.module.densenet.DenseNet``."""
+    flat: Dict[str, np.ndarray] = {}
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+
+    def conv_kernel(v):
+        return np.transpose(v, (2, 3, 1, 0))
+
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked') or k.startswith('classifier'):
+            continue
+        k2 = k[len('features.'):] if k.startswith('features.') else k
+        if k2 == 'conv0.weight':
+            flat['params/conv0/kernel'] = conv_kernel(v)
+            continue
+        if k2.startswith('norm0.'):
+            _bn_entries(flat, 'norm0', k2.split('.', 1)[1], v)
+            continue
+        m = _TORCH_DENSENET_RE.match(k2)
+        if m:
+            b, l, part, leaf = m.groups()
+            base = f'denseblock{b}_layer{l}'
+            if part.startswith('conv') and leaf == 'weight':
+                flat[f'params/{base}/{part}/kernel'] = conv_kernel(v)
+            elif part.startswith('norm'):
+                _bn_entries(flat, f'{base}/{part}', leaf, v)
+            continue
+        m = _TORCH_DENSENET_TRANS_RE.match(k2)
+        if m:
+            b, part, leaf = m.groups()
+            if part == 'conv' and leaf == 'weight':
+                flat[f'params/transition{b}_conv/kernel'] = conv_kernel(v)
+            elif part == 'norm':
+                _bn_entries(flat, f'transition{b}_norm', leaf, v)
+            continue
+        logger.debug('unmapped densenet key: %s', k)
+    return flat
+
+
 # -- generic load ------------------------------------------------------------
 
 def _read_file(path: str) -> Dict[str, np.ndarray]:
@@ -151,6 +197,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
             obj = obj['model']
         sd = {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
               for k, v in obj.items()}
+        if any('denseblock' in k for k in sd):
+            return convert_torch_densenet(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):
@@ -167,7 +215,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
 def _find_subtree_offset(src_keys, dst_keys) -> Optional[str]:
     """Find a prefix to prepend to source keys so they land inside the target
     tree (e.g. encoder weights loading into ``encoder/resnet/...``)."""
-    for cand in ('', 'resnet/', 'encoder/resnet/'):
+    for cand in ('', 'resnet/', 'encoder/resnet/', 'densenet/', 'hrnet/',
+                 'net/', 'encoder/densenet/', 'encoder/hrnet/', 'encoder/net/'):
         sample = next(iter(src_keys))
         coll, rest = sample.split('/', 1)
         if f'{coll}/{cand}{rest}' in dst_keys:

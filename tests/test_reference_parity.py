@@ -1,0 +1,182 @@
+"""Numerical parity vs the PyTorch reference (same weights, same input).
+
+Loads /root/reference's actual ``ResNetEncoder`` (torch, CPU), transfers its
+state_dict into our flax encoder via the weight converter, and compares
+multi-scale features end to end.  This pins down conv padding conventions,
+dilation geometry, BN epsilon/statistics handling — the things a LoveDA mIoU
+comparison would catch, without needing the dataset.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REFERENCE = '/root/reference'
+
+
+def _import_reference():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip('reference repo not available')
+
+    def stub(name, **attrs):
+        try:
+            __import__(name)
+            return
+        except ImportError:
+            pass
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+
+    class _T:
+        def __init__(self, *a, **k):
+            pass
+
+    stub('wandb', run=None, init=lambda **k: None, log=lambda *a, **k: None)
+    stub('prettytable', PrettyTable=type('PrettyTable', (), {}))
+    stub('pandas', DataFrame=type('DataFrame', (), {}))
+    stub('tqdm', tqdm=lambda x, **k: x)
+    stub('albumentations', DualTransform=_T, ImageOnlyTransform=_T,
+         RandomScale=_T, BasicTransform=_T, Compose=_T)
+    stub('albumentations.pytorch', ToTensorV2=_T)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import ever  # noqa: F401
+    return ever
+
+
+@pytest.mark.parametrize('resnet_type,output_stride', [
+    ('resnet18', 32),
+    ('resnet50', 32),
+    ('resnet50', 16),
+    ('resnet50', 8),
+])
+def test_resnet_encoder_matches_reference(tmp_path, resnet_type, output_stride):
+    _import_reference()
+    from ever.module import ResNetEncoder as TorchResNetEncoder
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    ref = TorchResNetEncoder(dict(resnet_type=resnet_type, pretrained=False,
+                                  output_stride=output_stride))
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_feats = [np.transpose(f.numpy(), (0, 2, 3, 1)) for f in ref_feats]
+
+    # transfer weights
+    pth = tmp_path / 'enc.pth'
+    torch.save(ref.resnet.state_dict(), str(pth))
+    ours = builder.make_model({'type': 'ResNetEncoder',
+                               'params': dict(resnet_type=resnet_type,
+                                              output_stride=output_stride)})
+    variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(x),
+                          train=True)
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    our_feats = ours.apply({'params': params, 'batch_stats': batch_stats},
+                           jnp.asarray(x))
+
+    assert len(our_feats) == len(ref_feats)
+    for i, (a, b) in enumerate(zip(our_feats, ref_feats)):
+        assert a.shape == b.shape, f'level {i}: {a.shape} vs {b.shape}'
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-3,
+                                   err_msg=f'feature level {i}')
+
+
+def test_sliding_window_matches_reference():
+    _import_reference()
+    from ever.magic.bigimage.sliding_window import sliding_window as ref_sw
+    from ever_tpu.magic.sliding_window import sliding_window as our_sw
+
+    for size, k, s in [((1000, 900), 512, 256), ((100, 100), 512, 256),
+                       ((777, 333), 256, 200), ((512, 512), 512, 512)]:
+        np.testing.assert_array_equal(our_sw(size, k, s), ref_sw(size, k, s))
+
+
+def test_lr_schedules_match_reference():
+    _import_reference()
+    from ever.opt.learning_rate import (
+        MultiStepLearningRate as RefMS,
+        PolyLearningRate as RefPoly,
+        CosineAnnealingLearningRate as RefCos,
+    )
+    from ever_tpu.opt.learning_rate import (
+        CosineAnnealingLearningRate,
+        MultiStepLearningRate,
+        PolyLearningRate,
+    )
+
+    class FakeOpt:
+        param_groups = [{'lr': 0.0}]
+
+    def ref_value(sched, step):
+        opt = FakeOpt()
+        sched.step(step, opt)
+        return opt.param_groups[0]['lr']
+
+    ref = RefPoly(base_lr=0.01, power=0.9, max_iters=100,
+                  warmup=dict(type='linear', step=10, ratio=0.1))
+    ours = PolyLearningRate(base_lr=0.01, power=0.9, max_iters=100,
+                            warmup=dict(type='linear', step=10, ratio=0.1))
+    for s in (0, 5, 10, 11, 50, 99):
+        assert float(ours(s)) == pytest.approx(ref_value(ref, s), rel=1e-5), s
+
+    ref = RefMS(steps=[30, 60], base_lr=0.1, gamma=0.1)
+    ours = MultiStepLearningRate(steps=[30, 60], base_lr=0.1, gamma=0.1)
+    for s in (0, 29, 31, 61, 99):
+        assert float(ours(s)) == pytest.approx(ref_value(ref, s), rel=1e-5), s
+
+    ref = RefCos(base_lr=0.1, max_iters=100, eta_min=0.001)
+    ours = CosineAnnealingLearningRate(base_lr=0.1, max_iters=100, eta_min=0.001)
+    for s in (0, 25, 50, 100):
+        assert float(ours(s)) == pytest.approx(ref_value(ref, s), rel=1e-5), s
+
+
+def test_densenet_encoder_matches_reference(tmp_path):
+    _import_reference()
+    from ever.module import DenseNetEncoder as TorchDenseNetEncoder
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    ref = TorchDenseNetEncoder(dict(densenet_type='densenet121',
+                                    pretrained=False))
+    ref.eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_feats = [np.transpose(f.numpy(), (0, 2, 3, 1)) for f in ref_feats]
+
+    pth = tmp_path / 'dense.pth'
+    torch.save(ref.densenet.state_dict(), str(pth))
+    ours = builder.make_model({'type': 'DenseNetEncoder',
+                               'params': dict(densenet_type='densenet121')})
+    variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(x),
+                          train=True)
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    our_feats = ours.apply({'params': params, 'batch_stats': batch_stats},
+                           jnp.asarray(x))
+    assert len(our_feats) == len(ref_feats)
+    for i, (a, b) in enumerate(zip(our_feats, ref_feats)):
+        assert a.shape == b.shape, f'level {i}: {a.shape} vs {b.shape}'
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-3,
+                                   err_msg=f'feature level {i}')
