@@ -113,6 +113,9 @@ class AssymetricDecoder(nn.Module):
     out_feat_output_stride: int = 4
     norm: Optional[str] = 'bn'
     classifier_config: Optional[dict] = None
+    # torch UpsamplingBilinear2d parity (align_corners=True) for ported
+    # reference checkpoints; False = half-pixel (TPU-cheaper) for new configs
+    align_corners: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +132,8 @@ class AssymetricDecoder(nn.Module):
                               dtype=self.dtype,
                               name=f'block{idx}_conv{layer}')(y, train)
                 if num_upsample > 0:
-                    y = resize(y, scale=2, method='bilinear')
+                    y = resize(y, scale=2, method='bilinear',
+                               align_corners=self.align_corners)
             inner.append(y)
         out = sum(inner) / len(inner)
 
@@ -143,7 +147,8 @@ class AssymetricDecoder(nn.Module):
                           dtype=self.dtype, name='classifier')(out)
             scale = cfg.get('scale_factor', 1)
             if scale and scale > 1:
-                out = resize(out, scale=float(scale), method='bilinear')
+                out = resize(out, scale=float(scale), method='bilinear',
+                             align_corners=self.align_corners)
         return out
 
 

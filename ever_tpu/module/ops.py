@@ -54,13 +54,48 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _resize_align_corners(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics.
+
+    Separable 1-D interpolations expressed as two small dense matmuls
+    (MXU-friendly; no gathers).  Used for exact parity with the reference's
+    ``UpsamplingBilinear2d``; the default half-pixel path is faster and is
+    what new configs should use.
+    """
+    n, h, w, c = x.shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    def interp_matrix(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            return jnp.ones((out_size, in_size), jnp.float32) / in_size if in_size > 1 \
+                else jnp.ones((out_size, in_size), jnp.float32)
+        pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        frac = pos - lo
+        rows = jnp.arange(out_size)
+        m = jnp.zeros((out_size, in_size), jnp.float32)
+        m = m.at[rows, lo].add(1.0 - frac)
+        m = m.at[rows, hi].add(frac)
+        return m
+
+    mh = interp_matrix(h, oh)                     # [oh, h]
+    mw = interp_matrix(w, ow)                     # [ow, w]
+    y = jnp.einsum('oh,nhwc->nowc', mh, xf)
+    y = jnp.einsum('pw,nowc->nopc', mw, y)
+    return y.astype(dtype)
+
+
 def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
-           method: str = 'nearest') -> jnp.ndarray:
+           method: str = 'nearest', align_corners: bool = False) -> jnp.ndarray:
     """Spatial resize of an NHWC tensor.
 
     Replaces ``F.interpolate`` + the bf16 workaround (``ever/module/fpn.py:96-102``,
     ``ops.py:152-166``): bilinear is computed in fp32 and cast back to the
-    input dtype; nearest is dtype-agnostic.
+    input dtype; nearest is dtype-agnostic.  ``align_corners=True`` matches
+    torch ``UpsamplingBilinear2d`` exactly (needed when porting reference
+    checkpoints); the default half-pixel convention is TPU-cheaper.
     """
     n, h, w, c = x.shape
     if shape is None:
@@ -68,6 +103,8 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
     out_shape = (n, shape[0], shape[1], c)
     if method == 'nearest':
         return jax.image.resize(x, out_shape, method='nearest')
+    if align_corners:
+        return _resize_align_corners(x, shape[0], shape[1])
     if x.dtype == jnp.bfloat16:
         # XLA resize is bf16-native on TPU; upcasting doubles HBM traffic
         return jax.image.resize(x, out_shape, method=method)

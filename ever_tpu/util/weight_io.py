@@ -184,6 +184,100 @@ def convert_torch_densenet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.nd
     return flat
 
 
+def convert_torch_farseg_head(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference ``FarSegHead`` state_dict → flat tree matching
+    ``ever_tpu.module.fs_relation.FarSegHead``.
+
+    Handles the conv-bias/BN redundancy: the reference's content/re-encoders
+    are ``Conv2d(bias=True) + BN``; ours are bias-free conv + BN, so the conv
+    bias is folded into the BN running mean (``mean' = mean - bias``) —
+    mathematically identical in eval mode and after any amount of training.
+    """
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+    flat: Dict[str, np.ndarray] = {}
+
+    def ck(v):  # conv kernel OIHW→HWIO
+        return np.transpose(v, (2, 3, 1, 0))
+
+    def conv_bn(src_prefix, dst_base):
+        """map Sequential[conv(0), bn(1)] folding conv bias into bn mean."""
+        w = sd.get(f'{src_prefix}.0.weight')
+        if w is not None:
+            flat[f'params/{dst_base}/Conv_0/kernel'] = ck(w)
+        bias = sd.get(f'{src_prefix}.0.bias')
+        for leaf, coll, name in (('weight', 'params', 'scale'),
+                                 ('bias', 'params', 'bias'),
+                                 ('running_var', 'batch_stats', 'var')):
+            v = sd.get(f'{src_prefix}.1.{leaf}')
+            if v is not None:
+                flat[f'{coll}/{dst_base}/Norm_0/BatchNorm_0/{name}'] = v
+        mean = sd.get(f'{src_prefix}.1.running_mean')
+        if mean is not None:
+            if bias is not None:
+                mean = mean - bias
+            flat[f'batch_stats/{dst_base}/Norm_0/BatchNorm_0/mean'] = mean
+
+    n_levels = len({k.split('.')[1] for k in sd if k.startswith('fpn.fpn_inner')})
+    for i in range(1, n_levels + 1):
+        flat[f'params/fpn/fpn_inner{i}/kernel'] = ck(sd[f'fpn.fpn_inner{i}.0.weight'])
+        if f'fpn.fpn_inner{i}.0.bias' in sd:
+            flat[f'params/fpn/fpn_inner{i}/bias'] = sd[f'fpn.fpn_inner{i}.0.bias']
+        flat[f'params/fpn/fpn_layer{i}/Conv_0/kernel'] = ck(sd[f'fpn.fpn_layer{i}.0.weight'])
+        if f'fpn.fpn_layer{i}.0.bias' in sd:
+            flat[f'params/fpn/fpn_layer{i}/Conv_0/bias'] = sd[f'fpn.fpn_layer{i}.0.bias']
+
+    # fs_relation
+    scale_aware = any(k.startswith('fs_relation.scene_encoder.0.0')
+                      for k in sd)
+    if scale_aware:
+        n_scene = len({k.split('.')[2] for k in sd
+                       if k.startswith('fs_relation.scene_encoder.')})
+        for i in range(n_scene):
+            for j, fc in ((0, 'fc1'), (2, 'fc2')):
+                flat[f'params/fs_relation/scene_enc{i}_{fc}/kernel'] = \
+                    ck(sd[f'fs_relation.scene_encoder.{i}.{j}.weight'])
+                flat[f'params/fs_relation/scene_enc{i}_{fc}/bias'] = \
+                    sd[f'fs_relation.scene_encoder.{i}.{j}.bias']
+    else:
+        for j, fc in ((0, 'fc1'), (2, 'fc2')):
+            flat[f'params/fs_relation/scene_enc_{fc}/kernel'] = \
+                ck(sd[f'fs_relation.scene_encoder.{j}.weight'])
+            flat[f'params/fs_relation/scene_enc_{fc}/bias'] = \
+                sd[f'fs_relation.scene_encoder.{j}.bias']
+    i = 0
+    while f'fs_relation.content_encoders.{i}.0.weight' in sd:
+        conv_bn(f'fs_relation.content_encoders.{i}',
+                f'fs_relation/content_enc{i}')
+        conv_bn(f'fs_relation.feature_reencoders.{i}',
+                f'fs_relation/feature_reenc{i}')
+        i += 1
+
+    # decoder blocks: blocks.{b} = Sequential of layer Sequentials
+    # [conv(0), bn(1), relu(2), up(3)]
+    b = 0
+    while f'fpn_decoder.blocks.{b}.0.0.weight' in sd:
+        l = 0
+        while f'fpn_decoder.blocks.{b}.{l}.0.weight' in sd:
+            conv_bn_src = f'fpn_decoder.blocks.{b}.{l}'
+            dst = f'fpn_decoder/block{b}_conv{l}'
+            flat[f'params/{dst}/Conv_0/kernel'] = ck(sd[f'{conv_bn_src}.0.weight'])
+            for leaf, coll, name in (('weight', 'params', 'scale'),
+                                     ('bias', 'params', 'bias'),
+                                     ('running_mean', 'batch_stats', 'mean'),
+                                     ('running_var', 'batch_stats', 'var')):
+                v = sd.get(f'{conv_bn_src}.1.{leaf}')
+                if v is not None:
+                    flat[f'{coll}/{dst}/Norm_0/BatchNorm_0/{name}'] = v
+            l += 1
+        b += 1
+    if 'fpn_decoder.classifier.0.weight' in sd:
+        flat['params/fpn_decoder/classifier/kernel'] = \
+            ck(sd['fpn_decoder.classifier.0.weight'])
+        flat['params/fpn_decoder/classifier/bias'] = \
+            sd['fpn_decoder.classifier.0.bias']
+    return flat
+
+
 # -- generic load ------------------------------------------------------------
 
 def _read_file(path: str) -> Dict[str, np.ndarray]:
@@ -199,6 +293,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
               for k, v in obj.items()}
         if any('denseblock' in k for k in sd):
             return convert_torch_densenet(sd)
+        if any(k.startswith('fs_relation.') for k in sd):
+            return convert_torch_farseg_head(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):

@@ -180,3 +180,53 @@ def test_densenet_encoder_matches_reference(tmp_path):
         assert a.shape == b.shape, f'level {i}: {a.shape} vs {b.shape}'
         np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-3,
                                    err_msg=f'feature level {i}')
+
+
+def test_farseg_head_matches_reference(tmp_path):
+    """Full FarSegHead (FPN + FSRelation + AssymetricDecoder) with
+    transplanted weights; align_corners=True matches torch upsampling."""
+    _import_reference()
+    from ever.module.fs_relation import FarSegHead as TorchFarSegHead
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.util import weight_io
+
+    head_cfg = dict(
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        fs_relation=dict(scene_embedding_channels=512,
+                         in_channels_list=(32,) * 4,
+                         out_channels=32, scale_aware_proj=True),
+        fpn_decoder=dict(in_channels=32, out_channels=32,
+                         in_feat_output_strides=(4, 8, 16, 32),
+                         out_feat_output_stride=4,
+                         classifier_config=dict(scale_factor=4.0,
+                                                num_classes=7, kernel_size=1)))
+    torch.manual_seed(0)
+    ref = TorchFarSegHead(dict(head_cfg))
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    feats = [rng.normal(size=(1, s, s, c)).astype(np.float32)
+             for s, c in ((32, 64), (16, 128), (8, 256), (4, 512))]
+    with torch.no_grad():
+        ref_out = ref([torch.from_numpy(np.transpose(f, (0, 3, 1, 2)))
+                       for f in feats])
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    pth = tmp_path / 'head.pth'
+    torch.save(ref.state_dict(), str(pth))
+
+    our_cfg = dict(head_cfg)
+    our_cfg['fpn_decoder'] = dict(head_cfg['fpn_decoder'], align_corners=True)
+    ours = builder.make_model({'type': 'FarSegHead', 'params': our_cfg})
+    jfeats = [jnp.asarray(f) for f in feats]
+    variables = ours.init({'params': jax.random.key(0)}, jfeats, train=True)
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    our_out = ours.apply({'params': params, 'batch_stats': batch_stats}, jfeats)
+
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(our_out), ref_out,
+                               rtol=2e-3, atol=2e-3)
