@@ -103,3 +103,18 @@ def test_as_ddp_inference_loader_rewraps():
     assert wrapped.batch_size == 4
     # idempotent
     assert as_ddp_inference_loader(wrapped) is wrapped
+
+
+def test_template_configs_build_models():
+    """Every project_template config instantiates its model via the registry
+    (the dataset types are placeholders users register)."""
+    import glob
+    from ever_tpu.core import builder
+    from ever_tpu.core.config import import_config
+
+    cfgs = glob.glob('project_template/configs/*.py')
+    assert len(cfgs) >= 5
+    for path in cfgs:
+        cfg = import_config(path)
+        model = builder.make_model(cfg.model)
+        assert model is not None, path
