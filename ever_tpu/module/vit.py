@@ -168,15 +168,27 @@ class Mlp(nn.Module):
 
 
 class SwiGLUFFN(nn.Module):
-    """SwiGLU feed-forward (parity: ``layers/ffn_layers.py:24-77``)."""
+    """SwiGLU feed-forward (parity: ``layers/ffn_layers.py:52-77``).
+
+    ``hidden`` is the nominal MLP width ``int(dim * ffn_ratio)``; the actual
+    gate width is ``int(hidden * 2/3)`` rounded up to ``align_to`` (the
+    reference's ``swiglu``/``swiglu32``/``swiglu64``/``swiglu128`` ladder,
+    ``ffn_layers.py:67-68`` + ``vision_transformer.py:34-40``).  The two
+    input projections (``w1``/``w2`` in torch) are fused into one ``w12``
+    matmul — one MXU call instead of two; the torch→flax converter
+    concatenates the pretrained kernels accordingly.
+    """
 
     hidden: int
     out: int
+    align_to: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name='w12')(x)
+        d = int(self.hidden * 2 / 3)
+        gate = d + (-d % self.align_to)
+        x12 = nn.Dense(2 * gate, dtype=self.dtype, name='w12')(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         return nn.Dense(self.out, dtype=self.dtype, name='w3')(nn.silu(x1) * x2)
 
@@ -234,14 +246,15 @@ class SelfAttentionBlock(nn.Module):
     qkv_bias: bool = False
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
-    ffn_layer: str = 'mlp'            # 'mlp' | 'swiglu'
+    ffn_layer: str = 'mlp'            # 'mlp' | 'swiglu' | 'swiglu{32,64,128}'
     norm: str = 'ln'                  # 'ln' | 'rms'
+    norm_eps: float = 1e-6            # 1e-5 = reference 'layernormbf16'
     dtype: Dtype = jnp.float32
 
     def _norm(self, name):
         if self.norm == 'rms':
-            return RMSNorm(dtype=self.dtype, name=name)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+            return RMSNorm(epsilon=self.norm_eps, dtype=self.dtype, name=name)
+        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, rope=None, train: bool = False):
@@ -257,8 +270,10 @@ class SelfAttentionBlock(nn.Module):
         x = x + y
 
         y = self._norm('norm2')(x)
-        if self.ffn_layer == 'swiglu':
-            y = SwiGLUFFN(hidden, self.dim, dtype=self.dtype, name='mlp')(y)
+        if self.ffn_layer.startswith('swiglu'):
+            align = int(self.ffn_layer[len('swiglu'):] or 8)
+            y = SwiGLUFFN(hidden, self.dim, align_to=align,
+                          dtype=self.dtype, name='mlp')(y)
         else:
             y = Mlp(hidden, self.dim, dtype=self.dtype, name='mlp')(y)
         if self.layerscale_init is not None:
@@ -311,6 +326,9 @@ class DinoVisionTransformer(nn.Module):
     n_storage_tokens: int = 4
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    ffn_layer: Optional[str] = None   # override VIT_SPECS (e.g. 'swiglu64')
+    norm_eps: float = 1e-6
     pos_embed_rope_base: float = 100.0
     pos_embed_rope_normalize_coords: str = 'separate'
     pos_embed_rope_shift_coords: Optional[float] = None
@@ -345,20 +363,24 @@ class DinoVisionTransformer(nn.Module):
             rescale_coords=self.pos_embed_rope_rescale_coords)
         dpr = [self.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
         self.blocks = [SelfAttentionBlock(
-            dim, heads, ffn_ratio, qkv_bias=True,
+            dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
             layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
-            ffn_layer=ffn_layer, norm=self.norm, dtype=self.dtype,
+            ffn_layer=self.ffn_layer or ffn_layer, norm=self.norm,
+            norm_eps=self.norm_eps, dtype=self.dtype,
             name=f'block{i}') for i in range(depth)]
         if self.norm == 'rms':
-            self.final_norm = RMSNorm(dtype=self.dtype, name='norm')
+            self.final_norm = RMSNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                                      name='norm')
         else:
-            self.final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm')
+            self.final_norm = nn.LayerNorm(epsilon=self.norm_eps,
+                                           dtype=self.dtype, name='norm')
         if self.untie_cls_and_patch_norms:
             if self.norm == 'rms':
-                self.cls_norm = RMSNorm(dtype=self.dtype, name='cls_norm')
+                self.cls_norm = RMSNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                                        name='cls_norm')
             else:
-                self.cls_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                             name='cls_norm')
+                self.cls_norm = nn.LayerNorm(epsilon=self.norm_eps,
+                                             dtype=self.dtype, name='cls_norm')
 
     def _tokens(self, x):
         n = x.shape[0]
@@ -472,13 +494,18 @@ class DINOHead(nn.Module):
         return x @ w.astype(x.dtype)
 
 
-# satellite-pretrained configurations (parity: ``vision_transformer.py:430-476``)
+# satellite-pretrained configurations (parity: ``vision_transformer.py:430-476``;
+# both use norm_layer='layernormbf16' = LayerNorm eps 1e-5, rope rescale 2,
+# mask_k_bias — the converter bakes the masked K bias into the qkv bias)
 SAT_CONFIGS = {
     'vitl16_sat493m': dict(vit_type='vit_large', patch_size=16,
-                           n_storage_tokens=4, layerscale_init=1e-5),
+                           n_storage_tokens=4, layerscale_init=1e-5,
+                           qkv_bias=True, norm_eps=1e-5,
+                           pos_embed_rope_rescale_coords=2.0),
     'vit7b16_sat493m': dict(vit_type='vit_7b', patch_size=16,
                             n_storage_tokens=4, layerscale_init=1e-5,
-                            norm='rms'),
+                            qkv_bias=False, ffn_layer='swiglu64', norm_eps=1e-5,
+                            pos_embed_rope_rescale_coords=2.0),
 }
 
 for _name, _spec in VIT_SPECS.items():

@@ -24,7 +24,8 @@ import numpy as np
 logger = logging.getLogger('ever_tpu.weight_io')
 
 __all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
-           'convert_torch_resnet', 'convert_torch_densenet', 'patch_first_conv']
+           'convert_torch_resnet', 'convert_torch_densenet',
+           'convert_torch_dinov3_vit', 'patch_first_conv']
 
 
 def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
@@ -184,6 +185,81 @@ def convert_torch_densenet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.nd
     return flat
 
 
+_TORCH_VIT_BLOCK_RE = re.compile(
+    r'^blocks\.(\d+)\.(norm1|norm2|attn\.qkv|attn\.proj|mlp\.fc1|mlp\.fc2|'
+    r'mlp\.w1|mlp\.w2|mlp\.w3|ls1|ls2)\.(weight|bias|gamma)$')
+
+
+def convert_torch_dinov3_vit(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """DINOv3 ViT state_dict → flat tree matching
+    ``ever_tpu.module.vit.DinoVisionTransformer``.
+
+    Enables migrating the published satellite-pretrained checkpoints
+    (``vitl16_sat493m`` etc., ``vision_transformer.py:430-476``).  Linear
+    weights transpose [out,in]→[in,out]; the patchifier conv OIHW→HWIO; the
+    SwiGLU ``w1``/``w2`` pair fuses into our single ``w12`` matmul; the
+    ``mask_k_bias`` trick (``attention.py:30-41``: qkv bias multiplied by a
+    0/1 ``bias_mask`` buffer that zeroes the K third) is baked into the bias
+    at conversion time.  Dropped: ``mask_token`` + ``local_cls_norm``
+    (iBOT/DINO-training-only, ``vision_transformer.py:191,250-253``) and the
+    persistent ``rope_embed.periods`` buffer (recomputed from config).
+    """
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+    # bake the masked K bias in, then drop the mask buffers
+    for k in [k for k in sd if k.endswith('attn.qkv.bias_mask')]:
+        bias_key = k[:-len('_mask')]
+        if bias_key in sd:
+            sd[bias_key] = sd[bias_key] * np.nan_to_num(sd[k], nan=1.0)
+        del sd[k]
+    flat: Dict[str, np.ndarray] = {}
+    w12: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if k in ('cls_token', 'storage_tokens'):
+            flat[f'params/{k}'] = v
+            continue
+        if k == 'patch_embed.proj.weight':
+            flat['params/patch_embed/proj/kernel'] = np.transpose(v, (2, 3, 1, 0))
+            continue
+        if k == 'patch_embed.proj.bias':
+            flat['params/patch_embed/proj/bias'] = v
+            continue
+        if k in ('norm.weight', 'cls_norm.weight'):
+            base = k.split('.')[0]
+            flat[f'params/{base}/scale'] = v
+            continue
+        if k in ('norm.bias', 'cls_norm.bias'):
+            base = k.split('.')[0]
+            flat[f'params/{base}/bias'] = v
+            continue
+        m = _TORCH_VIT_BLOCK_RE.match(k)
+        if m:
+            idx, part, leaf = m.groups()
+            if part in ('mlp.w1', 'mlp.w2'):
+                slot = w12.setdefault(f'params/block{idx}/mlp/w12', {})
+                slot[part[-1] + leaf] = v
+                continue
+            part = part.replace('attn.', 'attn/').replace('mlp.', 'mlp/')
+            if leaf == 'weight':
+                if part in ('norm1', 'norm2'):
+                    flat[f'params/block{idx}/{part}/scale'] = v
+                else:
+                    flat[f'params/block{idx}/{part}/kernel'] = v.T
+            elif leaf == 'bias':
+                flat[f'params/block{idx}/{part}/bias'] = v
+            elif leaf == 'gamma':
+                flat[f'params/block{idx}/{part}/gamma'] = v
+            continue
+        if k == 'mask_token' or k.startswith(('rope_embed.', 'local_cls_norm.')):
+            continue
+        logger.debug('unmapped dinov3 key: %s', k)
+    for base, parts in w12.items():
+        flat[f'{base}/kernel'] = np.concatenate(
+            [parts['1weight'].T, parts['2weight'].T], axis=1)
+        if '1bias' in parts:
+            flat[f'{base}/bias'] = np.concatenate([parts['1bias'], parts['2bias']])
+    return flat
+
+
 def convert_torch_farseg_head(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Reference ``FarSegHead`` state_dict → flat tree matching
     ``ever_tpu.module.fs_relation.FarSegHead``.
@@ -295,6 +371,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
             return convert_torch_densenet(sd)
         if any(k.startswith('fs_relation.') for k in sd):
             return convert_torch_farseg_head(sd)
+        if 'cls_token' in sd and any(k.startswith('blocks.') for k in sd):
+            return convert_torch_dinov3_vit(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):

@@ -230,3 +230,69 @@ def test_farseg_head_matches_reference(tmp_path):
     assert our_out.shape == ref_out.shape
     np.testing.assert_allclose(np.asarray(our_out), ref_out,
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('variant', ['mlp_ln', 'swiglu_rms'])
+def test_dinov3_vit_matches_reference(tmp_path, variant):
+    """DINOv3 ViT trunk with transplanted weights: RoPE geometry, fused-QKV
+    attention, LayerScale, storage tokens, and (variant 2) SwiGLU w1/w2→w12
+    fusion + RMSNorm + masked-K qkv bias + untied cls norm."""
+    _import_reference()
+    from ever.module.dinov3.models.vision_transformer import (
+        DinoVisionTransformer as TorchViT)
+
+    import jax
+    import jax.numpy as jnp
+    import ever_tpu.module.vit as vit
+    from ever_tpu.util import weight_io
+
+    tkwargs = dict(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                   num_heads=2, ffn_ratio=4, qkv_bias=True,
+                   layerscale_init=1e-5, n_storage_tokens=4,
+                   pos_embed_rope_dtype='fp32')
+    okwargs = dict(patch_size=8, n_storage_tokens=4, layerscale_init=1e-5,
+                   qkv_bias=True)
+    if variant == 'swiglu_rms':
+        tkwargs.update(norm_layer='rmsnorm', ffn_layer='swiglu64',
+                       mask_k_bias=True, untie_cls_and_patch_norms=True)
+        okwargs.update(norm='rms', norm_eps=1e-5, ffn_layer='swiglu64',
+                       untie_cls_and_patch_norms=True)
+
+    torch.manual_seed(0)
+    ref = TorchViT(**tkwargs).eval()
+    if variant == 'swiglu_rms':
+        # bias_mask inits to NaN (filled by load_state_dict in real use,
+        # attention.py:36); set the canonical Q/V=1, K=0 pattern
+        for blk in ref.blocks:
+            m = torch.ones_like(blk.attn.qkv.bias)
+            third = m.numel() // 3
+            m[third:2 * third] = 0
+            blk.attn.qkv.bias_mask.data = m
+        # give the (zero-init) masked biases real values to transplant
+        with torch.no_grad():
+            for blk in ref.blocks:
+                blk.attn.qkv.bias.uniform_(-0.05, 0.05)
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.forward_features(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+
+    pth = tmp_path / 'vit.pth'
+    torch.save(ref.state_dict(), str(pth))
+
+    vit.VIT_SPECS['vit_tiny_test'] = (2, 64, 2, 4.0,
+                                      'swiglu' if variant == 'swiglu_rms' else 'mlp')
+    try:
+        ours = vit.DinoVisionTransformer(vit_type='vit_tiny_test', **okwargs)
+        variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(img))
+        params, _ = weight_io.load_weights(str(pth), variables['params'],
+                                           log=False)
+        out = ours.apply({'params': params}, jnp.asarray(img))
+    finally:
+        del vit.VIT_SPECS['vit_tiny_test']
+
+    for key in ('x_norm_clstoken', 'x_storage_tokens', 'x_norm_patchtokens'):
+        np.testing.assert_allclose(np.asarray(out[key]), ref_out[key].numpy(),
+                                   rtol=2e-3, atol=2e-3, err_msg=key)
