@@ -25,7 +25,8 @@ logger = logging.getLogger('ever_tpu.weight_io')
 
 __all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
            'convert_torch_resnet', 'convert_torch_densenet',
-           'convert_torch_dinov3_vit', 'patch_first_conv']
+           'convert_torch_dinov3_vit', 'convert_torch_hrnet',
+           'patch_first_conv']
 
 
 def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
@@ -260,6 +261,94 @@ def convert_torch_dinov3_vit(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.
     return flat
 
 
+_TORCH_HRNET_BLOCK_RE = re.compile(
+    r'^(layer1|stage\d\.\d+\.branches\.\d+)\.(\d+)\.'
+    r'(conv\d|bn\d|downsample)(?:\.(\d))?\.(.+)$')
+_TORCH_HRNET_TRANS_RE = re.compile(
+    r'^transition(\d)\.(\d+)\.(?:(\d+)\.)?([01])\.(.+)$')
+_TORCH_HRNET_FUSE_RE = re.compile(
+    r'^stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)(?:\.(\d+))?\.(.+)$')
+
+
+def convert_torch_hrnet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Vendored HRNetV2 state_dict (``ever/module/_hrnet.py``) → flat tree
+    matching ``ever_tpu.module.hrnet.HRNet``.
+
+    Key geometry: stem ``conv1/bn1/conv2/bn2``; ``layer1.{b}`` bottlenecks →
+    ``layer1_block{b}``; ``transition{t}.{i}`` Sequential(conv,bn[,relu])
+    (new branches wrap one more Sequential level, ``_hrnet.py:481-504``) →
+    ``transition{t}_{i}_conv``/``_bn``; ``stage{s}.{m}.branches.{i}.{b}`` →
+    ``stage{s}_module{m}/branch{i}_block{b}``; fuse layers
+    (``_hrnet.py:335-370``): j>i = Sequential(conv1x1,bn,upsample) →
+    ``fuse{i}_{j}_conv``/``_bn``; j<i = chain of Sequential(conv3x3,bn[,relu])
+    → ``fuse{i}_{j}_down{step}_conv``/``_bn``.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+
+    def conv_kernel(v):
+        return np.transpose(v, (2, 3, 1, 0))
+
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked') or k.startswith(
+                ('incre_modules', 'downsamp_modules', 'final_layer',
+                 'classifier')):
+            continue
+        if k == 'conv1.weight':
+            flat['params/conv1/kernel'] = conv_kernel(v)
+            continue
+        if k == 'conv2.weight':
+            flat['params/conv2/kernel'] = conv_kernel(v)
+            continue
+        if k.startswith(('bn1.', 'bn2.')):
+            base, leaf = k.split('.', 1)
+            _bn_entries(flat, base, leaf, v)
+            continue
+        m = _TORCH_HRNET_BLOCK_RE.match(k)
+        if m:
+            where, block, part, sub, leaf = m.groups()
+            if where == 'layer1':
+                base = f'layer1_block{block}'
+            else:
+                s, mod, br = re.match(r'stage(\d)\.(\d+)\.branches\.(\d+)',
+                                      where).groups()
+                base = f'stage{s}_module{mod}/branch{br}_block{block}'
+            if part.startswith('conv') and leaf == 'weight':
+                flat[f'params/{base}/{part}/kernel'] = conv_kernel(v)
+            elif part.startswith('bn'):
+                _bn_entries(flat, f'{base}/{part}', leaf, v)
+            elif part == 'downsample':
+                if sub == '0' and leaf == 'weight':
+                    flat[f'params/{base}/downsample_conv/kernel'] = conv_kernel(v)
+                elif sub == '1':
+                    _bn_entries(flat, f'{base}/downsample_bn', leaf, v)
+            continue
+        m = _TORCH_HRNET_TRANS_RE.match(k)
+        if m:
+            t, i, _, idx, leaf = m.groups()
+            base = f'transition{t}_{i}'
+            if idx == '0' and leaf == 'weight':
+                flat[f'params/{base}_conv/kernel'] = conv_kernel(v)
+            elif idx == '1':
+                _bn_entries(flat, f'{base}_bn', leaf, v)
+            continue
+        m = _TORCH_HRNET_FUSE_RE.match(k)
+        if m:
+            s, mod, i, j, a, b, leaf = m.groups()
+            prefix = f'stage{s}_module{mod}/fuse{i}_{j}'
+            if b is None:                     # j > i: Sequential(conv, bn, up)
+                base, idx = prefix, a
+            else:                             # j < i: chain step a
+                base, idx = f'{prefix}_down{a}', b
+            if idx == '0' and leaf == 'weight':
+                flat[f'params/{base}_conv/kernel'] = conv_kernel(v)
+            elif idx == '1':
+                _bn_entries(flat, f'{base}_bn', leaf, v)
+            continue
+        logger.debug('unmapped hrnet key: %s', k)
+    return flat
+
+
 def convert_torch_farseg_head(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Reference ``FarSegHead`` state_dict → flat tree matching
     ``ever_tpu.module.fs_relation.FarSegHead``.
@@ -373,6 +462,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
             return convert_torch_farseg_head(sd)
         if 'cls_token' in sd and any(k.startswith('blocks.') for k in sd):
             return convert_torch_dinov3_vit(sd)
+        if any('fuse_layers' in k for k in sd):
+            return convert_torch_hrnet(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):

@@ -296,3 +296,42 @@ def test_dinov3_vit_matches_reference(tmp_path, variant):
     for key in ('x_norm_clstoken', 'x_storage_tokens', 'x_norm_patchtokens'):
         np.testing.assert_allclose(np.asarray(out[key]), ref_out[key].numpy(),
                                    rtol=2e-3, atol=2e-3, err_msg=key)
+
+
+def test_hrnet_encoder_matches_reference(tmp_path):
+    """Full HRNetV2-w18 trunk with transplanted weights: stem, bottleneck
+    stage1, transitions, 4-branch modules, and cross-resolution fuse layers
+    (nearest upsample + strided-conv downsample chains)."""
+    _import_reference()
+    from ever.module._hrnet import hrnetv2_w18
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.module.hrnet import HRNet
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    ref = hrnetv2_w18(pretrained=False)
+    ref.eval()
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+    ref_outs = [np.transpose(o.numpy(), (0, 2, 3, 1)) for o in ref_outs]
+
+    pth = tmp_path / 'hrnet.pth'
+    torch.save(ref.state_dict(), str(pth))
+
+    ours = HRNet(hrnet_type='hrnetv2_w18')
+    variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(img))
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    outs = ours.apply({'params': params, 'batch_stats': batch_stats},
+                      jnp.asarray(img))
+
+    assert len(outs) == len(ref_outs) == 4
+    for i, (o, r) in enumerate(zip(outs, ref_outs)):
+        assert o.shape == r.shape, (i, o.shape, r.shape)
+        np.testing.assert_allclose(np.asarray(o), r, rtol=2e-3, atol=2e-3,
+                                   err_msg=f'branch {i}')
