@@ -44,7 +44,9 @@ def main():
     steps = 20 if on_tpu else 3
 
     model = builder.make_model({'type': 'FarSeg', 'params': dict(
-        encoder=dict(resnet_type='resnet50'),
+        # stem='s2d' is the exact space-to-depth fold of the 7x7/2 conv —
+        # same parameters, same outputs, ~3x faster stem on the MXU
+        encoder=dict(resnet_type='resnet50', stem='s2d'),
         classes=7,
         dtype='bfloat16' if on_tpu else 'float32',
     )})

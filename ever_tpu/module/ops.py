@@ -87,6 +87,19 @@ def _resize_align_corners(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
     return y.astype(dtype)
 
 
+def _upsample_nearest_int(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact nearest k× upsample as broadcast+reshape.
+
+    Identical to ``jax.image.resize(method='nearest')`` for integer factors
+    (src index floor((o+0.5)/k) == o//k) but avoids its gather — whose
+    backward is a scatter-add that measured 0.5 ms/step in the FarSeg FPN;
+    the broadcast's backward is a plain phase-sum reduce.
+    """
+    n, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, k, w, k, c))
+    return y.reshape(n, h * k, w * k, c)
+
+
 def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
            method: str = 'nearest', align_corners: bool = False) -> jnp.ndarray:
     """Spatial resize of an NHWC tensor.
@@ -95,16 +108,25 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
     ``ops.py:152-166``): bilinear is computed in fp32 and cast back to the
     input dtype; nearest is dtype-agnostic.  ``align_corners=True`` matches
     torch ``UpsamplingBilinear2d`` exactly (needed when porting reference
-    checkpoints); the default half-pixel convention is TPU-cheaper.
+    checkpoints); the default half-pixel convention is TPU-cheaper.  Integer
+    upscale factors take exact phase-decomposed fast paths (see above).
     """
     n, h, w, c = x.shape
     if shape is None:
         shape = (int(h * scale), int(w * scale))
     out_shape = (n, shape[0], shape[1], c)
+    kh, rh = divmod(shape[0], h)
+    kw, rw = divmod(shape[1], w)
+    int_k = kh if (rh == 0 and rw == 0 and kh == kw and kh > 1) else 0
     if method == 'nearest':
+        if int_k:
+            return _upsample_nearest_int(x, int_k)
         return jax.image.resize(x, out_shape, method='nearest')
     if align_corners:
         return _resize_align_corners(x, shape[0], shape[1])
+    # NOTE: a phase-decomposed bilinear fast path was tried and REVERTED —
+    # the interleaving stack+reshape lowers to strided copies that measured
+    # +1.4 ms/step slower than jax.image.resize's MXU dot_general pair.
     if x.dtype == jnp.bfloat16:
         # XLA resize is bf16-native on TPU; upcasting doubles HBM traffic
         return jax.image.resize(x, out_shape, method=method)

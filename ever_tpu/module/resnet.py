@@ -54,45 +54,12 @@ def _conv(features, kernel, stride=1, dilation=1, groups=1, name=None, dtype=jnp
 
 
 # -- space-to-depth stem -------------------------------------------------------
-# The 7x7/2 stem conv has C_in=3: on the MXU that wastes 125 of 128 lanes and
-# dominates the whole encoder (~7ms of a 35ms FarSeg-R50 step, measured).  The
-# canonical TPU fix folds it into: space-to-depth(4) on the input, an
-# EXACT 3x3 conv over the 48-channel block grid producing 4 output phases,
-# and depth-to-space(2).  The parameter stays the original [7,7,Cin,64]
-# kernel (pretrained weights / checkpoints unchanged); the fold is a constant
-# linear rearrangement traced into the graph (differentiable, free at
-# runtime after constant folding of the gather indices).
-
-import numpy as _np
-
-
-def _s2d_fold_indices():
-    """(index, mask) mapping [kBlock, intra(a), phase(p)] → kernel row i."""
-    idx = _np.zeros((3, 4, 2), _np.int32)
-    mask = _np.zeros((3, 4, 2), _np.float32)
-    for k in range(3):
-        for a in range(4):
-            for p in range(2):
-                i = 4 * k + a - 2 * p - 1
-                if 0 <= i < 7:
-                    idx[k, a, p] = i
-                    mask[k, a, p] = 1.0
-    return idx, mask
-
-
-def fold_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """[7, 7, Cin, Cout] → [3, 3, 16*Cin, 4*Cout] exact s2d equivalent."""
-    cin, cout = w.shape[2], w.shape[3]
-    idx, mask = _s2d_fold_indices()
-    # rows: [kY, a, p]; cols: [kX, b, q]
-    g = w[idx[:, :, :, None, None, None], idx[None, None, None, :, :, :]]
-    # g: [kY, a, p, kX, b, q, Cin, Cout]
-    m = mask[:, :, :, None, None, None] * mask[None, None, None, :, :, :]
-    g = g * m[..., None, None]
-    # → [kY, kX, a, b, Cin, Cout, p, q] → [3, 3, (a*4+b)*Cin+ci, (co*2+p)*2+q]
-    g = jnp.transpose(g, (0, 3, 1, 4, 6, 7, 2, 5))
-    return g.reshape(3, 3, 16 * cin, 4 * cout)
-
+# The 7x7/2 stem conv has C_in=3, which starves the MXU's 128-deep
+# contraction.  The canonical TPU fix: stride-2 conv == stride-1 conv over
+# the 2x2 space-to-depth of the input, with the 7x7 kernel zero-padded to
+# 8x8 and regrouped to [4,4,4*Cin,64].  The parameter stays the original
+# [7,7,Cin,64] kernel (pretrained weights / checkpoints unchanged); the fold
+# is a constant rearrangement traced into the graph (differentiable).
 
 def space_to_depth(x: jnp.ndarray, block: int = 4) -> jnp.ndarray:
     """[B, H, W, C] → [B, H/b, W/b, b*b*C] with channel order (a*b + b_idx)*C + c."""
@@ -102,19 +69,19 @@ def space_to_depth(x: jnp.ndarray, block: int = 4) -> jnp.ndarray:
     return x.reshape(n, h // block, w // block, block * block * c)
 
 
-def _depth_to_space2(x: jnp.ndarray, cout: int) -> jnp.ndarray:
-    """[B, Hb, Wb, 4*Cout] (layout [co, p, q]) → [B, 2Hb, 2Wb, Cout]."""
-    n, hb, wb, _ = x.shape
-    x = x.reshape(n, hb, wb, cout, 2, 2)
-    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
-    return x.reshape(n, 2 * hb, 2 * wb, cout)
-
-
 class S2DStemConv(nn.Module):
     """Drop-in replacement for the 7x7/2 stem conv (exact numerics).
 
     Holds the ORIGINAL [7,7,Cin,features] kernel as its parameter; folds it
-    at trace time.  Requires H, W divisible by 4.
+    at trace time.  Requires H, W divisible by 2.
+
+    Factorization: a stride-2 conv is a stride-1 conv over the 2x2
+    space-to-depth transform of the input.  The 7x7 kernel is zero-padded
+    to 8x8 (one leading row/col) and regrouped into [4, 4, 4*Cin, features];
+    the conv then runs with padding (2, 1) per axis.  This lifts the MXU
+    contraction depth from 7·Cin-per-row (C_in=3 starves the systolic
+    array — measured 1.38 ms for the stem conv at 512², ~27x off roofline)
+    to 4·4·4·Cin=192 with no depth-to-space on the output.
     """
 
     features: int = 64
@@ -125,13 +92,16 @@ class S2DStemConv(nn.Module):
         cin = x.shape[-1]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
-        w2 = fold_stem_kernel(kernel).astype(self.dtype)
-        s = space_to_depth(x.astype(self.dtype), 4)
-        o4 = jax.lax.conv_general_dilated(
-            s, w2, (1, 1), 'SAME',
+        w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # [2k+p, 2l+q, c, f] → [k, l, (p*2+q)*c + ci, f]
+        w8 = w8.reshape(4, 2, 4, 2, cin, self.features)
+        w2 = jnp.transpose(w8, (0, 2, 1, 3, 4, 5)).reshape(
+            4, 4, 4 * cin, self.features).astype(self.dtype)
+        s = space_to_depth(x.astype(self.dtype), 2)
+        return jax.lax.conv_general_dilated(
+            s, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             preferred_element_type=self.dtype)
-        return _depth_to_space2(o4, self.features)
 
 
 class BasicBlock(nn.Module):
@@ -307,7 +277,7 @@ class ResNet(nn.Module):
             # (same param path/shape). Measured on v5e it is FLOP-neutral in
             # the full fused graph (XLA already handles the C_in=3 conv well
             # in context), so the plain conv stays the default.
-            if self.stem == 's2d' and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            if self.stem == 's2d' and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 x = S2DStemConv(64, dtype=self.dtype, name='conv1')(x)
             else:
                 x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
@@ -358,6 +328,7 @@ class ResNetEncoder(ERModule):
             in_channels=3,
             se_ratio=None,
             gc_ratio=None,
+            stem='conv',
             dtype='float32',
         ))
 
@@ -370,6 +341,7 @@ class ResNetEncoder(ERModule):
             with_cp=tuple(self.config.with_cp),
             se_ratio=self.config.se_ratio,
             gc_ratio=self.config.gc_ratio,
+            stem=self.config.get('stem', 'conv'),
             dtype=jnp.dtype(self.config.dtype),
         )
 

@@ -56,3 +56,22 @@ def test_quant_dense_from_params():
     assert y.shape == (4, 8, 32)
     rel_err = np.abs(y - ref).mean() / np.abs(ref).mean()
     assert rel_err < 0.08
+
+
+def test_integer_nearest_upsample_fast_path_matches_jax_image():
+    """The broadcast-reshape nearest k-x upsampler is an exact replacement
+    for jax.image.resize's gather (whose backward is a slow scatter-add)."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.module.ops import resize
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 5)).astype(np.float32))
+    for k in (2, 3, 4):
+        ref_n = jax.image.resize(x, (2, 8 * k, 6 * k, 5), method='nearest')
+        got_n = resize(x, scale=k, method='nearest')
+        np.testing.assert_array_equal(np.asarray(got_n), np.asarray(ref_n))
+    # non-integer factors still route through jax.image.resize
+    got = resize(x, shape=(12, 9), method='bilinear')
+    ref = jax.image.resize(x, (2, 12, 9, 5), method='bilinear')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
