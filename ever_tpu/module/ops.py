@@ -109,7 +109,7 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
     input dtype; nearest is dtype-agnostic.  ``align_corners=True`` matches
     torch ``UpsamplingBilinear2d`` exactly (needed when porting reference
     checkpoints); the default half-pixel convention is TPU-cheaper.  Integer
-    upscale factors take exact phase-decomposed fast paths (see above).
+    nearest upscaling takes the exact broadcast fast path (see above).
     """
     n, h, w, c = x.shape
     if shape is None:
@@ -124,9 +124,9 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
         return jax.image.resize(x, out_shape, method='nearest')
     if align_corners:
         return _resize_align_corners(x, shape[0], shape[1])
-    # NOTE: a phase-decomposed bilinear fast path was tried and REVERTED —
-    # the interleaving stack+reshape lowers to strided copies that measured
-    # +1.4 ms/step slower than jax.image.resize's MXU dot_general pair.
+    # NOTE: two bilinear fast paths were tried and REVERTED after profiling:
+    # phase-decomposed interleave (+1.4 ms/step — strided copies) and an
+    # explicit einsum pair (+0.2 ms/step vs jax.image.resize's lowering).
     if x.dtype == jnp.bfloat16:
         # XLA resize is bf16-native on TPU; upcasting doubles HBM traffic
         return jax.image.resize(x, out_shape, method=method)

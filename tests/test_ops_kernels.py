@@ -71,7 +71,8 @@ def test_integer_nearest_upsample_fast_path_matches_jax_image():
         ref_n = jax.image.resize(x, (2, 8 * k, 6 * k, 5), method='nearest')
         got_n = resize(x, scale=k, method='nearest')
         np.testing.assert_array_equal(np.asarray(got_n), np.asarray(ref_n))
-    # non-integer factors still route through jax.image.resize
+    # bilinear upsampling (einsum path) matches jax.image.resize weights
     got = resize(x, shape=(12, 9), method='bilinear')
     ref = jax.image.resize(x, (2, 12, 9, 5), method='bilinear')
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
