@@ -35,7 +35,8 @@ from flax import struct
 from ever_tpu.interface.module import sum_losses
 from ever_tpu.parallel.mesh import batch_sharding, replicated
 
-__all__ = ['TrainState', 'create_train_state', 'build_train_step', 'build_eval_step']
+__all__ = ['TrainState', 'create_train_state', 'build_train_step',
+           'build_train_loop', 'build_eval_step']
 
 
 class TrainState(struct.PyTreeNode):
@@ -88,15 +89,8 @@ def _forward_loss(model, params, batch_stats, batch, rng):
     return total, (metrics, new_bs)
 
 
-def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
-                     forward_times: int = 1, mesh=None,
-                     rng_seed: int = 0, donate: bool = True) -> Callable:
-    """Build the jitted ``(state, batch) -> (state, metrics)`` function.
-
-    ``batch`` is a pytree whose leaves have leading dim ``forward_times``
-    (microbatch axis) when ``forward_times > 1``, else plain batch leaves.
-    With ``mesh``, state is replicated and the batch dim sharded on 'data'.
-    """
+def _make_step_fn(model, tx, lr_schedule: Optional[Callable],
+                  forward_times: int, rng_seed: int) -> Callable:
     base_rng = jax.random.key(rng_seed)
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -146,14 +140,65 @@ def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
             metrics['learning_rate'] = jnp.asarray(lr_schedule(state.step), jnp.float32)
         return new_state, metrics
 
+    return step_fn
+
+
+def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
+                        extra_leading: bool = False):
     if mesh is not None:
         state_sh = replicated(mesh)
-        batch_sh = batch_sharding(mesh, accum_leading=forward_times > 1)
-        return jax.jit(step_fn,
-                       in_shardings=(state_sh, batch_sh),
+        batch_sh = batch_sharding(
+            mesh, accum_leading=extra_leading or forward_times > 1)
+        return jax.jit(fn, in_shardings=(state_sh, batch_sh),
                        out_shardings=(state_sh, state_sh),
                        donate_argnums=(0,) if donate else ())
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
+                     forward_times: int = 1, mesh=None,
+                     rng_seed: int = 0, donate: bool = True) -> Callable:
+    """Build the jitted ``(state, batch) -> (state, metrics)`` function.
+
+    ``batch`` is a pytree whose leaves have leading dim ``forward_times``
+    (microbatch axis) when ``forward_times > 1``, else plain batch leaves.
+    With ``mesh``, state is replicated and the batch dim sharded on 'data'.
+    """
+    step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
+    return _jit_with_shardings(step_fn, mesh, forward_times, donate)
+
+
+def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
+                     steps_per_loop: int = 1, forward_times: int = 1,
+                     mesh=None, rng_seed: int = 0,
+                     donate: bool = True) -> Callable:
+    """K optimizer steps per dispatch: ``(state, batches) -> (state, metrics)``.
+
+    ``batches`` is a pytree whose leaves carry a leading ``steps_per_loop``
+    axis of per-step batches (host stages K batches, the device scans K full
+    train steps).  Metrics are averaged over the K steps, except
+    ``learning_rate``/``grad_norm`` which report the last step.
+
+    Amortizes per-dispatch host latency — the standard TPU "steps per loop"
+    pattern (the reference dispatches one CUDA graph per step,
+    ``launcher.py:300-362``; on TPU pods one XLA program per K steps keeps
+    the device saturated when host→device dispatch is slow).
+    """
+    if forward_times != 1:
+        raise NotImplementedError('steps_per_loop with gradient accumulation '
+                                  'is not supported yet')
+    step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
+
+    def loop_fn(state: TrainState, batches):
+        state, ms = jax.lax.scan(step_fn, state, batches)
+        metrics = {k: (v[-1] if k in ('learning_rate', 'grad_norm')
+                       else jnp.mean(v)) for k, v in ms.items()}
+        return state, metrics
+
+    if steps_per_loop == 1:
+        return _jit_with_shardings(step_fn, mesh, forward_times, donate)
+    return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
+                               extra_leading=True)
 
 
 def build_eval_step(model, mesh=None) -> Callable:

@@ -261,3 +261,53 @@ def test_best_checkpoint_callback(tmp_path):
         str(tmp_path / 'run' / 'config.pkl'))
     _, variables, tag = er.infer_tool.build_from_model_dir(str(tmp_path / 'run'))
     assert tag == 'best'
+
+
+def test_train_loop_steps_per_loop_matches_per_step():
+    """build_train_loop(K) == K sequential build_train_step calls (same rng
+    folding by state.step, same schedule/optimizer stepping).  Uses a clean
+    MLP so the comparison is exact — deep BN models only match to fusion
+    rounding."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flax.linen as nn
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import (build_train_loop, build_train_step,
+                                        create_train_state)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            out = nn.Dense(4)(nn.relu(nn.Dense(8)(x)))
+            if train:
+                return {'cls_loss': jnp.mean((out - y) ** 2)}
+            return out
+
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.1, power=0.9, max_iters=50)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict(momentum=0.9)})
+    tx = factory.build(schedule)
+    model = M()
+    rng = np.random.default_rng(0)
+    K = 4
+    xs = rng.normal(size=(K, 2, 6)).astype(np.float32)
+    ys = rng.normal(size=(K, 2, 4)).astype(np.float32)
+
+    s0 = create_train_state(model, tx, (xs[0], ys[0]), rng=jax.random.key(0))
+    step = build_train_step(model, tx, schedule, donate=False)
+    s_ref = s0
+    losses = []
+    for i in range(K):
+        s_ref, m_ref = step(s_ref, (jnp.asarray(xs[i]), jnp.asarray(ys[i])))
+        losses.append(float(m_ref['total_loss']))
+
+    loop = build_train_loop(model, tx, schedule, steps_per_loop=K, donate=False)
+    s_loop, m_loop = loop(s0, (jnp.asarray(xs), jnp.asarray(ys)))
+
+    assert int(s_loop.step) == int(s_ref.step) == K
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_loop.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(m_loop['total_loss']),
+                               np.mean(losses), rtol=1e-6)
+    assert float(m_loop['learning_rate']) == float(m_ref['learning_rate'])
