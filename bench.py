@@ -60,7 +60,10 @@ def main():
     mesh = make_mesh(('data',), devices=devices) if n_chips > 1 else None
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(batch, tile, tile, 3)).astype(np.float32)
+    # stage in bf16 on TPU: the model computes in bf16 and casts its input
+    # anyway; production loaders feed bf16 (identical numerics, half traffic)
+    in_dt = np.float32 if not on_tpu else jnp.bfloat16
+    x = rng.normal(size=(batch, tile, tile, 3)).astype(in_dt)
     y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
 
     state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
@@ -76,7 +79,7 @@ def main():
     # K steps per dispatch (build_train_loop): amortizes host->device dispatch
     # latency, the standard TPU steps-per-loop pattern.  The K staged batches
     # here are copies of the same synthetic batch (timing is data-independent).
-    K = 10 if on_tpu else 2
+    K = 20 if on_tpu else 2
     loop = build_train_loop(model, tx, schedule, steps_per_loop=K, mesh=mesh,
                             donate=False)
     loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
