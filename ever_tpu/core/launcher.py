@@ -187,13 +187,21 @@ class Launcher:
         return self.evaluate(data_loader, config)
 
     # -- jitted steps --------------------------------------------------------
-    def _ensure_train_step(self, forward_times: int) -> None:
+    def _ensure_train_step(self, forward_times: int, steps_per_loop: int = 1) -> None:
         if self._train_step is None or self._forward_times != forward_times:
             self._forward_times = forward_times
-            self._train_step = build_train_step(
-                self._model, self._tx, self._lr_schedule,
-                forward_times=forward_times, mesh=self._mesh,
-                rng_seed=self._seed)
+            if steps_per_loop > 1:
+                from ever_tpu.parallel.spmd import build_train_loop
+                self._train_step = build_train_loop(
+                    self._model, self._tx, self._lr_schedule,
+                    steps_per_loop=steps_per_loop,
+                    forward_times=forward_times, mesh=self._mesh,
+                    rng_seed=self._seed)
+            else:
+                self._train_step = build_train_step(
+                    self._model, self._tx, self._lr_schedule,
+                    forward_times=forward_times, mesh=self._mesh,
+                    rng_seed=self._seed)
 
     def get_eval_step(self):
         if self._eval_step is None:
@@ -206,6 +214,10 @@ class Launcher:
         if num_iters <= 0:
             raise ValueError('num_iters must be positive')
         forward_times = kwargs.get('forward_times', 1)
+        steps_per_loop = int(kwargs.get('steps_per_loop', 1))
+        if steps_per_loop > 1 and forward_times > 1:
+            raise ValueError('steps_per_loop and forward_times (gradient '
+                             'accumulation) cannot be combined yet')
         eval_per_epoch = kwargs.get('eval_per_epoch', False)
         eval_interval_epoch = kwargs.get('eval_interval_epoch', -1)
         eval_after_train = kwargs.get('eval_after_train', False)
@@ -243,9 +255,13 @@ class Launcher:
 
         pending = None   # (step_idx, metrics, data_time, t_start) of the async step
         try:
-            self._train_loop(iterator, num_iters, forward_times, distributed,
-                             log_interval_step, sharding, pending,
-                             profile_dir, profile_steps)
+            if steps_per_loop > 1:
+                self._train_loop_k(iterator, num_iters, steps_per_loop,
+                                   distributed, log_interval_step, sharding)
+            else:
+                self._train_loop(iterator, num_iters, forward_times, distributed,
+                                 log_interval_step, sharding, pending,
+                                 profile_dir, profile_steps)
         except (KeyboardInterrupt, Exception):
             # crash-save: make the interrupted step resumable (additive over
             # the reference's resume-from-last-periodic-save posture)
@@ -313,6 +329,63 @@ class Launcher:
         if profiling:
             jax.profiler.stop_trace()
             self.info(f'profile trace written to {profile_dir}')
+        if pending is not None:
+            self._log_step(pending, num_iters)
+
+    def _train_loop_k(self, iterator, num_iters, steps_per_loop,
+                      distributed, log_interval_step, sharding):
+        """K optimizer steps per dispatch (``train.steps_per_loop``).
+
+        The host stages K batches (firing epoch callbacks / per-step sampler
+        reseeds while staging), the device scans K full train steps in one
+        XLA program (``spmd.build_train_loop``).  Amortizes per-dispatch host
+        latency; metrics are logged once per dispatch (K-step means).
+        """
+        from ever_tpu.parallel.spmd import build_train_loop
+        loops: Dict[int, Callable] = {}
+        # the leading axis is the steps axis, not batch — shard axis 1
+        if self._mesh is not None:
+            sharding = batch_sharding(self._mesh, accum_leading=True)
+        pending = None
+        while self._ckpt.global_step < num_iters:
+            k = min(steps_per_loop, num_iters - self._ckpt.global_step)
+            t0 = time.time()
+            with jax.profiler.TraceAnnotation('load_data'):
+                stage = []
+                for i in range(k):
+                    if distributed:
+                        iterator.set_seed_for_dist_sampler(
+                            self._ckpt.global_step + i)
+                    data_list = iterator.next(1, call_backs=self._callbacks,
+                                              is_master=self._master)
+                    stage.append(data_list[0])
+                batch = jax.tree.map(lambda *xs: np.stack(xs), *stage)
+                batch = (host_to_global(batch, sharding) if sharding is not None
+                         else jax.device_put(batch))
+            data_time = time.time() - t0
+
+            if self._state is None:
+                self.init_state(jax.tree.map(lambda x: x[0], batch))
+                self._maybe_load_init_weights()
+            if k not in loops:
+                # the final partial window compiles its own (smaller) loop;
+                # k == 1 degenerates to the plain per-step program
+                loops[k] = build_train_loop(
+                    self._model, self._tx, self._lr_schedule,
+                    steps_per_loop=k, mesh=self._mesh, rng_seed=self._seed)
+            if k == 1:
+                batch = jax.tree.map(lambda x: x[0], batch)
+
+            with jax.profiler.StepTraceAnnotation(
+                    'train', step_num=self._ckpt.global_step):
+                self._state, metrics = loops[k](self._state, batch)
+            for _ in range(k):
+                self._ckpt.step()
+            step = self._ckpt.global_step
+            if pending is not None and (pending[0] % log_interval_step == 0
+                                        or steps_per_loop > log_interval_step):
+                self._log_step(pending, num_iters)
+            pending = (step, metrics, data_time, time.time() - t0)
         if pending is not None:
             self._log_step(pending, num_iters)
 

@@ -34,7 +34,8 @@ class SyntheticSegDataset(ERDataset):
         return x, y
 
 
-def _demo_config(tmp_path, num_iters=4, forward_times=1, batch_size=8):
+def _demo_config(tmp_path, num_iters=4, forward_times=1, batch_size=8,
+                 steps_per_loop=1):
     cfg = f"""
 config = dict(
     model=dict(type='FarSeg', params=dict(
@@ -55,6 +56,7 @@ config = dict(
     optimizer=dict(type='sgd', params=dict(momentum=0.9),
                    grad_clip=dict(max_norm=35.0)),
     train=dict(num_iters={num_iters}, forward_times={forward_times},
+               steps_per_loop={steps_per_loop},
                eval_per_epoch=False, eval_after_train=False,
                log_interval_step=1, save_ckpt_interval_epoch=1),
 )
@@ -311,3 +313,17 @@ def test_train_loop_steps_per_loop_matches_per_step():
     np.testing.assert_allclose(float(m_loop['total_loss']),
                                np.mean(losses), rtol=1e-6)
     assert float(m_loop['learning_rate']) == float(m_ref['learning_rate'])
+
+
+@pytest.mark.slow
+def test_trainer_steps_per_loop(tmp_path):
+    """train.steps_per_loop drives K steps per dispatch through the full
+    trainer path (incl. a final partial window: 5 iters at K=2 -> 2+2+1)."""
+    from ever_tpu.trainer.trainer import SPMDTrainer
+    cfg_path = _demo_config(tmp_path, num_iters=5, steps_per_loop=2)
+    model_dir = tmp_path / 'run_k'
+    trainer = SPMDTrainer(_args(cfg_path, model_dir))
+    result = trainer.run()
+    launcher = result['launcher']
+    assert launcher.global_step == 5
+    assert int(launcher.state.step) == 5
