@@ -481,7 +481,8 @@ def _find_subtree_offset(src_keys, dst_keys) -> Optional[str]:
     """Find a prefix to prepend to source keys so they land inside the target
     tree (e.g. encoder weights loading into ``encoder/resnet/...``)."""
     for cand in ('', 'resnet/', 'encoder/resnet/', 'densenet/', 'hrnet/',
-                 'net/', 'encoder/densenet/', 'encoder/hrnet/', 'encoder/net/'):
+                 'net/', 'encoder/densenet/', 'encoder/hrnet/', 'encoder/net/',
+                 'head/', 'vit/', 'encoder/vit/'):
         sample = next(iter(src_keys))
         coll, rest = sample.split('/', 1)
         if f'{coll}/{cand}{rest}' in dst_keys:

@@ -335,3 +335,106 @@ def test_hrnet_encoder_matches_reference(tmp_path):
         assert o.shape == r.shape, (i, o.shape, r.shape)
         np.testing.assert_allclose(np.asarray(o), r, rtol=2e-3, atol=2e-3,
                                    err_msg=f'branch {i}')
+
+
+def test_train_trajectory_matches_reference(tmp_path):
+    """Six full optimizer steps of FarSeg-R18 match the torch reference:
+    same init weights, same batches, same poly LR / SGD-momentum / global
+    clip — per-step losses must track.  This pins the TRAINING semantics
+    (CE ignore_index, BN batch-stat updates, clip-then-step ordering,
+    schedule indexing) that a LoveDA mIoU comparison would exercise."""
+    _import_reference()
+    import torch.nn.functional as F
+    from ever.module.resnet import ResNetEncoder as TorchEncoder
+    from ever.module.fs_relation import FarSegHead as TorchFarSegHead
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import build_train_step, create_train_state
+    from ever_tpu.util import weight_io
+
+    classes, steps, bsz, size = 5, 6, 2, 64
+    head_cfg = dict(
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        fs_relation=dict(scene_embedding_channels=512,
+                         in_channels_list=(32,) * 4,
+                         out_channels=32, scale_aware_proj=True),
+        fpn_decoder=dict(in_channels=32, out_channels=32,
+                         in_feat_output_strides=(4, 8, 16, 32),
+                         out_feat_output_stride=4,
+                         classifier_config=dict(scale_factor=4.0,
+                                                num_classes=classes,
+                                                kernel_size=1)))
+
+    torch.manual_seed(0)
+    t_enc = TorchEncoder(dict(resnet_type='resnet18', pretrained=False))
+    t_head = TorchFarSegHead(dict(head_cfg))
+    t_enc.train(), t_head.train()
+    t_params = list(t_enc.parameters()) + list(t_head.parameters())
+    t_opt = torch.optim.SGD(t_params, lr=0.01, momentum=0.9)
+
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(steps, bsz, size, size, 3)).astype(np.float32)
+    ys = rng.integers(0, classes, size=(steps, bsz, size, size)).astype(np.int64)
+    ys[:, :, 0, 0] = 255  # exercise ignore_index
+
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.01, power=0.9, max_iters=steps)})
+
+    t_losses = []
+    for i in range(steps):
+        for g in t_opt.param_groups:
+            g['lr'] = float(schedule(i))
+        xb = torch.from_numpy(np.transpose(xs[i], (0, 3, 1, 2)))
+        yb = torch.from_numpy(ys[i])
+        logits = t_head(t_enc(xb))
+        loss = F.cross_entropy(logits, yb, ignore_index=255)
+        t_opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(t_params, 35.0)
+        t_opt.step()
+        t_losses.append(float(loss))
+
+    # the torch model has ALREADY trained in-place — re-init with the same
+    # seed to recover the pre-training weights for the transplant
+    torch.manual_seed(0)
+    t_enc0 = TorchEncoder(dict(resnet_type='resnet18', pretrained=False))
+    t_head0 = TorchFarSegHead(dict(head_cfg))
+    torch.save(t_enc0.state_dict(), str(tmp_path / 'enc0.pth'))
+    torch.save(t_head0.state_dict(), str(tmp_path / 'head0.pth'))
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4,
+                                   align_corners=True)),
+        classes=classes,
+        loss=dict(ignore_index=255, ce=dict()))})
+    factory, _ = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9),
+         'grad_clip': dict(max_norm=35.0)})
+    tx = factory.build(schedule, grad_clip=dict(max_norm=35.0))
+
+    state = create_train_state(model, tx, (xs[0], ys[0].astype(np.int32)),
+                               rng=jax.random.key(0))
+    params, bs = state.params, state.batch_stats
+    params, bs = weight_io.load_weights(str(tmp_path / 'enc0.pth'), params, bs,
+                                        log=False)
+    params, bs = weight_io.load_weights(str(tmp_path / 'head0.pth'), params, bs,
+                                        log=False)
+    state = state.replace(params=params, batch_stats=bs)
+
+    step = build_train_step(model, tx, schedule, donate=False)
+    j_losses = []
+    for i in range(steps):
+        state, metrics = step(state, (jnp.asarray(xs[i]),
+                                      jnp.asarray(ys[i].astype(np.int32))))
+        j_losses.append(float(metrics['cls_loss']))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3, atol=5e-4)
