@@ -6,8 +6,9 @@ populated by ``set_default_config()`` and then recursively updated with the
 user-supplied config, so user configs only need to specify deltas.
 
 (The reference additionally mixes in HuggingFace's ``PyTorchModelHubMixin``;
-hub push/pull is out of scope for the TPU rebuild's core and can be layered on
-top of the checkpoint utilities.)
+the equivalent local workflow — ``save_pretrained``/``from_pretrained`` with a
+``config.json`` + weights archive — lives on :class:`ERModule`; pushing the
+resulting directory to a hub is plain ``huggingface_hub.upload_folder``.)
 """
 
 from __future__ import annotations

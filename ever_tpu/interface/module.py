@@ -97,6 +97,54 @@ class ERModule(nn.Module):
         """Extra static info to log at startup (parity: ``module.py:70-71``)."""
         return {}
 
+    # -- pretrained save/load (the hub-mixin workflow) ------------------------
+    # The reference's ConfigurableMixin extends HuggingFace's
+    # PyTorchModelHubMixin so every ERModule is save/from_pretrained-able
+    # (``ever/interface/configurable.py:2,5``).  Flax modules are stateless,
+    # so the variables travel explicitly.
+    def save_pretrained(self, save_directory: str, variables: Dict) -> None:
+        """Write ``config.json`` + ``model.msgpack`` to a directory."""
+        import json
+        import os
+        from flax import serialization
+        from ever_tpu.core.registry import MODEL
+
+        os.makedirs(save_directory, exist_ok=True)
+        name = type(self).__name__
+        if name not in MODEL:
+            raise ValueError(f'{name} is not registered in MODEL — '
+                             'save_pretrained needs a registry name to rebuild')
+        cfg = self.config.unfrozen() if hasattr(self.config, 'unfrozen') \
+            else dict(self.config)
+        with open(os.path.join(save_directory, 'config.json'), 'w') as f:
+            json.dump({'type': name, 'params': _jsonable(cfg)}, f, indent=2)
+        with open(os.path.join(save_directory, 'model.msgpack'), 'wb') as f:
+            f.write(serialization.to_bytes(variables))
+
+    @classmethod
+    def from_pretrained(cls, save_directory: str):
+        """Rebuild ``(module, variables)`` from :meth:`save_pretrained` output."""
+        import json
+        import os
+        from flax import serialization
+        from ever_tpu.core import builder
+
+        with open(os.path.join(save_directory, 'config.json')) as f:
+            spec = json.load(f)
+        module = builder.make_model(spec)
+        with open(os.path.join(save_directory, 'model.msgpack'), 'rb') as f:
+            variables = serialization.msgpack_restore(f.read())
+        return module, variables
+
+
+def _jsonable(obj):
+    """Config → plain JSON types (tuples → lists, AttrDicts → dicts)."""
+    if isinstance(obj, dict) or hasattr(obj, 'items'):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    return obj
+
 
 def sum_losses(loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Sum every ``*loss`` entry of a forward output dict into the objective.

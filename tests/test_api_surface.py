@@ -118,3 +118,33 @@ def test_template_configs_build_models():
         cfg = import_config(path)
         model = builder.make_model(cfg.model)
         assert model is not None, path
+
+
+def test_save_from_pretrained_roundtrip(tmp_path):
+    """ERModule.save_pretrained/from_pretrained (the reference's hub-mixin
+    workflow, ``configurable.py:2,5``) round-trips config + variables."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ever_tpu.core import builder
+    from ever_tpu.interface.module import ERModule
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=5)})
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = model.init({'params': jax.random.key(0)}, x)
+    ref = model.apply(variables, x)
+
+    model.save_pretrained(str(tmp_path / 'hub'), variables)
+    m2, v2 = ERModule.from_pretrained(str(tmp_path / 'hub'))
+    assert m2.config.classes == 5
+    out = m2.apply(v2, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
