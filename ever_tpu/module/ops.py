@@ -124,9 +124,12 @@ def resize(x: jnp.ndarray, scale: float = None, shape: Tuple[int, int] = None,
         return jax.image.resize(x, out_shape, method='nearest')
     if align_corners:
         return _resize_align_corners(x, shape[0], shape[1])
-    # NOTE: two bilinear fast paths were tried and REVERTED after profiling:
-    # phase-decomposed interleave (+1.4 ms/step — strided copies) and an
-    # explicit einsum pair (+0.2 ms/step vs jax.image.resize's lowering).
+    # NOTE: three bilinear fast paths were tried and REVERTED after
+    # profiling on v5e: phase-decomposed interleave (+1.4 ms/step — strided
+    # copies), an explicit einsum forward pair (+0.2 ms/step), and a
+    # custom_vjp keeping jax.image's forward but backward as transposed
+    # einsums (+0.12 ms/step).  jax.image.resize's own lowering (dot_general
+    # pair, transpose+dot in reverse) is the fastest known on this hardware.
     if x.dtype == jnp.bfloat16:
         # XLA resize is bf16-native on TPU; upcasting doubles HBM traffic
         return jax.image.resize(x, out_shape, method=method)
