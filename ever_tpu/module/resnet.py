@@ -82,22 +82,58 @@ class S2DStemConv(nn.Module):
     contraction depth from 7·Cin-per-row (C_in=3 starves the systolic
     array — measured 1.38 ms for the stem conv at 512², ~27x off roofline)
     to 4·4·4·Cin=192 with no depth-to-space on the output.
+
+    All modes hold the same [7,7,Cin,features] parameter and compute the
+    identical function; they differ only in how the 2x2 block structure is
+    expressed to XLA:
+
+    - ``s2d``: explicit space-to-depth of the input ([B,H/2,W/2,4C]) then a
+      4x4 stride-1 conv.  The input transpose is a real HBM copy
+      (~0.55 ms at 512² batch 8 — the cost this family tries to remove).
+    - ``s2dw``: block only W into features via a PURE VIEW
+      ([B,H,W/2,2C] is a contiguity-preserving reshape), kernel [8,4,2C,F]
+      (also a pure reshape of the zero-padded 8x8 kernel), stride (2,1).
+      No input copy at all.
+    - ``s2d3``: both axes blocked, H's intra-block offset kept as a third
+      conv spatial dim of size 2 (window 2): input view [B,H/2,2,W/2,2C],
+      kernel [4,2,4,2C,F] — both pure reshapes, no copies.
     """
 
     features: int = 64
     dtype: Any = jnp.float32
+    mode: str = 's2d'
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
+        n, h, w, _ = x.shape
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
         w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        x = x.astype(self.dtype)
+        if self.mode == 's2dw':
+            # cols blocked into features; rows stay a strided spatial axis
+            wk = w8.reshape(8, 4, 2 * cin, self.features).astype(self.dtype)
+            s = x.reshape(n, h, w // 2, 2 * cin)
+            return jax.lax.conv_general_dilated(
+                s, wk, (2, 1), ((4, 2), (2, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=self.dtype)
+        if self.mode == 's2d3':
+            # rows -> (block, intra) spatial pair, cols -> features
+            wk = w8.reshape(4, 2, 4, 2 * cin, self.features).astype(self.dtype)
+            s = x.reshape(n, h // 2, 2, w // 2, 2 * cin)
+            out = jax.lax.conv_general_dilated(
+                s, wk, (1, 2, 1), ((2, 1), (0, 0), (2, 1)),
+                dimension_numbers=('NHSWC', 'HSWIO', 'NHSWC'),
+                preferred_element_type=self.dtype)
+            return out.reshape(n, h // 2, w // 2, self.features)
+        # classic s2d: explicit input space-to-depth + 4x4 conv
         # [2k+p, 2l+q, c, f] → [k, l, (p*2+q)*c + ci, f]
         w8 = w8.reshape(4, 2, 4, 2, cin, self.features)
         w2 = jnp.transpose(w8, (0, 2, 1, 3, 4, 5)).reshape(
             4, 4, 4 * cin, self.features).astype(self.dtype)
-        s = space_to_depth(x.astype(self.dtype), 2)
+        s = space_to_depth(x, 2)
         return jax.lax.conv_general_dilated(
             s, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
@@ -253,7 +289,7 @@ class ResNet(nn.Module):
     with_cp: Sequence[bool] = (False, False, False, False)
     se_ratio: Optional[int] = None
     gc_ratio: Optional[float] = None
-    stem: str = 'conv'              # 'conv' | 's2d' (exact fold, see above)
+    stem: str = 'conv'              # 'conv' | 's2d' | 's2dw' | 's2d3' (exact folds)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -275,8 +311,10 @@ class ResNet(nn.Module):
             # stem='s2d' uses the exact space-to-depth fold of the 7x7/2 conv
             # (same param path/shape, same outputs) — it lifts the stem conv
             # off the MXU's C_in=3 starvation (1.38 -> 0.43 ms measured).
-            if self.stem == 's2d' and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-                x = S2DStemConv(64, dtype=self.dtype, name='conv1')(x)
+            if (self.stem.startswith('s2d')
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                x = S2DStemConv(64, dtype=self.dtype, mode=self.stem,
+                                name='conv1')(x)
             else:
                 x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
             x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(x, train)

@@ -1,4 +1,4 @@
-from ever_tpu.parallel import mesh, spatial, spmd, tp
+from ever_tpu.parallel import mesh, spatial, spmd, tp, zero
 from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh, replicated
 from ever_tpu.parallel.spmd import (
     TrainState,
@@ -8,3 +8,4 @@ from ever_tpu.parallel.spmd import (
 )
 from ever_tpu.parallel.spatial import halo_exchange, spatial_partition_apply
 from ever_tpu.parallel.tp import apply_tp, vit_tp_shardings
+from ever_tpu.parallel.zero import zero_init, zero_shardings

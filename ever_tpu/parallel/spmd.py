@@ -144,34 +144,42 @@ def _make_step_fn(model, tx, lr_schedule: Optional[Callable],
 
 
 def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
-                        extra_leading: bool = False):
+                        extra_leading: bool = False, state_shardings=None):
     if mesh is not None:
-        state_sh = replicated(mesh)
+        state_sh = state_shardings if state_shardings is not None \
+            else replicated(mesh)
         batch_sh = batch_sharding(
             mesh, accum_leading=extra_leading or forward_times > 1)
+        # metrics out: replicated scalars
+        metrics_sh = replicated(mesh)
         return jax.jit(fn, in_shardings=(state_sh, batch_sh),
-                       out_shardings=(state_sh, state_sh),
+                       out_shardings=(state_sh, metrics_sh),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
                      forward_times: int = 1, mesh=None,
-                     rng_seed: int = 0, donate: bool = True) -> Callable:
+                     rng_seed: int = 0, donate: bool = True,
+                     state_shardings=None) -> Callable:
     """Build the jitted ``(state, batch) -> (state, metrics)`` function.
 
     ``batch`` is a pytree whose leaves have leading dim ``forward_times``
     (microbatch axis) when ``forward_times > 1``, else plain batch leaves.
-    With ``mesh``, state is replicated and the batch dim sharded on 'data'.
+    With ``mesh``, state is replicated and the batch dim sharded on 'data';
+    pass ``state_shardings`` (e.g. from
+    :func:`ever_tpu.parallel.zero.zero_init`) to shard optimizer state /
+    params ZeRO-style instead.
     """
     step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
-    return _jit_with_shardings(step_fn, mesh, forward_times, donate)
+    return _jit_with_shardings(step_fn, mesh, forward_times, donate,
+                               state_shardings=state_shardings)
 
 
 def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
                      steps_per_loop: int = 1, forward_times: int = 1,
                      mesh=None, rng_seed: int = 0,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True, state_shardings=None) -> Callable:
     """K optimizer steps per dispatch: ``(state, batches) -> (state, metrics)``.
 
     ``batches`` is a pytree whose leaves carry a leading ``steps_per_loop``
@@ -196,9 +204,11 @@ def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
         return state, metrics
 
     if steps_per_loop == 1:
-        return _jit_with_shardings(step_fn, mesh, forward_times, donate)
+        return _jit_with_shardings(step_fn, mesh, forward_times, donate,
+                                   state_shardings=state_shardings)
     return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
-                               extra_leading=True)
+                               extra_leading=True,
+                               state_shardings=state_shardings)
 
 
 def build_eval_step(model, mesh=None) -> Callable:

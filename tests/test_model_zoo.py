@@ -238,8 +238,13 @@ def test_resnest_encoder():
     assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
 
 
-def test_s2d_stem_exact_fold():
-    """S2DStemConv == 7x7/2 conv with torch-style (3,3) padding, exactly."""
+@pytest.mark.parametrize('mode', ['s2d', 's2dw', 's2d3'])
+def test_s2d_stem_exact_fold(mode):
+    """S2DStemConv == 7x7/2 conv with torch-style (3,3) padding, exactly.
+
+    All modes (explicit s2d, pure-view W-blocking, pure-view 3-spatial)
+    compute the identical function from the same [7,7,C,F] parameter.
+    """
     import jax
     from ever_tpu.module.resnet import S2DStemConv
     rng = np.random.default_rng(0)
@@ -248,9 +253,26 @@ def test_s2d_stem_exact_fold():
     ref = jax.lax.conv_general_dilated(
         x, w, (2, 2), ((3, 3), (3, 3)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    out = S2DStemConv(features=16).apply({'params': {'kernel': w}}, x)
+    out = S2DStemConv(features=16, mode=mode).apply({'params': {'kernel': w}}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+    # gradients w.r.t. input and kernel match the plain conv's too
+    def f_ref(xx, ww):
+        return jnp.sum(jax.lax.conv_general_dilated(
+            xx, ww, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) ** 2)
+
+    def f_out(xx, ww):
+        return jnp.sum(S2DStemConv(features=16, mode=mode).apply(
+            {'params': {'kernel': ww}}, xx) ** 2)
+
+    gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    gx_o, gw_o = jax.grad(f_out, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_o), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_resnet_s2d_stem_variant_same_params():

@@ -76,3 +76,31 @@ def test_integer_nearest_upsample_fast_path_matches_jax_image():
     ref = jax.image.resize(x, (2, 12, 9, 5), method='bilinear')
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_max_pool_custom_vjp_matches_reduce_window():
+    """values exactly equal nn.max_pool; grads equal wherever maxes are
+    unique (random floats -> unique a.e.)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.module.ops import max_pool
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
+
+    ref_fn = lambda a: nn.max_pool(a, (3, 3), (2, 2), ((1, 1), (1, 1)))
+    out = max_pool(x, 3, 2, 'SAME')
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_fn(x)))
+
+    w = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    g_ref = jax.grad(lambda a: jnp.sum(ref_fn(a) * w))(x)
+    g_got = jax.grad(lambda a: jnp.sum(max_pool(a, 3, 2, 'SAME') * w))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # odd sizes / other windows fall back to nn.max_pool
+    x2 = jnp.asarray(rng.normal(size=(1, 15, 15, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool(x2, 3, 2, 'SAME')),
+        np.asarray(nn.max_pool(x2, (3, 3), (2, 2), 'SAME')))
