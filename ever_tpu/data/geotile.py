@@ -128,6 +128,57 @@ class GeoTileDataset(ERDataset):
     def __len__(self) -> int:
         return len(self._index)
 
+    def read_batch(self, indices):
+        """Batched fetch fast path (used by ``DataLoader`` when present).
+
+        When every requested patch comes from uint8 scenes and there are no
+        python transforms, the whole batch is gathered by ONE native call
+        per scene (``ever_tpu.native.extract_tiles`` — parallel memcpy rows,
+        GIL released), then converted vectorized.  Returns
+        ``NotImplemented`` when the conditions don't hold, so the caller
+        falls back to the per-item path (identical results).
+        """
+        if self.config.get('transforms', None):
+            return NotImplemented
+        k = int(self.config.patch_size)
+        items = [self._index[int(i)] for i in indices]
+        by_scene = {}
+        for pos, (si, x0, y0) in enumerate(items):
+            by_scene.setdefault(si, []).append((pos, x0, y0))
+        n = len(items)
+        if len({self.scene_pairs[si][1] is not None for si in by_scene}) > 1:
+            return NotImplemented   # mixed with/without-mask scenes
+        masks = None
+        img_out = None
+        from ever_tpu.native import extract_tiles
+        for si, entries in by_scene.items():
+            img_path, mask_path = self.scene_pairs[si]
+            scene = self._cache.get(img_path)
+            if not (isinstance(scene, np.ndarray) and scene.dtype == np.uint8
+                    and scene.flags['C_CONTIGUOUS']):
+                return NotImplemented
+            mask_scene = None
+            if mask_path is not None:
+                mask_scene = self._cache.get(mask_path)
+                if not (isinstance(mask_scene, np.ndarray)
+                        and mask_scene.dtype == np.uint8
+                        and mask_scene.flags['C_CONTIGUOUS']):
+                    return NotImplemented
+            if img_out is None:
+                c = scene.shape[2] if scene.ndim == 3 else 1
+                img_out = np.empty((n, k, k, c), np.uint8)
+                if mask_path is not None:
+                    masks = np.empty((n, k, k, 1), np.uint8)
+            boxes = np.asarray([(y0, x0) for _, x0, y0 in entries], np.int64)
+            pos = [p for p, _, _ in entries]
+            img_out[pos] = extract_tiles(scene, boxes, None, (k, k))
+            if mask_scene is not None:
+                masks[pos] = extract_tiles(mask_scene, boxes, None, (k, k))
+        images = img_out.astype(np.float32)
+        if masks is None:
+            return images
+        return images, masks[..., 0].astype(np.int32)
+
     def __getitem__(self, idx: int):
         si, x0, y0 = self._index[int(idx)]
         img_path, mask_path = self.scene_pairs[si]

@@ -82,6 +82,13 @@ class DataLoader:
             yield batch
 
     def _fetch(self, indices: list) -> Any:
+        # datasets may expose a batched fast path (e.g. GeoTileDataset's
+        # native tile gather); NotImplemented falls back to per-item fetch
+        rb = getattr(self.dataset, 'read_batch', None)
+        if rb is not None:
+            out = rb(indices)
+            if out is not NotImplemented:
+                return out
         return self.collate_fn([self.dataset[i] for i in indices])
 
     def __iter__(self):

@@ -179,20 +179,25 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
 
 @jax.custom_vjp
 def _max_pool_32(x):
-    """3x3/2 SAME maxpool with a fusion-friendly backward.
+    """3x3/2 SAME maxpool with an equality-based backward (EXPERIMENT — lost).
 
     XLA's default backward for ``reduce_window(max)`` is
-    ``select_and_scatter`` — a windowed serialized scatter that profiles at
-    ~0.5 ms for the ResNet stem pool (256²x64 bf16, batch 8) on v5e.  This
-    custom VJP instead routes ``g`` to every input position that EQUALS its
-    window max, expressed as nine strided slice/compare/interior-pad terms —
-    all data-parallel elementwise work XLA fuses into one pass.
+    ``select_and_scatter`` (~0.54 ms for the ResNet stem pool, 256²x64 bf16
+    batch 8, v5e).  This custom VJP routes ``g`` to every input position that
+    EQUALS its window max via output-resolution parity-plane terms.
+
+    MEASURED SLOWER: FarSeg-R50 step 33.7 → 36.8 ms.  The select_and_scatter
+    it removes (-0.54 ms) is outweighed by the plane interleave copies
+    (+0.81 ms ``copy``), un-fused maximum/compare/pad_slice fusions
+    (+1.6 ms), and extra scan ``while`` overhead.  A first version using
+    interior ``lax.pad`` scatters was far worse still (+20 ms/step — interior
+    pads of hot tensors always materialize).  Kept opt-in
+    (``max_pool(..., impl='planes')``) for the record; default stays
+    ``reduce_window``.
 
     Semantics: identical values; gradients identical wherever the window max
-    is unique (a.e. for float inputs — in this codebase the pool runs on BN
-    output, pre-relu, so exact ties have measure zero).  At an exact tie the
-    reference implementations pick one winner; this sends ``g`` to each
-    tied position.
+    is unique (a.e. for float inputs).  At an exact tie the reference picks
+    one winner; this sends ``g`` to each tied position.
     """
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)))
@@ -244,9 +249,11 @@ def _max_pool_32_bwd(res, g):
 _max_pool_32.defvjp(_max_pool_32_fwd, _max_pool_32_bwd)
 
 
-def max_pool(x, window=3, stride=2, padding='SAME'):
+def max_pool(x, window=3, stride=2, padding='SAME', impl='reduce_window'):
     w, s = _pair(window), _pair(stride)
-    if (w == (3, 3) and s == (2, 2) and padding in ('SAME', ((1, 1), (1, 1)))
+    if (impl == 'planes'
+            and w == (3, 3) and s == (2, 2)
+            and padding in ('SAME', ((1, 1), (1, 1)))
             and x.ndim == 4 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and jnp.issubdtype(x.dtype, jnp.floating)):
         # SAME == ((1,1),(1,1)) for even H,W at stride 2

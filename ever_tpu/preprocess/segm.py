@@ -252,7 +252,12 @@ class FixedPad:
 
 
 class MeanStdNormalize:
-    """0-255-space normalization (parity: ``thcomm.THMeanStdNormalize``)."""
+    """0-255-space normalization (parity: ``thcomm.THMeanStdNormalize``).
+
+    uint8 inputs take the native fused normalize+cast kernel
+    (``ever_tpu.native.normalize_u8`` — one pass, GIL released, threads);
+    other dtypes use numpy.  Identical outputs (``tests/test_native.py``).
+    """
 
     def __init__(self, mean=None, std=None):
         from ever_tpu.preprocess.function import IMAGENET_MEAN, IMAGENET_STD
@@ -260,7 +265,11 @@ class MeanStdNormalize:
         self.std = np.asarray(std if std is not None else IMAGENET_STD, np.float32)
 
     def __call__(self, image, mask=None):
-        return (np.asarray(image, np.float32) - self.mean) / self.std, mask
+        image = np.asarray(image)
+        if image.dtype == np.uint8 and image.ndim >= 3 and image.shape[-1] <= 64:
+            from ever_tpu.native import normalize_u8
+            return normalize_u8(image, self.mean, self.std), mask
+        return (image.astype(np.float32) - self.mean) / self.std, mask
 
 
 class ChannelFirstToLast:

@@ -60,3 +60,34 @@ def test_geotile_mismatch_raises(tmp_path):
         GeoTileDataset(dict(image_glob=str(tmp_path / '*_img.png'),
                             mask_glob=str(tmp_path / 'nope*.png') if False else
                             str(tmp_path / '*unmatched*.png')))
+
+
+def test_geotile_read_batch_fast_path_matches_per_item(tmp_path):
+    """DataLoader uses GeoTileDataset.read_batch (native batched tile
+    gather) when scenes are uint8 and there are no transforms; results must
+    equal the per-item path exactly."""
+    from ever_tpu.data.loader import DataLoader, default_collate
+    _make_scene(tmp_path, 'd', 100, 130)
+    _make_scene(tmp_path, 'e', 64, 64)
+    ds = GeoTileDataset(dict(
+        image_glob=str(tmp_path / '*_img.png'),
+        mask_glob=str(tmp_path / '*_mask.png'),
+        patch_size=64, stride=48))
+    idxs = list(range(len(ds)))
+    fast = ds.read_batch(idxs)
+    assert fast is not NotImplemented
+    ref = default_collate([ds[i] for i in idxs])
+    np.testing.assert_array_equal(fast[0], ref[0])
+    np.testing.assert_array_equal(fast[1], ref[1])
+    assert fast[0].dtype == np.float32 and fast[1].dtype == np.int32
+
+    batch = next(iter(DataLoader(ds, batch_size=len(ds))))
+    np.testing.assert_array_equal(batch[0], ref[0])
+
+    # with python transforms the fast path declines
+    ds2 = GeoTileDataset(dict(
+        image_glob=str(tmp_path / 'd_img.png'),
+        mask_glob=str(tmp_path / 'd_mask.png'),
+        patch_size=64, stride=48,
+        transforms=[lambda im, m: (im, m)]))
+    assert ds2.read_batch([0]) is NotImplemented

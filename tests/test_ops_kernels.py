@@ -90,16 +90,17 @@ def test_max_pool_custom_vjp_matches_reduce_window():
     x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
 
     ref_fn = lambda a: nn.max_pool(a, (3, 3), (2, 2), ((1, 1), (1, 1)))
-    out = max_pool(x, 3, 2, 'SAME')
+    out = max_pool(x, 3, 2, 'SAME', impl='planes')
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_fn(x)))
 
     w = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
     g_ref = jax.grad(lambda a: jnp.sum(ref_fn(a) * w))(x)
-    g_got = jax.grad(lambda a: jnp.sum(max_pool(a, 3, 2, 'SAME') * w))(x)
+    g_got = jax.grad(
+        lambda a: jnp.sum(max_pool(a, 3, 2, 'SAME', impl='planes') * w))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
 
-    # odd sizes / other windows fall back to nn.max_pool
+    # default impl and odd sizes use nn.max_pool
     x2 = jnp.asarray(rng.normal(size=(1, 15, 15, 3)).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(max_pool(x2, 3, 2, 'SAME')),
