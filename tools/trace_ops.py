@@ -70,13 +70,28 @@ def device_events(events: list[dict]) -> list[dict]:
 GROUP_RE = re.compile(r'\.\d+$|__\d+$|_\d+$')
 
 
-def table(events: list[dict], group: bool) -> list[tuple[str, float, int]]:
+def _key(e: dict, by: str, group: bool) -> str:
+    name = e.get('name', '?')
+    if group:
+        name = GROUP_RE.sub('', name)
+    if by == 'name':
+        return name
+    args = e.get('args', {})
+    if by == 'source':
+        src = args.get('source', '') or '<no source>'
+        if isinstance(src, str):
+            src = src.split(';')[0]
+        return f'{name} @ {src}'
+    if by == 'shape':
+        return f'{name} {args.get("shape_with_layout", "?")}'
+    raise ValueError(by)
+
+
+def table(events: list[dict], group: bool, by: str = 'name'
+          ) -> list[tuple[str, float, int]]:
     agg: dict[str, list[float]] = collections.defaultdict(lambda: [0.0, 0])
     for e in events:
-        name = e.get('name', '?')
-        if group:
-            name = GROUP_RE.sub('', name)
-        a = agg[name]
+        a = agg[_key(e, by, group)]
         a[0] += e.get('dur', 0.0)
         a[1] += 1
     return sorted(((k, v[0], v[1]) for k, v in agg.items()),
@@ -88,13 +103,17 @@ def main(argv=None):
     ap.add_argument('root')
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--group', action='store_true')
+    ap.add_argument('--by', choices=('name', 'source', 'shape'),
+                    default='name',
+                    help='aggregate by op name, HLO source file:line, or '
+                         'op name + output shape')
     ap.add_argument('--json', action='store_true',
                     help='dump full table as JSON (for diff_prof.py)')
     args = ap.parse_args(argv)
 
     path = find_trace(args.root)
     evs = device_events(load_events(path))
-    rows = table(evs, args.group)
+    rows = table(evs, args.group, args.by)
     total = sum(r[1] for r in rows)
     if args.json:
         json.dump({'trace': path, 'total_us': total,
