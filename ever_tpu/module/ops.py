@@ -249,15 +249,41 @@ def _max_pool_32_bwd(res, g):
 _max_pool_32.defvjp(_max_pool_32_fwd, _max_pool_32_bwd)
 
 
+@jax.custom_vjp
+def _max_pool_32_p(x):
+    """3x3/2 SAME maxpool; backward = one-pass Pallas kernel
+    (``ever_tpu/ops/pool.py`` — same equality tie semantics as 'planes')."""
+    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))
+
+
+def _max_pool_32_p_fwd(x):
+    out = _max_pool_32_p(x)
+    return out, (x, out)
+
+
+def _max_pool_32_p_bwd(res, g):
+    from ever_tpu.ops.pool import max_pool_32_pallas
+    x, out = res
+    interpret = jax.devices()[0].platform != 'tpu'
+    return (max_pool_32_pallas(x, out, g, interpret=interpret),)
+
+
+_max_pool_32_p.defvjp(_max_pool_32_p_fwd, _max_pool_32_p_bwd)
+
+
 def max_pool(x, window=3, stride=2, padding='SAME', impl='reduce_window'):
     w, s = _pair(window), _pair(stride)
-    if (impl == 'planes'
+    # NOTE: lax 'SAME' pads (0, 1) for window 3 / stride 2 — NOT the
+    # torch-style symmetric ((1,1),(1,1)) the custom impls implement, so
+    # the string never routes to them (the ResNet stem passes explicit
+    # symmetric padding, ``resnet.py`` stem call site)
+    if (impl in ('planes', 'pallas')
             and w == (3, 3) and s == (2, 2)
-            and padding in ('SAME', ((1, 1), (1, 1)))
+            and padding == ((1, 1), (1, 1))
             and x.ndim == 4 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and jnp.issubdtype(x.dtype, jnp.floating)):
-        # SAME == ((1,1),(1,1)) for even H,W at stride 2
-        return _max_pool_32(x)
+        return _max_pool_32_p(x) if impl == 'pallas' else _max_pool_32(x)
     return nn.max_pool(x, window_shape=w, strides=s, padding=padding)
 
 

@@ -20,8 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ['make_mesh', 'replicated', 'batch_sharding', 'host_to_global',
-           'Mesh', 'NamedSharding', 'P']
+__all__ = ['make_mesh', 'make_hybrid_mesh', 'replicated', 'batch_sharding',
+           'host_to_global', 'Mesh', 'NamedSharding', 'P']
 
 
 def make_mesh(axes: Sequence[str] = ('data',),
@@ -41,6 +41,35 @@ def make_mesh(axes: Sequence[str] = ('data',),
         raise ValueError(f'mesh shape {shape} does not cover {n} devices')
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axes))
+
+
+def make_hybrid_mesh(ici_axes: Sequence[str] = ('data',),
+                     ici_shape: Optional[Sequence[int]] = None,
+                     dcn_axis: str = 'replica') -> Mesh:
+    """Mesh for multi-slice pods: ``dcn_axis`` spans slices (DCN), the
+    remaining axes live within a slice (ICI).
+
+    Lay out shardings so the heavy collectives (gradient psum within a
+    replica group, tp/pp hops) ride ICI and only the cross-replica gradient
+    reduction crosses DCN.  Uses ``mesh_utils.create_hybrid_device_mesh``
+    when more than one slice is attached; degrades to :func:`make_mesh`
+    (dcn axis of size 1) on a single slice or CPU so code is portable from
+    dev boxes to pods.
+    """
+    devices = jax.devices()
+    num_slices = len({getattr(d, 'slice_index', 0) for d in devices})
+    if ici_shape is None:
+        per_slice = len(devices) // num_slices
+        ici_shape = [per_slice] + [1] * (len(ici_axes) - 1)
+    if num_slices == 1:
+        return make_mesh((dcn_axis, *ici_axes), shape=(1, *ici_shape))
+    from jax.experimental import mesh_utils
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=tuple(ici_shape), dcn_mesh_shape=(num_slices,) + (1,) * (len(ici_shape) - 1),
+        devices=devices)
+    # hybrid mesh comes back [dcn * ici_0, ici_1, ...]; lead with the dcn axis
+    dev_array = dev_array.reshape((num_slices, *ici_shape))
+    return Mesh(dev_array, (dcn_axis, *ici_axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

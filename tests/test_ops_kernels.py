@@ -90,13 +90,13 @@ def test_max_pool_custom_vjp_matches_reduce_window():
     x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
 
     ref_fn = lambda a: nn.max_pool(a, (3, 3), (2, 2), ((1, 1), (1, 1)))
-    out = max_pool(x, 3, 2, 'SAME', impl='planes')
+    out = max_pool(x, 3, 2, ((1, 1), (1, 1)), impl='planes')
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_fn(x)))
 
     w = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
     g_ref = jax.grad(lambda a: jnp.sum(ref_fn(a) * w))(x)
     g_got = jax.grad(
-        lambda a: jnp.sum(max_pool(a, 3, 2, 'SAME', impl='planes') * w))(x)
+        lambda a: jnp.sum(max_pool(a, 3, 2, ((1, 1), (1, 1)), impl='planes') * w))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
 
@@ -105,3 +105,25 @@ def test_max_pool_custom_vjp_matches_reduce_window():
     np.testing.assert_array_equal(
         np.asarray(max_pool(x2, 3, 2, 'SAME')),
         np.asarray(nn.max_pool(x2, (3, 3), (2, 2), 'SAME')))
+
+
+@pytest.mark.parametrize('shape', [(2, 64, 48, 5), (1, 30, 22, 3)])
+def test_max_pool_pallas_impl_matches_reduce_window(shape):
+    """impl='pallas' (one-pass Pallas backward, interpret mode on CPU)
+    matches the select_and_scatter gradient for untied inputs."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.module.ops import max_pool
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ref_fn = lambda a: nn.max_pool(a, (3, 3), (2, 2), ((1, 1), (1, 1)))
+    out = max_pool(x, 3, 2, ((1, 1), (1, 1)), impl='pallas')
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_fn(x)))
+    w = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    g_ref = jax.grad(lambda a: jnp.sum(ref_fn(a) * w))(x)
+    g_got = jax.grad(
+        lambda a: jnp.sum(max_pool(a, 3, 2, ((1, 1), (1, 1)), impl='pallas') * w))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)

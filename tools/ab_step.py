@@ -33,13 +33,14 @@ def main():
     from ever_tpu.parallel.spmd import build_train_loop, create_train_state
 
     VARIANTS = {
-        # name -> (farseg param overrides, use_legacy_maxpool)
-        's2d_legacymp': (dict(stem='s2d'), True),
-        's2dw_legacymp': (dict(stem='s2dw'), True),
-        's2d3_legacymp': (dict(stem='s2d3'), True),
-        's2d': (dict(stem='s2d'), False),
-        's2dw': (dict(stem='s2dw'), False),
-        's2d3': (dict(stem='s2d3'), False),
+        # name -> (farseg param overrides, maxpool impl)
+        's2d_legacymp': (dict(stem='s2d'), 'reduce_window'),
+        's2dw_legacymp': (dict(stem='s2dw'), 'reduce_window'),
+        's2d3_legacymp': (dict(stem='s2d3'), 'reduce_window'),
+        's2d': (dict(stem='s2d'), 'planes'),
+        's2dw': (dict(stem='s2dw'), 'planes'),
+        's2d3': (dict(stem='s2d3'), 'planes'),
+        's2d_pallasmp': (dict(stem='s2d'), 'pallas'),
     }
     names = args.variants or list(VARIANTS)
 
@@ -54,20 +55,15 @@ def main():
         {'type': 'sgd', 'params': dict(momentum=0.9)})
     tx = factory.build(schedule)
 
-    import flax.linen as nn
+    from functools import partial
+
     from ever_tpu.module import ops as _ops
     from ever_tpu.module import resnet as _resnet
-    fast_mp = _resnet.max_pool
-
-    def legacy_mp(a, window=3, stride=2, padding='SAME'):
-        w = (window, window) if isinstance(window, int) else window
-        s = (stride, stride) if isinstance(stride, int) else stride
-        return nn.max_pool(a, window_shape=w, strides=s, padding=padding)
 
     results = {}
     for name in names:
-        over, legacy = VARIANTS[name]
-        _resnet.max_pool = legacy_mp if legacy else fast_mp
+        over, mp_impl = VARIANTS[name]
+        _resnet.max_pool = partial(_ops.max_pool, impl=mp_impl)
         model = builder.make_model({'type': 'FarSeg', 'params': dict(
             encoder=dict(resnet_type='resnet50', **over),
             classes=7, dtype='bfloat16')})
