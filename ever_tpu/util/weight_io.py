@@ -26,7 +26,7 @@ logger = logging.getLogger('ever_tpu.weight_io')
 __all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
            'convert_torch_resnet', 'convert_torch_densenet',
            'convert_torch_dinov3_vit', 'convert_torch_hrnet',
-           'patch_first_conv']
+           'convert_torch_convnext', 'patch_first_conv']
 
 
 def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
@@ -349,6 +349,68 @@ def convert_torch_hrnet(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
     return flat
 
 
+_TORCH_CONVNEXT_BLOCK_RE = re.compile(
+    r'^stages\.(\d)\.(\d+)\.(dwconv|norm|pwconv1|pwconv2|gamma)(?:\.(.+))?$')
+
+
+def convert_torch_convnext(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """DINOv3-vendored ConvNeXt state_dict → flat tree matching
+    ``ever_tpu.module.convnext.ConvNeXt``.
+
+    Parity: ``ever/module/dinov3/models/convnext.py:116-192`` —
+    ``downsample_layers.0`` = (stem conv 4x4/4, LN); ``downsample_layers.s``
+    (s>=1) = (LN, conv 2x2/2); ``stages.s.b`` = dw7x7 → LN → Linear 4x →
+    Linear → gamma.  Convs transpose OIHW→HWIO (depthwise [D,1,7,7] →
+    [7,7,1,D]); Linears transpose [out,in]→[in,out].  The final token-path
+    ``norm`` (applied to pooled tokens in the DINO head, not the trunk
+    features) is dropped.
+    """
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.match(r'^downsample_layers\.(\d)\.([01])\.(weight|bias)$', k)
+        if m:
+            s, idx, leaf = m.groups()
+            s = int(s)
+            if s == 0:
+                name = 'stem_conv' if idx == '0' else 'stem_norm'
+                is_conv = idx == '0'
+            else:
+                name = f'down{s}_norm' if idx == '0' else f'down{s}_conv'
+                is_conv = idx == '1'
+            if is_conv:
+                key = 'kernel' if leaf == 'weight' else 'bias'
+                val = np.transpose(v, (2, 3, 1, 0)) if leaf == 'weight' else v
+            else:
+                key = 'scale' if leaf == 'weight' else 'bias'
+                val = v
+            flat[f'params/{name}/{key}'] = val
+            continue
+        m = _TORCH_CONVNEXT_BLOCK_RE.match(k)
+        if m:
+            s, b, part, leaf = m.groups()
+            base = f'params/stage{s}_block{b}'
+            if part == 'gamma':
+                flat[f'{base}/gamma/gamma'] = v
+            elif part == 'dwconv':
+                if leaf == 'weight':
+                    flat[f'{base}/dwconv/kernel'] = np.transpose(v, (2, 3, 1, 0))
+                else:
+                    flat[f'{base}/dwconv/bias'] = v
+            elif part == 'norm':
+                flat[f'{base}/norm/{"scale" if leaf == "weight" else "bias"}'] = v
+            else:  # pwconv1/2 are torch Linears
+                if leaf == 'weight':
+                    flat[f'{base}/{part}/kernel'] = v.T
+                else:
+                    flat[f'{base}/{part}/bias'] = v
+            continue
+        if k.startswith('norm.') or k.startswith('head.'):
+            continue
+        logger.debug('unmapped convnext key: %s', k)
+    return flat
+
+
 def convert_torch_farseg_head(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Reference ``FarSegHead`` state_dict → flat tree matching
     ``ever_tpu.module.fs_relation.FarSegHead``.
@@ -464,6 +526,8 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
             return convert_torch_dinov3_vit(sd)
         if any('fuse_layers' in k for k in sd):
             return convert_torch_hrnet(sd)
+        if any(k.startswith('downsample_layers.') for k in sd):
+            return convert_torch_convnext(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):

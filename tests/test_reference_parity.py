@@ -438,3 +438,47 @@ def test_train_trajectory_matches_reference(tmp_path):
         j_losses.append(float(metrics['cls_loss']))
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3, atol=5e-4)
+
+
+def test_convnext_encoder_matches_reference(tmp_path):
+    """DINOv3-vendored ConvNeXt trunk with transplanted weights: patchify
+    stem, pre-LN downsampling, dw7x7/LN/MLP/LayerScale blocks — per-stage
+    features match the torch reference (``dinov3/models/convnext.py``)."""
+    _import_reference()
+    from ever.module.dinov3.models.convnext import ConvNeXt as TorchConvNeXt
+
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.module.convnext import ConvNeXt
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    depths, dims = (2, 2, 2, 2), (16, 32, 64, 128)
+    ref = TorchConvNeXt(depths=list(depths), dims=list(dims)).eval()
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+        ref_feats = []
+        for i in range(4):
+            x = ref.stages[i](ref.downsample_layers[i](x))
+            ref_feats.append(np.transpose(x.numpy(), (0, 2, 3, 1)))
+
+    pth = tmp_path / 'convnext.pth'
+    torch.save(ref.state_dict(), str(pth))
+
+    from ever_tpu.module import convnext as cn
+    cn.CONVNEXT_SPECS['convnext_test'] = (depths, dims)
+    try:
+        ours = ConvNeXt(model_name='convnext_test')
+        variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(img))
+        params, _ = weight_io.load_weights(str(pth), variables['params'],
+                                           log=False)
+        feats = ours.apply({'params': params}, jnp.asarray(img))
+    finally:
+        del cn.CONVNEXT_SPECS['convnext_test']
+
+    for i, (got, want) in enumerate(zip(feats, ref_feats)):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
+                                   atol=2e-3, err_msg=f'stage {i}')
