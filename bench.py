@@ -44,10 +44,14 @@ def main():
     batch = 8 * n_chips if on_tpu else n_chips
     steps = 20 if on_tpu else 3
 
+    # stem='s2d_input': the exact space-to-depth fold of the 7x7/2 conv
+    # (same parameters, same outputs, ~3x faster stem on the MXU), with the
+    # 2x2 block layout produced by the HOST pipeline (preprocess.SpaceToDepth
+    # during batch assembly — free there, 0.7 ms/step as a device transpose).
+    # Inference keeps stem='s2d' (tiles are gathered on device from a scene).
     model = builder.make_model({'type': 'FarSeg', 'params': dict(
-        # stem='s2d' is the exact space-to-depth fold of the 7x7/2 conv —
-        # same parameters, same outputs, ~3x faster stem on the MXU
-        encoder=dict(resnet_type='resnet50', stem='s2d'),
+        encoder=dict(resnet_type='resnet50',
+                     stem='s2d_input' if on_tpu else 's2d'),
         classes=7,
         dtype='bfloat16' if on_tpu else 'float32',
     )})
@@ -65,6 +69,12 @@ def main():
     in_dt = np.float32 if not on_tpu else jnp.bfloat16
     x = rng.normal(size=(batch, tile, tile, 3)).astype(in_dt)
     y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+    if on_tpu:
+        # host-side 2x2 space-to-depth (preprocess.SpaceToDepth semantics)
+        xs = np.asarray(x, np.float32).reshape(
+            batch, tile // 2, 2, tile // 2, 2, 3)
+        x = np.ascontiguousarray(xs.transpose(0, 1, 3, 2, 4, 5)).reshape(
+            batch, tile // 2, tile // 2, 12).astype(in_dt)
 
     state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
     if mesh is not None:
@@ -120,9 +130,13 @@ def main():
     if on_tpu and n_chips == 1:
         from ever_tpu.magic.tiled import tiled_inference
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        # same params, raw-layout stem for on-device tile gathering
+        infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
+            encoder=dict(resnet_type='resnet50', stem='s2d'),
+            classes=7, dtype='bfloat16')})
 
         def predict(tiles):
-            return model.apply(variables, tiles, train=False)
+            return infer_model.apply(variables, tiles, train=False)
 
         # bf16 scene staging (model computes bf16 anyway; halves gather
         # traffic) + tile_batch=8 measured best on v5e (tools/infer_grid.py:

@@ -103,6 +103,13 @@ class S2DStemConv(nn.Module):
     0.45 ms input transpose (trace: ``copy`` 14.8 → 10.3 ms/10 steps) but
     XLA lowers the C_in=6 strided conv forms worse (fusion +0.9 ms/step),
     so the explicit s2d copy stays the default recommendation.
+
+    - ``s2d_input``: the INPUT arrives already space-to-depth'd
+      ([B,H/2,W/2,4*Cin], channel order ``(dy*2+dx)*Cin + c`` — what the
+      host data pipeline produces with :func:`space_to_depth` semantics or
+      ``preprocess.SpaceToDepth``).  Same folded conv, no device-side
+      rearrangement at all; ``in_channels`` config still means the ORIGINAL
+      channel count (the [7,7,Cin,F] parameter is unchanged).
     """
 
     features: int = 64
@@ -111,7 +118,7 @@ class S2DStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.mode == 's2d_input' else x.shape[-1]
         n, h, w, _ = x.shape
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
@@ -139,7 +146,7 @@ class S2DStemConv(nn.Module):
         w8 = w8.reshape(4, 2, 4, 2, cin, self.features)
         w2 = jnp.transpose(w8, (0, 2, 1, 3, 4, 5)).reshape(
             4, 4, 4 * cin, self.features).astype(self.dtype)
-        s = space_to_depth(x, 2)
+        s = x if self.mode == 's2d_input' else space_to_depth(x, 2)
         return jax.lax.conv_general_dilated(
             s, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),

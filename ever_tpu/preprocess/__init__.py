@@ -20,5 +20,6 @@ from ever_tpu.preprocess.segm import (
     RandomScale,
     RandomTranspose,
     RandomVerticalFlip,
+    SpaceToDepth,
     ToArray,
 )

@@ -272,6 +272,27 @@ class MeanStdNormalize:
         return (image.astype(np.float32) - self.mean) / self.std, mask
 
 
+class SpaceToDepth:
+    """Host-side 2x2 space-to-depth: [H,W,C] → [H/2,W/2,4C].
+
+    Feeds encoders configured with ``stem='s2d_input'`` — the MXU-friendly
+    stem layout is produced for free during batch assembly instead of as a
+    device-side transpose (~0.55 ms/step at 512² b8 on v5e).  The mask is
+    untouched (labels stay at full resolution).
+    """
+
+    def __init__(self, block: int = 2):
+        self.block = int(block)
+
+    def __call__(self, image, mask=None):
+        b = self.block
+        image = np.asarray(image)
+        h, w, c = image.shape
+        image = image.reshape(h // b, b, w // b, b, c)
+        image = np.ascontiguousarray(image.transpose(0, 2, 1, 3, 4))
+        return image.reshape(h // b, w // b, b * b * c), mask
+
+
 class ChannelFirstToLast:
     """CHW → HWC adapter for reading NCHW sources (the NHWC analog of
     ``thcomm.THChannelFirst``)."""

@@ -309,3 +309,29 @@ def test_freenet_hyperspectral():
     probs = m.apply(v, x)
     assert probs.shape == (1, 64, 64, 16)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_s2d_input_stem_matches_device_s2d():
+    """stem='s2d_input' consuming host SpaceToDepth batches == stem='s2d'
+    on raw batches, exactly (same [7,7,C,F] parameter, no device copy)."""
+    import jax
+    from ever_tpu.module.resnet import ResNet, space_to_depth
+    from ever_tpu.preprocess import SpaceToDepth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    a = ResNet(resnet_type='resnet18', stem='s2d')
+    b = ResNet(resnet_type='resnet18', stem='s2d_input')
+    va = a.init({'params': jax.random.key(0)}, x)
+    fa = a.apply(va, x)
+
+    # host transform on each sample, then batch
+    t = SpaceToDepth()
+    xs = np.stack([t(np.asarray(x[i]))[0] for i in range(2)])
+    assert xs.shape == (2, 32, 32, 12)
+    np.testing.assert_allclose(np.asarray(space_to_depth(x, 2)), xs,
+                               rtol=1e-6, atol=1e-6)
+    fb = b.apply(va, jnp.asarray(xs))
+    for fa_i, fb_i in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(fa_i), np.asarray(fb_i),
+                                   rtol=1e-5, atol=1e-5)

@@ -22,6 +22,7 @@ def main():
     ap.add_argument('variants', nargs='*')
     ap.add_argument('--trace', default=None)
     ap.add_argument('--steps', type=int, default=4, help='timing loops of K=10')
+    ap.add_argument('--batch', type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -41,13 +42,18 @@ def main():
         's2dw': (dict(stem='s2dw'), 'planes'),
         's2d3': (dict(stem='s2d3'), 'planes'),
         's2d_pallasmp': (dict(stem='s2d'), 'pallas'),
+        's2d_input': (dict(stem='s2d_input'), 'reduce_window'),
     }
     names = args.variants or list(VARIANTS)
 
-    batch, tile, K = 8, 512, 10
+    batch, tile, K = args.batch, 512, 10
     rng = np.random.default_rng(0)
     x = rng.normal(size=(batch, tile, tile, 3)).astype(jnp.bfloat16)
     y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+    # pre-s2d staging for stem='s2d_input' (what a production loader emits)
+    xs = np.asarray(x, np.float32).reshape(batch, tile // 2, 2, tile // 2, 2, 3)
+    xs = np.ascontiguousarray(xs.transpose(0, 1, 3, 2, 4, 5)).reshape(
+        batch, tile // 2, tile // 2, 12).astype(jnp.bfloat16)
 
     schedule = builder.make_learningrate(
         {'type': 'poly', 'params': dict(base_lr=0.01, power=0.9, max_iters=1000)})
@@ -67,8 +73,9 @@ def main():
         model = builder.make_model({'type': 'FarSeg', 'params': dict(
             encoder=dict(resnet_type='resnet50', **over),
             classes=7, dtype='bfloat16')})
-        state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
-        data = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
+        xin = xs if over.get('stem') == 's2d_input' else x
+        state = create_train_state(model, tx, (xin, y), rng=jax.random.key(0))
+        data = jax.device_put((jnp.asarray(xin), jnp.asarray(y)))
         loop_data = jax.tree.map(
             lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), data)
         loop = build_train_loop(model, tx, schedule, steps_per_loop=K,
