@@ -20,8 +20,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ['HAS_NATIVE', 'extract_tiles', 'normalize_u8', 'to_bf16',
-           'd4_numpy']
+__all__ = ['HAS_NATIVE', 'extract_tiles', 'extract_tiles_s2d',
+           'normalize_u8', 'to_bf16', 'd4_numpy']
 
 _lib = None
 _tried = False
@@ -50,6 +50,9 @@ def _load():
         lib.ever_extract_tiles_u8.restype = ctypes.c_int
         lib.ever_extract_tiles_u8.argtypes = [
             u8, i64, i64, i64, i64p, i32p, i64, i64, i64, u8]
+        lib.ever_extract_tiles_s2d_u8.restype = ctypes.c_int
+        lib.ever_extract_tiles_s2d_u8.argtypes = [
+            u8, i64, i64, i64, i64p, i64, i64, i64, u8]
         lib.ever_normalize_u8_f32.restype = ctypes.c_int
         lib.ever_normalize_u8_f32.argtypes = [u8, i64, i64, f32, f32, f32]
         lib.ever_normalize_u8_bf16.restype = ctypes.c_int
@@ -115,6 +118,37 @@ def extract_tiles(scene: np.ndarray, boxes: np.ndarray,
             t = d4_numpy(t, int(codes[i]))
         out[i] = t
     return out
+
+
+def extract_tiles_s2d(scene: np.ndarray, boxes: np.ndarray,
+                      tile_hw=(512, 512)) -> np.ndarray:
+    """Gather N uint8 tiles in 2x2 space-to-depth layout
+    ``[N, th/2, tw/2, 4C]`` (what ``stem='s2d_input'`` encoders consume —
+    the fold costs nothing during the gather, vs ~0.7 ms/step as a device
+    transpose).  Channel order ``(dy*2+dx)*C + c`` matches
+    ``module.resnet.space_to_depth`` / ``preprocess.SpaceToDepth``."""
+    th, tw = int(tile_hw[0]), int(tile_hw[1])
+    scene = np.ascontiguousarray(scene)
+    if scene.ndim == 2:
+        scene = scene[..., None]
+    H, W, C = scene.shape
+    boxes = np.ascontiguousarray(boxes, dtype=np.int64).reshape(-1, 2)
+    n = len(boxes)
+    out = np.empty((n, th // 2, tw // 2, 4 * C), np.uint8)
+    lib = _load()
+    if lib is not None and scene.dtype == np.uint8:
+        rc = lib.ever_extract_tiles_s2d_u8(
+            _ptr(scene, ctypes.c_uint8), H, W, C,
+            _ptr(boxes, ctypes.c_int64), n, th, tw,
+            _ptr(out, ctypes.c_uint8))
+        if rc != 0:
+            raise ValueError(f'extract_tiles_s2d: bad boxes/dims (rc={rc})')
+        return out
+    # numpy fallback: plain gather then fold
+    tiles = extract_tiles(scene, boxes, None, (th, tw))
+    t6 = tiles.reshape(n, th // 2, 2, tw // 2, 2, C)
+    return np.ascontiguousarray(t6.transpose(0, 1, 3, 2, 4, 5)).reshape(
+        n, th // 2, tw // 2, 4 * C)
 
 
 def normalize_u8(img: np.ndarray, mean, std, dtype=np.float32) -> np.ndarray:

@@ -169,6 +169,38 @@ int ever_normalize_u8_bf16(const uint8_t* in, int64_t n_pixels, int64_t C,
   return 0;
 }
 
+// Gather N tiles and emit them in 2x2 space-to-depth layout
+// [N, th/2, tw/2, 4*C] (channel order (dy*2+dx)*C + c — the layout
+// ever_tpu encoders consume with stem='s2d_input').  No augmentation codes:
+// the s2d fold is applied after any geometric aug in the python pipeline.
+int ever_extract_tiles_s2d_u8(const uint8_t* scene, int64_t H, int64_t W,
+                              int64_t C, const int64_t* boxes, int64_t N,
+                              int64_t th, int64_t tw, uint8_t* out) {
+  if (!scene || !boxes || !out || C <= 0 || th <= 0 || tw <= 0) return -1;
+  if ((th | tw) & 1) return -5;  // tile dims must be even
+  for (int64_t i = 0; i < N; ++i) {
+    int64_t y0 = boxes[2 * i], x0 = boxes[2 * i + 1];
+    if (y0 < 0 || x0 < 0 || y0 + th > H || x0 + tw > W) return -2;
+  }
+  const int64_t oh = th / 2, ow = tw / 2, oc = 4 * C;
+  parallel_for(N, [=](int64_t i) {
+    int64_t y0 = boxes[2 * i], x0 = boxes[2 * i + 1];
+    uint8_t* dst = out + i * oh * ow * oc;
+    for (int64_t r = 0; r < oh; ++r) {
+      const uint8_t* row0 = scene + ((y0 + 2 * r) * W + x0) * C;
+      const uint8_t* row1 = row0 + W * C;
+      uint8_t* d = dst + r * ow * oc;
+      for (int64_t c2 = 0; c2 < ow; ++c2) {
+        // output channels: (0,0), (0,1), (1,0), (1,1) blocks of C
+        std::memcpy(d, row0 + 2 * c2 * C, 2 * C);        // dy=0: dx=0,1
+        std::memcpy(d + 2 * C, row1 + 2 * c2 * C, 2 * C);  // dy=1: dx=0,1
+        d += oc;
+      }
+    }
+  });
+  return 0;
+}
+
 // float32 -> bfloat16 bulk conversion (round-to-nearest-even).
 int ever_f32_to_bf16(const float* in, int64_t n, uint16_t* out) {
   if (!in || !out) return -1;

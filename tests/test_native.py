@@ -63,3 +63,23 @@ def test_to_bf16_round_to_nearest_even():
     x[:4] = [0.0, -0.0, 1e-40, 3.389e38]
     np.testing.assert_array_equal(to_bf16(x).view(np.uint16),
                                   x.astype(ml_dtypes.bfloat16).view(np.uint16))
+
+
+def test_extract_tiles_s2d_matches_fold():
+    """native s2d gather == plain gather + SpaceToDepth fold, bit-exact;
+    channel order matches module.resnet.space_to_depth."""
+    rng = np.random.default_rng(4)
+    scene = rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+    boxes = np.array([[0, 0], [10, 20], [32, 48]], np.int64)
+    got = native.extract_tiles_s2d(scene, boxes, tile_hw=(32, 32))
+    assert got.shape == (3, 16, 16, 12)
+    plain = extract_tiles(scene, boxes, None, (32, 32))
+    ref = plain.reshape(3, 16, 2, 16, 2, 3).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(3, 16, 16, 12)
+    np.testing.assert_array_equal(got, ref)
+
+    # same order the jnp stem fold expects
+    import jax.numpy as jnp
+    from ever_tpu.module.resnet import space_to_depth
+    jref = np.asarray(space_to_depth(jnp.asarray(plain.astype(np.float32)), 2))
+    np.testing.assert_array_equal(got.astype(np.float32), jref)
