@@ -47,13 +47,19 @@ class CheckPoint:
     CHECKPOINT_NAME = CHECKPOINT_NAME
 
     def __init__(self, launcher=None, backend: str = 'msgpack'):
-        """``backend``: 'msgpack' (single-file, default) or 'orbax'
-        (directory-per-checkpoint; for sharded/multi-host state at scale)."""
-        if backend not in ('msgpack', 'orbax'):
+        """``backend``: 'msgpack' (single-file, default), 'orbax'
+        (directory-per-checkpoint; for sharded/multi-host state at scale),
+        or 'orbax_async' (same format; the device→disk write overlaps
+        training — the step resumes as soon as arrays are snapshotted to
+        host, the serialize/flush runs on a background thread.  The next
+        ``save`` and :meth:`wait` barrier on the in-flight write; an atexit
+        hook guarantees the last one completes)."""
+        if backend not in ('msgpack', 'orbax', 'orbax_async'):
             raise ValueError(f'unknown checkpoint backend: {backend!r}')
         self.backend = backend
         self._launcher = launcher
         self._global_step = 0
+        self._async_ckptr = None
         self._json_log: Dict[str, Any] = {LASTCHECKPOINT: dict(step=0, name='')}
         self.init_checkpoint_info_from_launcher()
 
@@ -89,7 +95,7 @@ class CheckPoint:
             filename = self.get_checkpoint_name(self.global_step,
                                                 backend=self.backend)
         filepath = os.path.join(self._launcher.model_dir, filename)
-        if self.backend == 'orbax':
+        if self.backend.startswith('orbax'):
             self._save_orbax(filepath, state)
         else:
             ckpt = {
@@ -117,13 +123,26 @@ class CheckPoint:
     # -- orbax backend ---------------------------------------------------------
     def _save_orbax(self, dirpath: str, state) -> None:
         import orbax.checkpoint as ocp
-        ckptr = ocp.PyTreeCheckpointer()
         tree = {
             MODEL: dict(params=state.params, batch_stats=state.batch_stats),
             OPTIMIZER: state.opt_state,
             GLOBALSTEP: self.global_step,
         }
-        ckptr.save(os.path.abspath(dirpath), tree, force=True)
+        if self.backend == 'orbax_async':
+            if self._async_ckptr is None:
+                import atexit
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+                atexit.register(self.wait)
+            self._async_ckptr.wait_until_finished()   # previous in-flight save
+            self._async_ckptr.save(os.path.abspath(dirpath), tree, force=True)
+            return
+        ocp.PyTreeCheckpointer().save(os.path.abspath(dirpath), tree, force=True)
+
+    def wait(self) -> None:
+        """Barrier on an in-flight async checkpoint write (no-op otherwise)."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
 
     @staticmethod
     def _load_orbax(dirpath: str, template: Optional[dict] = None) -> dict:
@@ -187,7 +206,7 @@ class CheckPoint:
 
     @staticmethod
     def get_checkpoint_name(global_step: int, backend: str = 'msgpack') -> str:
-        if backend == 'orbax':
+        if backend.startswith('orbax'):
             return f'checkpoint-{global_step}'
         return f'checkpoint-{global_step}.ckpt'
 

@@ -84,6 +84,7 @@ class GeoTileDataset(ERDataset):
             stride=512,
             transforms=None,
             cache_scenes=4,
+            layout='hwc',        # 'hwc' | 's2d' (stem='s2d_input' encoders)
         ))
 
     def __init__(self, config=None):
@@ -140,6 +141,7 @@ class GeoTileDataset(ERDataset):
         """
         if self.config.get('transforms', None):
             return NotImplemented
+        s2d = self.config.get('layout', 'hwc') == 's2d'
         k = int(self.config.patch_size)
         items = [self._index[int(i)] for i in indices]
         by_scene = {}
@@ -166,12 +168,17 @@ class GeoTileDataset(ERDataset):
                     return NotImplemented
             if img_out is None:
                 c = scene.shape[2] if scene.ndim == 3 else 1
-                img_out = np.empty((n, k, k, c), np.uint8)
+                ishape = (n, k // 2, k // 2, 4 * c) if s2d else (n, k, k, c)
+                img_out = np.empty(ishape, np.uint8)
                 if mask_path is not None:
                     masks = np.empty((n, k, k, 1), np.uint8)
             boxes = np.asarray([(y0, x0) for _, x0, y0 in entries], np.int64)
             pos = [p for p, _, _ in entries]
-            img_out[pos] = extract_tiles(scene, boxes, None, (k, k))
+            if s2d:
+                from ever_tpu.native import extract_tiles_s2d
+                img_out[pos] = extract_tiles_s2d(scene, boxes, (k, k))
+            else:
+                img_out[pos] = extract_tiles(scene, boxes, None, (k, k))
             if mask_scene is not None:
                 masks[pos] = extract_tiles(mask_scene, boxes, None, (k, k))
         images = img_out.astype(np.float32)
@@ -195,6 +202,9 @@ class GeoTileDataset(ERDataset):
         if transforms:
             for t in transforms:
                 image, mask = t(image, mask)
+        if self.config.get('layout', 'hwc') == 's2d':
+            from ever_tpu.preprocess.segm import SpaceToDepth
+            image, mask = SpaceToDepth()(image, mask)
         if mask is None:
             return image
         return image, mask

@@ -91,3 +91,28 @@ def test_geotile_read_batch_fast_path_matches_per_item(tmp_path):
         patch_size=64, stride=48,
         transforms=[lambda im, m: (im, m)]))
     assert ds2.read_batch([0]) is NotImplemented
+
+
+def test_geotile_s2d_layout(tmp_path):
+    """layout='s2d' yields folded [k/2,k/2,4C] tiles on both the per-item
+    and the native batched path, equal to SpaceToDepth of the hwc tiles."""
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.preprocess.segm import SpaceToDepth
+    _make_scene(tmp_path, 'f', 96, 96)
+    common = dict(image_glob=str(tmp_path / 'f_img.png'),
+                  mask_glob=str(tmp_path / 'f_mask.png'),
+                  patch_size=64, stride=32)
+    ds_hwc = GeoTileDataset(dict(**common))
+    ds_s2d = GeoTileDataset(dict(**common, layout='s2d'))
+    assert len(ds_hwc) == len(ds_s2d)
+    img_h, mask_h = ds_hwc[1]
+    img_s, mask_s = ds_s2d[1]
+    ref, _ = SpaceToDepth()(img_h, None)
+    np.testing.assert_array_equal(img_s, ref)
+    np.testing.assert_array_equal(mask_s, mask_h)
+
+    fast = ds_s2d.read_batch(list(range(len(ds_s2d))))
+    assert fast is not NotImplemented
+    assert fast[0].shape == (len(ds_s2d), 32, 32, 12)
+    for i in range(len(ds_s2d)):
+        np.testing.assert_array_equal(fast[0][i], ds_s2d[i][0])

@@ -327,3 +327,36 @@ def test_trainer_steps_per_loop(tmp_path):
     launcher = result['launcher']
     assert launcher.global_step == 5
     assert int(launcher.state.step) == 5
+
+
+def test_async_orbax_checkpoint_roundtrip(tmp_path):
+    """backend='orbax_async' overlaps the disk write with training; wait()
+    barriers, and the restored tree equals the saved state."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core.checkpoint import CheckPoint
+    from ever_tpu.parallel.spmd import TrainState
+
+    state = TrainState(step=jnp.ones((), jnp.int32),
+                       params={'w': jnp.arange(6.0).reshape(2, 3)},
+                       batch_stats={'m': jnp.zeros((3,))},
+                       opt_state={'mom': jnp.full((2, 3), 0.5)})
+
+    class FakeLauncher:
+        model_dir = str(tmp_path)
+        logger = None
+    FakeLauncher.state = state
+
+    cp = CheckPoint(FakeLauncher(), backend='orbax_async')
+    cp.set_global_step(7)
+    cp.save()
+    cp.wait()
+    name = cp.get_checkpoint_name(7, backend='orbax_async')
+    loaded = CheckPoint.load(str(tmp_path / name))
+    np.testing.assert_array_equal(loaded['model']['params']['w'],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(loaded['opt']['mom'], np.full((2, 3), 0.5))
+    assert int(np.asarray(loaded['global_step'])) == 7
+    # checkpoint_info.json records it as last
+    info = CheckPoint.load_checkpoint_info(str(tmp_path))
+    assert info['last'] == {'step': 7, 'name': name}
