@@ -85,6 +85,8 @@ class GeoTileDataset(ERDataset):
             transforms=None,
             cache_scenes=4,
             layout='hwc',        # 'hwc' | 's2d' (stem='s2d_input' encoders)
+            image_dtype='float32',   # 'uint8' keeps raw bytes for the
+                                     # fused native normalize downstream
         ))
 
     def __init__(self, config=None):
@@ -181,17 +183,20 @@ class GeoTileDataset(ERDataset):
                 img_out[pos] = extract_tiles(scene, boxes, None, (k, k))
             if mask_scene is not None:
                 masks[pos] = extract_tiles(mask_scene, boxes, None, (k, k))
-        images = img_out.astype(np.float32)
+        if self.config.get('image_dtype', 'float32') != 'uint8':
+            img_out = img_out.astype(np.float32)
         if masks is None:
-            return images
-        return images, masks[..., 0].astype(np.int32)
+            return img_out
+        return img_out, masks[..., 0].astype(np.int32)
 
     def __getitem__(self, idx: int):
         si, x0, y0 = self._index[int(idx)]
         img_path, mask_path = self.scene_pairs[si]
         k = int(self.config.patch_size)
+        dt = np.uint8 if self.config.get('image_dtype', 'float32') == 'uint8' \
+            else np.float32
         image = np.asarray(self._cache.get(img_path)[y0:y0 + k, x0:x0 + k],
-                           dtype=np.float32)
+                           dtype=dt)
         if image.ndim == 2:
             image = image[..., None]
         mask = None

@@ -15,9 +15,6 @@ The math (shared with the 'planes' impl):
     dx[y, x] = sum over the <=4 windows (oy, ox) covering (y, x) of
                g[oy, ox] * [x[y, x] == out[oy, ox]]
 
-    dx[y, x] = sum over the <=4 windows (oy, ox) covering (y, x) of
-               g[oy, ox] * [x[y, x] == out[oy, ox]]
-
 The <=4 covering windows follow from stride 2 / window 3: input row y is in
 window rows {y/2} (y even) or {(y-1)/2, (y+1)/2} (y odd); same for columns.
 
@@ -47,7 +44,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['max_pool_32_pallas']
 

@@ -17,8 +17,6 @@ CPU/test fallback: kernels run under ``interpret=True`` off-TPU.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ dicts keyed ``{'G': ..., 'D': ...}`` or a single shared config.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

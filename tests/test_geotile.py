@@ -116,3 +116,16 @@ def test_geotile_s2d_layout(tmp_path):
     assert fast[0].shape == (len(ds_s2d), 32, 32, 12)
     for i in range(len(ds_s2d)):
         np.testing.assert_array_equal(fast[0][i], ds_s2d[i][0])
+
+
+def test_geotile_uint8_dtype(tmp_path):
+    _make_scene(tmp_path, 'g', 96, 96)
+    ds = GeoTileDataset(dict(
+        image_glob=str(tmp_path / 'g_img.png'),
+        mask_glob=str(tmp_path / 'g_mask.png'),
+        patch_size=64, stride=32, image_dtype='uint8'))
+    img, mask = ds[0]
+    assert img.dtype == np.uint8 and mask.dtype == np.int32
+    fast = ds.read_batch([0, 1])
+    assert fast[0].dtype == np.uint8
+    np.testing.assert_array_equal(fast[0][0], img)
