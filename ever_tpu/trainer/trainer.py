@@ -22,7 +22,7 @@ from ever_tpu.core.logger import Logger
 from ever_tpu.opt.optimizer import DEFAULT_GRAD_CLIP
 from ever_tpu.parallel.mesh import make_mesh
 
-__all__ = ['Trainer', 'SPMDTrainer', 'merge_dict']
+__all__ = ['Trainer', 'SPMDTrainer', 'merge_dict', 'half_bn']
 
 
 def merge_dict(a: dict, b: dict) -> dict:
@@ -33,6 +33,15 @@ def merge_dict(a: dict, b: dict) -> dict:
             raise ValueError(f'duplicate key in merge_dict: {k!r}')
         out[k] = v
     return out
+
+
+def half_bn(params_or_tree):
+    """Surface parity with ``trainer/trainer.py:32-35`` (torch's per-module
+    BN ``.half()``).  In this stack precision is a module config
+    (``dtype='bfloat16'``) and norm statistics accumulate in fp32 inside
+    the bf16-typed flax BatchNorm, so there is nothing to convert; provided
+    as an explicit no-op so reference call sites port unchanged."""
+    return params_or_tree
 
 
 class Trainer:

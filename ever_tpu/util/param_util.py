@@ -18,6 +18,7 @@ from ever_tpu.core.logger import get_logger
 logger = get_logger('ever_tpu.param_util')
 
 __all__ = ['count_model_parameters', 'trainable_parameters', 'freeze_mask',
+           'freeze_params', 'freeze_modules', 'freeze_bn', 'apply_freeze',
            'count_model_flops', 'param_paths', 'copy_conv_parameters',
            'copy_bn_parameters']
 
@@ -65,6 +66,46 @@ def freeze_mask(params, frozen_prefixes: Sequence[str] = (),
     flags = [decide('/'.join(str(getattr(k, 'key', k)) for k in path))
              for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+def freeze_params(params, prefix: str = ''):
+    """Mask freezing every leaf under ``prefix`` (named-parity with
+    ``ever/util/param_util.py:37-43``; freezing is an optimizer mask here)."""
+    return freeze_mask(params, frozen_prefixes=(prefix,))
+
+
+def freeze_modules(params, name_fragment: str):
+    """Mask freezing every leaf whose path contains ``name_fragment``
+    (named-parity with ``param_util.py:46-52``, where the selector is a
+    module class; here it is a path fragment, e.g. ``'layer1'``)."""
+    return freeze_mask(params, predicate=lambda p: name_fragment in p)
+
+
+_BN_PAT = ('bn', 'batchnorm', 'batch_norm', 'norm')
+
+
+def freeze_bn(params):
+    """Mask freezing normalization scale/bias leaves (named-parity with
+    ``param_util.py:55-58``).  Note running statistics live in
+    ``batch_stats`` and are pinned separately via the ``Norm(frozen=True)``
+    / ``batchnorm_trainable=False`` config (``module/ops.py``)."""
+    def is_bn(path: str) -> bool:
+        parts = path.lower().split('/')
+        return any(any(p.startswith(b) or p.endswith(b) for b in _BN_PAT)
+                   for p in parts[:-1])
+    return freeze_mask(params, predicate=is_bn)
+
+
+def apply_freeze(tx, mask):
+    """Wrap an optax transform so leaves with ``mask=False`` get HARD-ZERO
+    updates.  Use this (not ``optax.masked``) with the masks above:
+    ``optax.masked`` passes the raw gradient through for masked-out leaves,
+    which silently trains "frozen" parameters."""
+    import jax as _jax
+    import optax
+    labels = _jax.tree.map(lambda m: 'train' if m else 'frozen', mask)
+    return optax.multi_transform(
+        {'train': tx, 'frozen': optax.set_to_zero()}, labels)
 
 
 def copy_conv_parameters(src: dict, dst: dict) -> dict:

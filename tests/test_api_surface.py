@@ -148,3 +148,51 @@ def test_save_from_pretrained_roundtrip(tmp_path):
     assert m2.config.classes == 5
     out = m2.apply(v2, x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_param_util_freeze_aliases():
+    """freeze_params/freeze_modules/freeze_bn masks (reference-named API)."""
+    import jax.numpy as jnp
+    from ever_tpu.util.param_util import (freeze_bn, freeze_modules,
+                                          freeze_params)
+    params = {
+        'layer1': {'conv1': {'kernel': jnp.ones((3, 3, 4, 4))},
+                   'bn1': {'scale': jnp.ones((4,)), 'bias': jnp.zeros((4,))}},
+        'head': {'fc': {'kernel': jnp.ones((4, 2)), 'bias': jnp.zeros((2,))}},
+    }
+    m = freeze_params(params, 'layer1')
+    assert m['layer1']['conv1']['kernel'] is False
+    assert m['head']['fc']['kernel'] is True
+
+    m = freeze_modules(params, 'fc')
+    assert m['head']['fc']['bias'] is False
+    assert m['layer1']['conv1']['kernel'] is True
+
+    m = freeze_bn(params)
+    assert m['layer1']['bn1']['scale'] is False
+    assert m['layer1']['bn1']['bias'] is False
+    assert m['layer1']['conv1']['kernel'] is True
+    assert m['head']['fc']['kernel'] is True
+
+
+def test_apply_freeze_hard_zeroes_updates():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ever_tpu.util.param_util import apply_freeze, freeze_params
+    params = {'enc': {'kernel': jnp.ones((2, 2))},
+              'head': {'kernel': jnp.ones((2, 2))}}
+    mask = freeze_params(params, 'enc')
+    tx = apply_freeze(optax.sgd(0.1), mask)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert bool(jnp.all(new['enc']['kernel'] == 1.0))     # frozen
+    assert bool(jnp.all(new['head']['kernel'] == 0.9))    # trained
+
+
+def test_trainer_half_bn_noop():
+    from ever_tpu.trainer.trainer import half_bn
+    obj = {'a': 1}
+    assert half_bn(obj) is obj
