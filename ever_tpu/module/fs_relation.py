@@ -148,6 +148,7 @@ class FarSegHead(ERModule):
                 in_channels_list=(256, 512, 1024, 2048),
                 out_channels=256,
             ),
+            relation_type='v1',      # 'v1' (FarSeg) | 'v2' (FarSeg++)
             fs_relation=dict(
                 scene_embedding_channels=2048,
                 in_channels_list=(256, 256, 256, 256),
@@ -174,8 +175,13 @@ class FarSegHead(ERModule):
         fpn_feats = FPN(dtype=dtype, name='fpn',
                         **self.config.fpn.to_dict())(feature_list, train)
         scene_embedding = global_avg_pool(feature_list[-1])
-        refined = FSRelation(dtype=dtype, name='fs_relation',
-                             **self.config.fs_relation.to_dict())(
+        # relation_type 'v2' = FarSeg++ (FarSeg++ TPAMI'23,
+        # ``fs_relation.py:76-163``): GN'd scene MLP + gated features
+        # concatenated with the originals and projected back
+        rel_cls = (FSRelationV2 if self.config.get('relation_type', 'v1') == 'v2'
+                   else FSRelation)
+        refined = rel_cls(dtype=dtype, name='fs_relation',
+                          **self.config.fs_relation.to_dict())(
             scene_embedding, list(fpn_feats), train)
         dec_cfg = self.config.fpn_decoder.to_dict()
         return AssymetricDecoder(dtype=dtype, name='fpn_decoder',

@@ -335,3 +335,29 @@ def test_s2d_input_stem_matches_device_s2d():
     for fa_i, fb_i in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(fa_i), np.asarray(fb_i),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_farseg_plusplus_relation_v2():
+    """head.relation_type='v2' switches FarSegHead to FSRelationV2
+    (FarSeg++, reference fs_relation.py:76-163) end-to-end."""
+    m = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'), classes=5,
+        head=dict(relation_type='v2',
+                  fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,)*4, out_channels=32,
+                                   scale_aware_proj=True, dropout_rate=0.1),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)))})
+    x = jnp.ones((1, 32, 32, 3))
+    y = jnp.zeros((1, 32, 32), jnp.int32)
+    variables = m.init({'params': jax.random.key(0), 'dropout': jax.random.key(1)},
+                       x, y, train=True)
+    # v2 has per-scale project convs after the gated concat
+    assert any('project' in k for k in variables['params']['head']['fs_relation'])
+    losses, _ = m.apply(variables, x, y, train=True, mutable=['batch_stats'],
+                        rngs={'dropout': jax.random.key(2)})
+    assert 'cls_loss' in losses
+    out = m.apply(variables, x)
+    assert out.shape == (1, 32, 32, 5)
