@@ -45,7 +45,8 @@ def tiled_inference(predict_fn: Callable,
                     kernel_size: int,
                     stride: int,
                     num_classes: int,
-                    tile_batch: int = 8) -> jnp.ndarray:
+                    tile_batch: int = 8,
+                    mesh=None, axis: str = 'data') -> jnp.ndarray:
     """Run ``predict_fn`` over every sliding-window tile and average overlaps.
 
     Args:
@@ -55,14 +56,23 @@ def tiled_inference(predict_fn: Callable,
         kernel_size/stride: tiling geometry (ints).
         num_classes: output channels.
         tile_batch: tiles per predict call (pad the tail batch).
+        mesh/axis: with a :class:`jax.sharding.Mesh`, the TILE LIST is
+            partitioned over ``axis`` — each device scans its share of the
+            scene (replicated) into a local canvas and the canvases
+            ``psum`` at the end (this is how the ≥5k tiles/s v5e-8 north
+            star composes from the ~725/s single-chip scan: tiles are
+            embarrassingly parallel, one collective per scene).
 
     Returns ``[H, W, num_classes]``.
     """
     h, w, _ = image.shape
     boxes = sliding_window((h, w), kernel_size, stride)
-    return _tiled_inference_impl(predict_fn, image, tuple(boxes[:, 1]),
-                                 tuple(boxes[:, 0]), kernel_size, num_classes,
-                                 tile_batch)
+    if mesh is None:
+        return _tiled_inference_impl(predict_fn, image, tuple(boxes[:, 1]),
+                                     tuple(boxes[:, 0]), kernel_size,
+                                     num_classes, tile_batch)
+    return _tiled_inference_sharded(predict_fn, image, boxes, kernel_size,
+                                    num_classes, tile_batch, mesh, axis)
 
 
 @partial(jax.jit, static_argnames=('predict_fn', 'ys', 'xs', 'k',
@@ -102,3 +112,68 @@ def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch)
 
     (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
     return acc / jnp.maximum(cnt, 1.0)
+
+
+def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
+                             tile_batch, mesh, axis):
+    import math as _math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    n_tiles = len(boxes)
+    batches_per_dev = _math.ceil(n_tiles / (n_dev * tile_batch))
+    total = batches_per_dev * tile_batch * n_dev
+    # pad with repeats of the last box; duplicates only raise the overlap cnt
+    pad = total - n_tiles
+    ys = np.concatenate([boxes[:, 1], np.full(pad, boxes[-1, 1])]).astype(np.int32)
+    xs = np.concatenate([boxes[:, 0], np.full(pad, boxes[-1, 0])]).astype(np.int32)
+    ys = ys.reshape(n_dev * batches_per_dev, tile_batch)
+    xs = xs.reshape(n_dev * batches_per_dev, tile_batch)
+    h, w, c = image.shape
+
+    def local(img, ys_l, xs_l):
+        acc = jnp.zeros((h, w, num_classes), jnp.float32)
+        cnt = jnp.zeros((h, w, 1), jnp.float32)
+        # the canvases become device-varying once device-local boxes touch
+        # them; mark them so from the start (shard_map varying-axis typing)
+        if hasattr(jax.lax, 'pvary'):
+            acc = jax.lax.pvary(acc, (axis,))
+            cnt = jax.lax.pvary(cnt, (axis,))
+
+        def gather_tile(y, x):
+            return jax.lax.dynamic_slice(img, (y, x, 0), (k, k, c))
+
+        def body(carry, yx):
+            acc, cnt = carry
+            ysb, xsb = yx
+            tiles = jax.vmap(gather_tile)(ysb, xsb)
+            preds = predict_fn(tiles).astype(jnp.float32)
+
+            def paste(i, carry):
+                acc, cnt = carry
+                y, x = ysb[i], xsb[i]
+                patch = jax.lax.dynamic_slice(acc, (y, x, 0), (k, k, num_classes))
+                acc = jax.lax.dynamic_update_slice(acc, patch + preds[i], (y, x, 0))
+                cpatch = jax.lax.dynamic_slice(cnt, (y, x, 0), (k, k, 1))
+                cnt = jax.lax.dynamic_update_slice(cnt, cpatch + 1.0, (y, x, 0))
+                return acc, cnt
+
+            acc, cnt = jax.lax.fori_loop(0, tile_batch, paste, (acc, cnt))
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (ys_l, xs_l))
+        acc = jax.lax.psum(acc, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return acc / jnp.maximum(cnt, 1.0)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(axis), P(axis)), out_specs=P())
+    image = jax.device_put(image, NamedSharding(mesh, P()))
+    ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
+    xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
+    return jax.jit(fn)(image, ys, xs)
