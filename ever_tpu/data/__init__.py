@@ -1,4 +1,4 @@
-from ever_tpu.data import cross_validation, distributed, geotile
+from ever_tpu.data import cross_validation, distributed, geotile, loveda
 from ever_tpu.data.cross_validation import CrossValSamplerGenerator, make_CVSamplers
 from ever_tpu.data.distributed import (
     DistributedInfiniteSampler,
@@ -12,3 +12,4 @@ from ever_tpu.data.distributed import (
 )
 from ever_tpu.data.loader import DataLoader, default_collate
 from ever_tpu.data.geotile import GeoTileDataset, read_raster
+from ever_tpu.data.loveda import LoveDA
