@@ -179,7 +179,8 @@ def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
 def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
                      steps_per_loop: int = 1, forward_times: int = 1,
                      mesh=None, rng_seed: int = 0,
-                     donate: bool = True, state_shardings=None) -> Callable:
+                     donate: bool = True, state_shardings=None,
+                     unroll: int = 1) -> Callable:
     """K optimizer steps per dispatch: ``(state, batches) -> (state, metrics)``.
 
     ``batches`` is a pytree whose leaves carry a leading ``steps_per_loop``
@@ -198,7 +199,7 @@ def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
     step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
 
     def loop_fn(state: TrainState, batches):
-        state, ms = jax.lax.scan(step_fn, state, batches)
+        state, ms = jax.lax.scan(step_fn, state, batches, unroll=unroll)
         metrics = {k: (v[-1] if k in ('learning_rate', 'grad_norm')
                        else jnp.mean(v)) for k, v in ms.items()}
         return state, metrics
