@@ -125,8 +125,32 @@ def main():
     mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
 
     # secondary: whole-scene sliding-window inference (north star:
-    # >= 5000 512² tiles/sec on v5e-8 = 625/chip)
+    # >= 5000 512² tiles/sec on v5e-8 = 625/chip).  With multiple chips the
+    # tile list shards over the mesh (one psum per scene) and the metric
+    # stays per-chip.
     infer_tiles_per_sec_chip = 0.0
+    if on_tpu and n_chips > 1:
+        from ever_tpu.magic.tiled import tiled_inference
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
+            encoder=dict(resnet_type='resnet50', stem='s2d'),
+            classes=7, dtype='bfloat16')})
+
+        def predict(tiles):
+            return infer_model.apply(variables, tiles, train=False)
+
+        scene = jnp.asarray(rng.normal(size=(4096, 4096, 3)).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        n_tiles = 64
+        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8,
+                              mesh=mesh)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8,
+                                  mesh=mesh)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        infer_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3) / n_chips
     if on_tpu and n_chips == 1:
         from ever_tpu.magic.tiled import tiled_inference
         variables = {'params': state.params, 'batch_stats': state.batch_stats}

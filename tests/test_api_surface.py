@@ -196,3 +196,12 @@ def test_trainer_half_bn_noop():
     from ever_tpu.trainer.trainer import half_bn
     obj = {'a': 1}
     assert half_bn(obj) is obj
+
+
+def test_tools_scripts_parse():
+    """tools/ scripts stay syntactically valid (they run standalone on the
+    TPU host and are not imported by the suite)."""
+    import ast
+    import glob
+    for path in sorted(glob.glob('tools/*.py')):
+        ast.parse(open(path).read(), filename=path)
