@@ -60,6 +60,7 @@ class CheckPoint:
         self._launcher = launcher
         self._global_step = 0
         self._async_ckptr = None
+        self._pending: Optional[dict] = None
         self._json_log: Dict[str, Any] = {LASTCHECKPOINT: dict(step=0, name='')}
         self.init_checkpoint_info_from_launcher()
 
@@ -107,12 +108,28 @@ class CheckPoint:
             if is_main_process():
                 with open(filepath, 'wb') as f:
                     f.write(serialization.to_bytes(ckpt))
-        self._json_log[str(self.global_step)] = filename
-        if self.global_step >= self._json_log[LASTCHECKPOINT]['step']:
-            self._json_log[LASTCHECKPOINT] = dict(step=self.global_step, name=filename)
-        self.save_checkpoint_info(self._launcher.model_dir)
+        if self.backend == 'orbax_async':
+            # do NOT record the step as resumable until the background write
+            # finalizes — a crash mid-write would otherwise leave the JSON
+            # index pointing at a missing/uncommitted directory.  The record
+            # commits at the next save's barrier, at wait(), or atexit.
+            self._pending = dict(step=self.global_step, name=filename)
+        else:
+            self._record_saved(self.global_step, filename)
         if self._launcher.logger is not None:
             self._launcher.logger.save_log(filename)
+
+    def _record_saved(self, step: int, filename: str) -> None:
+        self._json_log[str(step)] = filename
+        if step >= self._json_log[LASTCHECKPOINT]['step']:
+            self._json_log[LASTCHECKPOINT] = dict(step=step, name=filename)
+        self.save_checkpoint_info(self._launcher.model_dir)
+
+    def _commit_pending(self) -> None:
+        pending = getattr(self, '_pending', None)
+        if pending is not None:
+            self._pending = None
+            self._record_saved(pending['step'], pending['name'])
 
     def save_checkpoint_info(self, model_dir: str) -> None:
         if not is_main_process():
@@ -135,6 +152,7 @@ class CheckPoint:
                     ocp.PyTreeCheckpointHandler())
                 atexit.register(self.wait)
             self._async_ckptr.wait_until_finished()   # previous in-flight save
+            self._commit_pending()                    # now provably on disk
             self._async_ckptr.save(os.path.abspath(dirpath), tree, force=True)
             return
         ocp.PyTreeCheckpointer().save(os.path.abspath(dirpath), tree, force=True)
@@ -143,6 +161,7 @@ class CheckPoint:
         """Barrier on an in-flight async checkpoint write (no-op otherwise)."""
         if self._async_ckptr is not None:
             self._async_ckptr.wait_until_finished()
+            self._commit_pending()
 
     @staticmethod
     def _load_orbax(dirpath: str, template: Optional[dict] = None) -> dict:

@@ -83,9 +83,11 @@ class DataLoader:
 
     def _fetch(self, indices: list) -> Any:
         # datasets may expose a batched fast path (e.g. GeoTileDataset's
-        # native tile gather); NotImplemented falls back to per-item fetch
+        # native tile gather); NotImplemented falls back to per-item fetch.
+        # A user-supplied collate_fn must win over the fast path — read_batch
+        # returns default-collated batches, which would silently bypass it.
         rb = getattr(self.dataset, 'read_batch', None)
-        if rb is not None:
+        if rb is not None and self.collate_fn is default_collate:
             out = rb(indices)
             if out is not NotImplemented:
                 return out

@@ -82,9 +82,14 @@ def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch)
     n_tiles = len(ys)
     n_batches = math.ceil(n_tiles / tile_batch)
     pad = n_batches * tile_batch - n_tiles
-    # pad with repeats of the last box; duplicates only raise the overlap count
+    # pad with repeats of the last box; pad tiles carry weight 0 so they
+    # contribute to neither the accumulator nor the overlap count (a
+    # duplicate would otherwise skew the average toward the last tile
+    # wherever predictions are context-dependent)
     ys_arr = jnp.asarray(ys + (ys[-1],) * pad).reshape(n_batches, tile_batch)
     xs_arr = jnp.asarray(xs + (xs[-1],) * pad).reshape(n_batches, tile_batch)
+    w_arr = (jnp.arange(n_batches * tile_batch) < n_tiles).astype(
+        jnp.float32).reshape(n_batches, tile_batch)
 
     acc = jnp.zeros((h, w, num_classes), jnp.float32)
     cnt = jnp.zeros((h, w, 1), jnp.float32)
@@ -94,17 +99,18 @@ def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch)
 
     def body(carry, idx):
         acc, cnt = carry
-        ysb, xsb = ys_arr[idx], xs_arr[idx]
+        ysb, xsb, wb = ys_arr[idx], xs_arr[idx], w_arr[idx]
         tiles = jax.vmap(gather_tile)(ysb, xsb)
         preds = predict_fn(tiles).astype(jnp.float32)
 
         def paste(i, carry):
             acc, cnt = carry
-            y, x = ysb[i], xsb[i]
+            y, x, wgt = ysb[i], xsb[i], wb[i]
             patch = jax.lax.dynamic_slice(acc, (y, x, 0), (k, k, num_classes))
-            acc = jax.lax.dynamic_update_slice(acc, patch + preds[i], (y, x, 0))
+            acc = jax.lax.dynamic_update_slice(
+                acc, patch + wgt * preds[i], (y, x, 0))
             cpatch = jax.lax.dynamic_slice(cnt, (y, x, 0), (k, k, 1))
-            cnt = jax.lax.dynamic_update_slice(cnt, cpatch + 1.0, (y, x, 0))
+            cnt = jax.lax.dynamic_update_slice(cnt, cpatch + wgt, (y, x, 0))
             return acc, cnt
 
         acc, cnt = jax.lax.fori_loop(0, tile_batch, paste, (acc, cnt))
@@ -128,15 +134,18 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     n_tiles = len(boxes)
     batches_per_dev = _math.ceil(n_tiles / (n_dev * tile_batch))
     total = batches_per_dev * tile_batch * n_dev
-    # pad with repeats of the last box; duplicates only raise the overlap cnt
+    # pad with repeats of the last box; pad tiles carry weight 0 (see
+    # _tiled_inference_impl) so duplicates never skew the overlap average
     pad = total - n_tiles
     ys = np.concatenate([boxes[:, 1], np.full(pad, boxes[-1, 1])]).astype(np.int32)
     xs = np.concatenate([boxes[:, 0], np.full(pad, boxes[-1, 0])]).astype(np.int32)
+    ws = (np.arange(total) < n_tiles).astype(np.float32)
     ys = ys.reshape(n_dev * batches_per_dev, tile_batch)
     xs = xs.reshape(n_dev * batches_per_dev, tile_batch)
+    ws = ws.reshape(n_dev * batches_per_dev, tile_batch)
     h, w, c = image.shape
 
-    def local(img, ys_l, xs_l):
+    def local(img, ys_l, xs_l, ws_l):
         acc = jnp.zeros((h, w, num_classes), jnp.float32)
         cnt = jnp.zeros((h, w, 1), jnp.float32)
         # the canvases become device-varying once device-local boxes touch
@@ -148,32 +157,34 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
         def gather_tile(y, x):
             return jax.lax.dynamic_slice(img, (y, x, 0), (k, k, c))
 
-        def body(carry, yx):
+        def body(carry, yxw):
             acc, cnt = carry
-            ysb, xsb = yx
+            ysb, xsb, wsb = yxw
             tiles = jax.vmap(gather_tile)(ysb, xsb)
             preds = predict_fn(tiles).astype(jnp.float32)
 
             def paste(i, carry):
                 acc, cnt = carry
-                y, x = ysb[i], xsb[i]
+                y, x, wgt = ysb[i], xsb[i], wsb[i]
                 patch = jax.lax.dynamic_slice(acc, (y, x, 0), (k, k, num_classes))
-                acc = jax.lax.dynamic_update_slice(acc, patch + preds[i], (y, x, 0))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, patch + wgt * preds[i], (y, x, 0))
                 cpatch = jax.lax.dynamic_slice(cnt, (y, x, 0), (k, k, 1))
-                cnt = jax.lax.dynamic_update_slice(cnt, cpatch + 1.0, (y, x, 0))
+                cnt = jax.lax.dynamic_update_slice(cnt, cpatch + wgt, (y, x, 0))
                 return acc, cnt
 
             acc, cnt = jax.lax.fori_loop(0, tile_batch, paste, (acc, cnt))
             return (acc, cnt), None
 
-        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (ys_l, xs_l))
+        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (ys_l, xs_l, ws_l))
         acc = jax.lax.psum(acc, axis)
         cnt = jax.lax.psum(cnt, axis)
         return acc / jnp.maximum(cnt, 1.0)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(axis), P(axis)), out_specs=P())
+                   in_specs=(P(), P(axis), P(axis), P(axis)), out_specs=P())
     image = jax.device_put(image, NamedSharding(mesh, P()))
     ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
     xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
-    return jax.jit(fn)(image, ys, xs)
+    ws = jax.device_put(jnp.asarray(ws), NamedSharding(mesh, P(axis)))
+    return jax.jit(fn)(image, ys, xs, ws)

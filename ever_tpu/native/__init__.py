@@ -90,13 +90,18 @@ def extract_tiles(scene: np.ndarray, boxes: np.ndarray,
     scene = np.ascontiguousarray(scene)
     if scene.ndim == 2:
         scene = scene[..., None]
+    if scene.dtype != np.uint8:
+        # uint8-only by design (the native kernel is u8); reject on the
+        # fallback path too so both paths accept identical inputs instead of
+        # silently truncating floats into the u8 buffer
+        raise ValueError(f'extract_tiles: scene must be uint8, got {scene.dtype}')
     H, W, C = scene.shape
     boxes = np.ascontiguousarray(boxes, dtype=np.int64).reshape(-1, 2)
     n = len(boxes)
     if out is None:
         out = np.empty((n, th, tw, C), np.uint8)
     lib = _load()
-    if lib is not None and scene.dtype == np.uint8:
+    if lib is not None:
         codes_arr = (np.ascontiguousarray(codes, dtype=np.int32)
                      if codes is not None else None)
         rc = lib.ever_extract_tiles_u8(

@@ -92,6 +92,16 @@ def test_geotile_read_batch_fast_path_matches_per_item(tmp_path):
         transforms=[lambda im, m: (im, m)]))
     assert ds2.read_batch([0]) is NotImplemented
 
+    # a user collate_fn must win over read_batch (ADVICE r1): the batch
+    # structure comes from the custom collate, not the default fast path
+    def tag_collate(items):
+        return {'custom': default_collate(items)}
+
+    tagged = next(iter(DataLoader(ds, batch_size=len(ds),
+                                  collate_fn=tag_collate)))
+    assert set(tagged) == {'custom'}
+    np.testing.assert_array_equal(tagged['custom'][0], ref[0])
+
 
 def test_geotile_s2d_layout(tmp_path):
     """layout='s2d' yields folded [k/2,k/2,4C] tiles on both the per-item

@@ -91,6 +91,48 @@ def test_pad_crop_apply():
     assert y.shape == (1, 30, 50, 3)
 
 
+def _context_predict(tiles):
+    """Non-pointwise head: each pixel sees the tile mean, so a duplicated
+    pad tile produces *different* values than its neighbors — catches any
+    padding scheme that lets pad tiles leak into the overlap average."""
+    return tiles.mean(axis=(1, 2, 3), keepdims=True) + tiles[..., :1] * 0.0
+
+
+def _numpy_tiled_reference(predict, scene, k, stride, num_classes):
+    boxes = sliding_window(scene.shape[:2], k, stride)
+    acc = np.zeros(scene.shape[:2] + (num_classes,), np.float32)
+    cnt = np.zeros(scene.shape[:2] + (1,), np.float32)
+    for x0, y0, x1, y1 in boxes:
+        tile = np.asarray(scene[y0:y1, x0:x1])[None]
+        pred = np.asarray(predict(jnp.asarray(tile)))[0]
+        acc[y0:y1, x0:x1] += pred
+        cnt[y0:y1, x0:x1] += 1.0
+    return acc / np.maximum(cnt, 1.0)
+
+
+def test_tiled_inference_context_dependent_head():
+    """Pad tiles must carry zero weight: with a context-dependent head a
+    duplicated last tile would skew overlap averages (ADVICE r1)."""
+    rng = np.random.default_rng(1)
+    scene = jnp.asarray(rng.normal(size=(100, 130, 3)).astype(np.float32))
+    ref = _numpy_tiled_reference(_context_predict, scene, 32, 24, 1)
+    got = tiled_inference(_context_predict, scene, 32, 24, 1, tile_batch=4)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_inference_sharded_context_dependent_head():
+    import jax
+    from ever_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    scene = jnp.asarray(rng.normal(size=(100, 130, 3)).astype(np.float32))
+    ref = _numpy_tiled_reference(_context_predict, scene, 32, 24, 1)
+    mesh = make_mesh(('data',))
+    got = tiled_inference(_context_predict, scene, 32, 24, 1, tile_batch=4,
+                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_tiled_inference_sharded_matches_single_device():
     """mesh= shards the tile list over 'data'; result equals the
     single-device scan exactly (overlapping geometry + tail padding)."""

@@ -37,6 +37,8 @@ def test_extract_tiles_rect_no_aug_and_errors():
         extract_tiles(scene, np.array([[60, 0]], np.int64), None, (16, 24))
     with pytest.raises(ValueError):
         extract_tiles(scene, boxes, np.array([1, 0], np.int32), (16, 24))
+    with pytest.raises(ValueError):  # non-uint8 scenes rejected on BOTH paths
+        extract_tiles(scene.astype(np.float32), boxes, None, (16, 24))
 
 
 def test_normalize_u8_f32_and_bf16():

@@ -350,6 +350,10 @@ def test_async_orbax_checkpoint_roundtrip(tmp_path):
     cp = CheckPoint(FakeLauncher(), backend='orbax_async')
     cp.set_global_step(7)
     cp.save()
+    # resume metadata must NOT point at the in-flight step until the write
+    # is confirmed (a crash mid-write would otherwise break try_resume)
+    info = CheckPoint.load_checkpoint_info(str(tmp_path))
+    assert info is None or info['last']['step'] == 0
     cp.wait()
     name = cp.get_checkpoint_name(7, backend='orbax_async')
     loaded = CheckPoint.load(str(tmp_path / name))
