@@ -422,14 +422,35 @@ class Launcher:
     def train_by_config(self, train_data_loader, config, test_data_loader=None):
         cfg = dict(config)
         resume_from_last = cfg.get('resume_from_last', True)
-        # state must exist before resume; bootstrap from the first batch
+        # state must exist before resume; bootstrap from the loader's element
+        # spec WITHOUT consuming a batch (the reference restores without
+        # touching data, ``ever/core/checkpoint.py:84-117`` — consuming one
+        # here would silently shift step-0 data order vs the no-resume path)
         if resume_from_last and self._state is None:
-            first = next(iter(train_data_loader))
-            self.init_state(first)
+            self._bootstrap_state(train_data_loader)
             self._maybe_load_init_weights()
         if resume_from_last:
             self.init()
         self.train_iters(train_data_loader, test_data_loader, **cfg)
+
+    def _bootstrap_state(self, train_data_loader) -> None:
+        """Init state from a batch-1 spec sample fetched by index (param and
+        batch_stats shapes are batch-size independent), leaving the loader's
+        iteration order untouched."""
+        dataset = getattr(train_data_loader, 'dataset', None)
+        collate = getattr(train_data_loader, 'collate_fn', None)
+        if dataset is not None:
+            try:
+                item = dataset[0]
+            except Exception:
+                item = None
+            if item is not None:
+                if collate is None:
+                    from ever_tpu.data.loader import default_collate as collate
+                self.init_state(collate([item]))
+                return
+        # loaders without an indexable dataset: fall back to consuming one
+        self.init_state(next(iter(train_data_loader)))
 
     def init(self) -> bool:
         """Resume from the last checkpoint if one exists."""
