@@ -2,10 +2,15 @@
 
 Parity target: ``ever/module/efficientnet.py:8-106`` (``EFNetEncoder``): the
 reference wraps the optional ``efficientnet_pytorch`` package with feature
-taps at stride-2 block boundaries and output-stride dilation surgery; here the
-MBConv trunk is implemented natively (b0–b7 compound scaling), with the same
-multi-scale tap points (os4/os8/os16/os32) and static dilation geometry for
-output_stride 16/8.
+taps at stride-2 block boundaries (``prev_x`` entering each downsample plus
+the final block output → FIVE multi-scale features at os2/4/8/16/32,
+``efficientnet.py:21-31,66-84``) and output-stride dilation surgery
+(``nostride_dilate``, ``efficientnet.py:87-106``: the formerly-strided
+"endpoint" depthwise conv keeps the previous dilation level, later convs get
+the doubled one).  Here the MBConv trunk is implemented natively (b0–b7
+compound scaling) with the same tap points and static dilation geometry, and
+weights transplant from ``efficientnet_pytorch`` checkpoints via
+``util.weight_io.convert_torch_efficientnet``.
 """
 
 from __future__ import annotations
@@ -23,6 +28,9 @@ from ever_tpu.module.ops import Norm, global_avg_pool
 __all__ = ['EfficientNet', 'EFNetEncoder', 'EFFICIENTNET_SPECS']
 
 Dtype = Any
+
+# TF/efficientnet_pytorch batch-norm epsilon (batch_norm_epsilon=1e-3)
+BN_EPS = 1e-3
 
 # base (B0) stage settings: (expand, channels, layers, stride, kernel)
 _B0_STAGES = [
@@ -60,6 +68,14 @@ def _round_repeats(r: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * r))
 
 
+def stage_repeats(model_name: str) -> Sequence[int]:
+    """Per-stage block counts after compound depth scaling (used by the
+    weight converter to map the package's flat ``_blocks.{i}`` index to our
+    ``stage{s}_block{b}`` names)."""
+    _, dm = EFFICIENTNET_SPECS[model_name]
+    return [_round_repeats(layers, dm) for (_, _, layers, _, _) in _B0_STAGES]
+
+
 class MBConv(nn.Module):
     """Mobile inverted bottleneck with squeeze-excitation."""
 
@@ -82,14 +98,14 @@ class MBConv(nn.Module):
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name='expand_conv')(h)
             h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
-                     name='expand_bn')(h, train)
+                     eps=BN_EPS, name='expand_bn')(h, train)
             h = nn.silu(h)
         h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride,) * 2,
                     kernel_dilation=(self.dilation,) * 2, padding='SAME',
                     feature_group_count=mid, use_bias=False, dtype=self.dtype,
                     name='dw_conv')(h)
         h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
-                 name='dw_bn')(h, train)
+                 eps=BN_EPS, name='dw_bn')(h, train)
         h = nn.silu(h)
         if self.se_ratio:
             se_c = max(1, int(cin * self.se_ratio))
@@ -100,14 +116,16 @@ class MBConv(nn.Module):
         h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name='project_conv')(h)
         h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
-                 name='project_bn')(h, train)
+                 eps=BN_EPS, name='project_bn')(h, train)
         if self.stride == 1 and cin == self.features:
             h = h + identity
         return h
 
 
 class EfficientNet(nn.Module):
-    """Trunk returning [c2, c3, c4, c5] taps at stride-2 boundaries."""
+    """Trunk returning the reference's five taps: the feature map entering
+    each stride-2 boundary (os2/os4/os8/os16) plus the final block output
+    (os32) — ``ever/module/efficientnet.py:21-31``."""
 
     model_name: str = 'efficientnet-b0'
     output_stride: int = 32
@@ -121,7 +139,7 @@ class EfficientNet(nn.Module):
                     padding='SAME', use_bias=False, dtype=self.dtype,
                     name='stem_conv')(x)
         x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
-                 name='stem_bn')(x, train)
+                 eps=BN_EPS, name='stem_bn')(x, train)
         x = nn.silu(x)
 
         feats = []
@@ -130,19 +148,22 @@ class EfficientNet(nn.Module):
         for si, (expand, c, layers, stride, kernel) in enumerate(_B0_STAGES):
             features = _round_filters(c, wm)
             repeats = _round_repeats(layers, dm)
+            first_dil = dilation
             if stride == 2:
-                # tap the feature *entering* this downsample (end of previous os level)
-                if current_stride >= 4:
-                    feats.append(x)
+                feats.append(x)   # reference taps prev_x at each downsample
                 if current_stride * 2 > self.output_stride:
-                    dilation *= 2     # keep spatial, dilate instead (os surgery)
+                    # os surgery: the endpoint (formerly strided) depthwise
+                    # conv keeps the PREVIOUS dilation; later convs double it
+                    # (parity: nostride_dilate, efficientnet.py:87-106)
+                    dilation *= 2
                     stride = 1
                 else:
                     current_stride *= 2
             for li in range(repeats):
                 x = MBConv(features, expand, kernel,
                            stride=stride if li == 0 else 1,
-                           dilation=dilation, bn_frozen=self.bn_frozen,
+                           dilation=first_dil if li == 0 else dilation,
+                           bn_frozen=self.bn_frozen,
                            dtype=self.dtype,
                            name=f'stage{si}_block{li}')(x, train)
         feats.append(x)
@@ -176,3 +197,18 @@ class EFNetEncoder(ERModule):
 
     def __call__(self, x, train: bool = False):
         return self.net(x, train)
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        """Reference channel table (``efficientnet.py:66-84``)."""
+        table = {
+            'efficientnet-b0': (16, 24, 40, 112, 320),
+            'efficientnet-b1': (16, 24, 40, 112, 320),
+            'efficientnet-b2': (16, 24, 48, 120, 352),
+            'efficientnet-b3': (24, 32, 48, 136, 384),
+            'efficientnet-b4': (24, 32, 56, 160, 448),
+            'efficientnet-b5': (24, 40, 64, 176, 512),
+            'efficientnet-b6': (32, 40, 72, 200, 576),
+            'efficientnet-b7': (32, 48, 80, 224, 640),
+        }
+        return table[self.config.efficientnet_type]

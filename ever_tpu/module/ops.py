@@ -305,6 +305,7 @@ class Norm(nn.Module):
     groups: int = 32
     dtype: Dtype = jnp.float32
     frozen: bool = False
+    eps: float = 1e-5    # bn only; EfficientNet uses the TF default 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -313,7 +314,7 @@ class Norm(nn.Module):
         if self.kind == 'bn':
             return nn.BatchNorm(
                 use_running_average=(not train) or self.frozen,
-                momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+                momentum=0.9, epsilon=self.eps, dtype=self.dtype)(x)
         if self.kind == 'gn':
             c = x.shape[-1]
             g = min(self.groups, c)

@@ -73,6 +73,7 @@ class ResNeStBottleneck(nn.Module):
     dilation: int = 1
     conv_dilation: int = 1
     downsample: bool = False
+    avd: bool = False
     radix: int = 2
     bn_frozen: bool = False
     dtype: Dtype = jnp.float32
@@ -85,12 +86,16 @@ class ResNeStBottleneck(nn.Module):
         y = _conv(self.filters, 1, name='conv1', dtype=self.dtype)(x)
         y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(y, train)
         y = nn.relu(y)
-        # ResNeSt-D: strided stages use avg-pool before the splat conv
-        if self.stride > 1:
-            y = avg_pool(y, 3, self.stride, padding='SAME')
         y = SplAtConv2d(self.filters, 3, 1, self.conv_dilation,
                         radix=self.radix, bn_frozen=self.bn_frozen,
                         dtype=self.dtype, name='splat')(y, train)
+        # ResNeSt-D avd (avd_first=False as in the published resnest50/101):
+        # 3x3 avg-pool AFTER the splat conv carries the stage stride; it also
+        # applies (stride 1) to os-dilated first blocks
+        if self.avd:
+            # symmetric padding 1 (torch AvgPool2d(3, s, padding=1)); 'SAME'
+            # would pad (0, 1) at stride 2 and shift the grid by one pixel
+            y = avg_pool(y, 3, max(self.stride, 1), padding=((1, 1), (1, 1)))
         y = _conv(self.filters * self.expansion, 1, name='conv3', dtype=self.dtype)(y)
         y = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn3')(y, train)
         if self.downsample:
@@ -132,10 +137,13 @@ class ResNeSt(nn.Module):
             for b in range(sizes[i]):
                 needs_ds = b == 0 and (stride != 1 or
                                        x.shape[-1] != filters[i] * 4)
+                # avd applies to the first block of layers 2-4 (is_first in
+                # the resnest package) even when os surgery removes the stride
                 x = ResNeStBottleneck(
                     filters[i], stride if b == 0 else 1, dil,
                     conv_dilation=first_dil if b == 0 else dil,
-                    downsample=needs_ds, radix=self.radix,
+                    downsample=needs_ds, avd=(b == 0 and i >= 1),
+                    radix=self.radix,
                     bn_frozen=self.bn_frozen, dtype=self.dtype,
                     name=f'layer{i + 1}_block{b}')(x, train)
             feats.append(x)

@@ -26,7 +26,8 @@ logger = logging.getLogger('ever_tpu.weight_io')
 __all__ = ['load_weights', 'flatten_tree', 'unflatten_tree',
            'convert_torch_resnet', 'convert_torch_densenet',
            'convert_torch_dinov3_vit', 'convert_torch_hrnet',
-           'convert_torch_convnext', 'patch_first_conv']
+           'convert_torch_convnext', 'convert_torch_efficientnet',
+           'convert_torch_resnest', 'patch_first_conv']
 
 
 def flatten_tree(tree: Any, prefix: str = '') -> Dict[str, np.ndarray]:
@@ -505,6 +506,146 @@ def convert_torch_farseg_head(state_dict: Dict[str, np.ndarray]) -> Dict[str, np
     return flat
 
 
+# -- efficientnet_pytorch conversion -----------------------------------------
+
+def convert_torch_efficientnet(state_dict: Dict[str, np.ndarray],
+                               model_name: Optional[str] = None
+                               ) -> Dict[str, np.ndarray]:
+    """``efficientnet_pytorch`` state_dict → flat tree matching
+    ``ever_tpu.module.efficientnet.EfficientNet``.
+
+    The package stores MBConv blocks as a flat ``_blocks.{i}`` list
+    (what the reference's ``EFNetEncoder`` wraps,
+    ``ever/module/efficientnet.py:8-36``); the flat index is re-staged via
+    the compound-scaling repeat counts.  ``model_name`` is inferred from the
+    block count when omitted.
+    """
+    from ever_tpu.module.efficientnet import EFFICIENTNET_SPECS, stage_repeats
+
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+    n_blocks = len({k.split('.')[1] for k in sd if k.startswith('_blocks.')})
+    if model_name is None:
+        for name in EFFICIENTNET_SPECS:
+            if sum(stage_repeats(name)) == n_blocks:
+                model_name = name
+                break
+        else:
+            raise ValueError(f'cannot infer efficientnet variant from '
+                             f'{n_blocks} blocks')
+    repeats = stage_repeats(model_name)
+    stage_of = {}
+    flat_idx = 0
+    for si, r in enumerate(repeats):
+        for li in range(r):
+            stage_of[flat_idx] = (si, li)
+            flat_idx += 1
+
+    def ck(v):   # OIHW → HWIO (depthwise (C,1,k,k) → (k,k,1,C) likewise)
+        return np.transpose(v, (2, 3, 1, 0))
+
+    out: Dict[str, np.ndarray] = {}
+    conv_map = {'_expand_conv': 'expand_conv', '_depthwise_conv': 'dw_conv',
+                '_project_conv': 'project_conv'}
+    se_map = {'_se_reduce': 'se_reduce', '_se_expand': 'se_expand'}
+    bn_map = {'_bn0': 'expand_bn', '_bn1': 'dw_bn', '_bn2': 'project_bn'}
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked'):
+            continue
+        if k == '_conv_stem.weight':
+            out['params/stem_conv/kernel'] = ck(v)
+            continue
+        if k.startswith('_bn0.'):
+            _bn_entries(out, 'stem_bn', k.split('.', 1)[1], v)
+            continue
+        if k.startswith('_blocks.'):
+            _, idx, part, leaf = k.split('.', 3)
+            si, li = stage_of[int(idx)]
+            base = f'stage{si}_block{li}'
+            # a block without expansion has no _expand_conv/_bn0; its _bn1
+            # is still the depthwise bn — naming is positional in the package
+            if part in conv_map and leaf == 'weight':
+                out[f'params/{base}/{conv_map[part]}/kernel'] = ck(v)
+            elif part in se_map:
+                if leaf == 'weight':
+                    out[f'params/{base}/{se_map[part]}/kernel'] = ck(v)
+                else:
+                    out[f'params/{base}/{se_map[part]}/bias'] = v
+            elif part in bn_map:
+                _bn_entries(out, f'{base}/{bn_map[part]}', leaf, v)
+            continue
+        # _conv_head / top-level _bn1 / _fc are the classification head —
+        # the encoder taps stop before them (efficientnet.py:21-31)
+        if k.startswith(('_conv_head.', '_bn1.', '_fc.')):
+            continue
+        logger.debug('unmapped efficientnet key: %s', k)
+    return out
+
+
+# -- resnest conversion -------------------------------------------------------
+
+_TORCH_RESNEST_RE = re.compile(
+    r'^(layer\d+)\.(\d+)\.(conv\d|bn\d|downsample)(?:\.(\w+))?\.(.+)$')
+
+
+def convert_torch_resnest(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """``resnest`` package state_dict → flat tree matching
+    ``ever_tpu.module.resnest.ResNeSt`` (what the reference's
+    ``ResNeStEncoder`` wraps, ``ever/module/resnest.py:17-89``).
+
+    Deep stem: ``conv1.{0,3,6}`` convs + ``conv1.{1,4}``/``bn1`` bns; split
+    attention lives at ``layerX.Y.conv2.{conv,bn0,fc1,bn1,fc2}``; ResNeSt-D
+    downsample is ``downsample.{1,2}`` (``downsample.0`` is the parameterless
+    avg-pool).
+    """
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+
+    def ck(v):
+        return np.transpose(v, (2, 3, 1, 0))
+
+    out: Dict[str, np.ndarray] = {}
+    stem_convs = {'0': 'stem_conv1', '3': 'stem_conv2', '6': 'stem_conv3'}
+    stem_bns = {'1': 'stem_bn1', '4': 'stem_bn2'}
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked') or k.startswith('fc.'):
+            continue
+        if k.startswith('conv1.'):
+            idx, leaf = k.split('.')[1], k.split('.', 2)[2]
+            if idx in stem_convs and leaf == 'weight':
+                out[f'params/{stem_convs[idx]}/kernel'] = ck(v)
+            elif idx in stem_bns:
+                _bn_entries(out, stem_bns[idx], leaf, v)
+            continue
+        if k.startswith('bn1.'):
+            _bn_entries(out, 'stem_bn3', k.split('.', 1)[1], v)
+            continue
+        m = _TORCH_RESNEST_RE.match(k)
+        if not m:
+            logger.debug('unmapped resnest key: %s', k)
+            continue
+        layer, block, part, sub, leaf = m.groups()
+        base = f'{layer}_block{block}'
+        if part == 'conv2':        # SplAtConv2d
+            if sub == 'conv' and leaf == 'weight':
+                out[f'params/{base}/splat/conv/kernel'] = ck(v)
+            elif sub in ('fc1', 'fc2'):
+                if leaf == 'weight':
+                    out[f'params/{base}/splat/{sub}/kernel'] = ck(v)
+                else:
+                    out[f'params/{base}/splat/{sub}/bias'] = v
+            elif sub in ('bn0', 'bn1'):
+                _bn_entries(out, f'{base}/splat/{sub}', leaf, v)
+        elif part.startswith('conv') and leaf == 'weight':
+            out[f'params/{base}/{part}/kernel'] = ck(v)
+        elif part.startswith('bn'):
+            _bn_entries(out, f'{base}/{part}', leaf, v)
+        elif part == 'downsample':
+            if sub == '1' and leaf == 'weight':
+                out[f'params/{base}/downsample_conv/kernel'] = ck(v)
+            elif sub == '2':
+                _bn_entries(out, f'{base}/downsample_bn', leaf, v)
+    return out
+
+
 # -- generic load ------------------------------------------------------------
 
 def _read_file(path: str) -> Dict[str, np.ndarray]:
@@ -528,6 +669,10 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
             return convert_torch_hrnet(sd)
         if any(k.startswith('downsample_layers.') for k in sd):
             return convert_torch_convnext(sd)
+        if any(k.startswith('_conv_stem.') for k in sd):
+            return convert_torch_efficientnet(sd)
+        if any('.conv2.fc1.' in k for k in sd):
+            return convert_torch_resnest(sd)
         deep_stem = any(k.startswith('stem.') for k in sd)
         return convert_torch_resnet(sd, deep_stem=deep_stem)
     if path.endswith('.npz'):

@@ -206,9 +206,12 @@ def test_efficientnet_encoder():
                             'params': dict(efficientnet_type='efficientnet-b0')})
     x = jnp.ones((1, 64, 64, 3))
     _, feats = _init_apply(m, x, train=True)
-    assert len(feats) == 4
-    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]   # os4/8/16/32
-    assert [f.shape[-1] for f in feats] == [24, 40, 112, 320]
+    # reference taps prev_x at each downsample plus the final output → 5
+    # features at os2/4/8/16/32 (ever/module/efficientnet.py:21-31,66-84)
+    assert len(feats) == 5
+    assert [f.shape[1] for f in feats] == [32, 16, 8, 4, 2]
+    assert [f.shape[-1] for f in feats] == list(m.out_channels)
+    assert m.out_channels == (16, 24, 40, 112, 320)
 
 
 def test_efficientnet_output_stride_16():

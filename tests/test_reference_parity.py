@@ -482,3 +482,323 @@ def test_convnext_encoder_matches_reference(tmp_path):
     for i, (got, want) in enumerate(zip(feats, ref_feats)):
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
                                    atol=2e-3, err_msg=f'stage {i}')
+
+
+# -- EfficientNet / ResNeSt transplant parity --------------------------------
+# The reference encoders wrap the external ``efficientnet_pytorch`` and
+# ``resnest`` packages (``ever/module/efficientnet.py:8-36``,
+# ``ever/module/resnest.py:17-24``), which are not installed in this image.
+# The torch oracles below replicate those packages' published architectures
+# AND state_dict naming exactly, so the converter + flax modules are tested
+# against the same tensor layout a real pretrained checkpoint would carry.
+
+
+def _tf_same_pad(size, k, s, d):
+    import math as _m
+    out = _m.ceil(size / s)
+    return max((out - 1) * s + (k - 1) * d + 1 - size, 0)
+
+
+class _SameConv2d:
+    """TF-SAME conv (efficientnet_pytorch's Conv2dStaticSamePadding)."""
+
+    def __new__(cls, cin, cout, k, stride=1, dilation=1, groups=1, bias=True):
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        class M(tnn.Conv2d):
+            def forward(self, x):
+                ih, iw = x.shape[-2:]
+                ph = _tf_same_pad(ih, self.kernel_size[0], self.stride[0],
+                                  self.dilation[0])
+                pw = _tf_same_pad(iw, self.kernel_size[1], self.stride[1],
+                                  self.dilation[1])
+                x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+                return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                                self.dilation, self.groups)
+
+        return M(cin, cout, k, stride=stride, dilation=dilation, groups=groups,
+                 bias=bias)
+
+
+def _make_torch_efficientnet_b0():
+    import torch.nn as tnn
+
+    B0 = [(1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+          (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+          (6, 320, 1, 1, 3)]
+    BN = dict(eps=1e-3, momentum=0.01)
+
+    class MBConvBlock(tnn.Module):
+        def __init__(self, cin, cout, expand, k, stride):
+            super().__init__()
+            mid = cin * expand
+            if expand != 1:
+                self._expand_conv = _SameConv2d(cin, mid, 1, bias=False)
+                self._bn0 = tnn.BatchNorm2d(mid, **BN)
+            self._depthwise_conv = _SameConv2d(mid, mid, k, stride=stride,
+                                               groups=mid, bias=False)
+            self._bn1 = tnn.BatchNorm2d(mid, **BN)
+            se_c = max(1, int(cin * 0.25))
+            self._se_reduce = _SameConv2d(mid, se_c, 1)
+            self._se_expand = _SameConv2d(se_c, mid, 1)
+            self._project_conv = _SameConv2d(mid, cout, 1, bias=False)
+            self._bn2 = tnn.BatchNorm2d(cout, **BN)
+            self.expand, self.cin, self.cout, self.stride = expand, cin, cout, stride
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            h = x
+            if self.expand != 1:
+                h = F.silu(self._bn0(self._expand_conv(h)))
+            h = F.silu(self._bn1(self._depthwise_conv(h)))
+            s = F.adaptive_avg_pool2d(h, 1)
+            s = torch.sigmoid(self._se_expand(F.silu(self._se_reduce(s))))
+            h = self._bn2(self._project_conv(h * s))
+            if self.stride == 1 and self.cin == self.cout:
+                h = h + x
+            return h
+
+    class EfficientNetB0(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self._conv_stem = _SameConv2d(3, 32, 3, stride=2, bias=False)
+            self._bn0 = tnn.BatchNorm2d(32, **BN)
+            blocks, cin = [], 32
+            for expand, c, layers, stride, k in B0:
+                for li in range(layers):
+                    blocks.append(MBConvBlock(cin, c, expand, k,
+                                              stride if li == 0 else 1))
+                    cin = c
+            self._blocks = tnn.ModuleList(blocks)
+            # classification head — present in real checkpoints, must be
+            # skipped by the converter
+            self._conv_head = _SameConv2d(320, 1280, 1, bias=False)
+            self._bn1 = tnn.BatchNorm2d(1280, **BN)
+            self._fc = tnn.Linear(1280, 1000)
+
+        def extract_features(self, x):
+            import torch.nn.functional as F
+            x = F.silu(self._bn0(self._conv_stem(x)))
+            feats = []
+            for b in self._blocks:
+                if tuple(b._depthwise_conv.stride) == (2, 2) or \
+                        hasattr(b._depthwise_conv, 'endpoint'):
+                    feats.append(x)
+                x = b(x)
+            feats.append(x)
+            return feats
+
+    return EfficientNetB0()
+
+
+def _efnet_nostride_dilate(model, output_stride):
+    """Reference surgery (``ever/module/efficientnet.py:51-106``) on the
+    oracle: disable stride-2 past the cut, dilate depthwise convs."""
+    import math as _m
+    n = int(_m.log2(output_stride) - 1)
+    m = 0
+    for b in model._blocks:
+        dw = b._depthwise_conv
+        if tuple(dw.stride) == (2, 2):
+            if n == 0:
+                m += 1
+            else:
+                n -= 1
+        if m > 0:
+            dilate = 2 ** m
+            if tuple(dw.stride) == (2, 2):
+                dw.stride = (1, 1)
+                dw.endpoint = True
+                dw.dilation = (dilate // 2, dilate // 2)
+            else:
+                dw.dilation = (dilate, dilate)
+
+
+def _randomize_state(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            continue
+        if 'running_var' in k:
+            v.copy_(torch.rand(v.shape, generator=g) + 0.5)
+        else:
+            v.copy_(torch.randn(v.shape, generator=g) * 0.1)
+
+
+@pytest.mark.parametrize('output_stride', [32, 16])
+def test_efficientnet_encoder_matches_oracle(tmp_path, output_stride):
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    ref = _make_torch_efficientnet_b0()
+    _randomize_state(ref)
+    if output_stride != 32:
+        _efnet_nostride_dilate(ref, output_stride)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref.extract_features(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_feats = [np.transpose(f.numpy(), (0, 2, 3, 1)) for f in ref_feats]
+    assert len(ref_feats) == 5  # reference taps os2..os32
+
+    pth = tmp_path / 'efnet.pth'
+    torch.save(ref.state_dict(), str(pth))
+    ours = builder.make_model({'type': 'EFNetEncoder', 'params': dict(
+        efficientnet_type='efficientnet-b0', output_stride=output_stride)})
+    variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(x),
+                          train=True)
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    our_feats = ours.apply({'params': params, 'batch_stats': batch_stats},
+                           jnp.asarray(x))
+
+    assert len(our_feats) == 5
+    for i, (a, b) in enumerate(zip(our_feats, ref_feats)):
+        assert a.shape == b.shape, f'level {i}: {a.shape} vs {b.shape}'
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-3,
+                                   err_msg=f'feature level {i}')
+
+
+def _make_torch_resnest50(layers=(3, 4, 6, 3), geometry=None):
+    """resnest.torch.resnest50 architecture + naming: deep stem (stem_width
+    32), avg_down, radix 2, avd (avd_first=False)."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    class SplAtConv2d(tnn.Module):
+        def __init__(self, cin, channels, stride=1, dilation=1, radix=2):
+            super().__init__()
+            inter = max(cin * radix // 4, 32)
+            self.conv = tnn.Conv2d(cin, channels * radix, 3, stride,
+                                   padding=dilation, dilation=dilation,
+                                   groups=radix, bias=False)
+            self.bn0 = tnn.BatchNorm2d(channels * radix)
+            self.fc1 = tnn.Conv2d(channels, inter, 1)
+            self.bn1 = tnn.BatchNorm2d(inter)
+            self.fc2 = tnn.Conv2d(inter, channels * radix, 1)
+            self.radix, self.channels = radix, channels
+
+        def forward(self, x):
+            x = F.relu(self.bn0(self.conv(x)))
+            b = x.shape[0]
+            splited = torch.split(x, self.channels, dim=1)
+            gap = sum(splited)
+            gap = F.adaptive_avg_pool2d(gap, 1)
+            gap = F.relu(self.bn1(self.fc1(gap)))
+            atten = self.fc2(gap)
+            atten = atten.view(b, 1, self.radix, -1).transpose(1, 2)
+            atten = F.softmax(atten, dim=1).reshape(b, -1, 1, 1)
+            attens = torch.split(atten, self.channels, dim=1)
+            return sum(att * sp for att, sp in zip(attens, splited))
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride=1, dilation=1, first_dilation=1,
+                     downsample=None, avd=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = SplAtConv2d(planes, planes, 1, first_dilation)
+            self.avd_layer = tnn.AvgPool2d(3, stride, padding=1) if avd else None
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.downsample = downsample
+
+        def forward(self, x):
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.conv2(out)
+            if self.avd_layer is not None:
+                out = self.avd_layer(out)
+            out = self.bn3(self.conv3(out))
+            identity = x if self.downsample is None else self.downsample(x)
+            return F.relu(out + identity)
+
+    class ResNeSt(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Sequential(
+                tnn.Conv2d(3, 32, 3, 2, 1, bias=False), tnn.BatchNorm2d(32),
+                tnn.ReLU(inplace=True),
+                tnn.Conv2d(32, 32, 3, 1, 1, bias=False), tnn.BatchNorm2d(32),
+                tnn.ReLU(inplace=True),
+                tnn.Conv2d(32, 64, 3, 1, 1, bias=False))
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            cin = 64
+            geo = geometry or [(1, 1, 1), (2, 1, 1), (2, 1, 1), (2, 1, 1)]
+            for i, (n, planes) in enumerate(zip(layers, (64, 128, 256, 512))):
+                stride, dil, first_dil = geo[i]
+                blocks = []
+                for bidx in range(n):
+                    s = stride if bidx == 0 else 1
+                    ds = None
+                    if bidx == 0 and (s != 1 or cin != planes * 4):
+                        pool = (tnn.AvgPool2d(s, s, ceil_mode=True,
+                                              count_include_pad=False)
+                                if s > 1 else tnn.Identity())
+                        ds = tnn.Sequential(
+                            pool, tnn.Conv2d(cin, planes * 4, 1, bias=False),
+                            tnn.BatchNorm2d(planes * 4))
+                    blocks.append(Bottleneck(
+                        cin, planes, s,
+                        dilation=dil,
+                        first_dilation=first_dil if bidx == 0 else dil,
+                        downsample=ds, avd=(bidx == 0 and i >= 1)))
+                    cin = planes * 4
+                setattr(self, f'layer{i + 1}', tnn.Sequential(*blocks))
+            self.fc = tnn.Linear(2048, 1000)
+
+        def forward(self, x):
+            x = F.relu(self.bn1(self.conv1(x)))
+            x = self.maxpool(x)
+            c2 = self.layer1(x)
+            c3 = self.layer2(c2)
+            c4 = self.layer3(c3)
+            c5 = self.layer4(c4)
+            return c2, c3, c4, c5
+
+    return ResNeSt()
+
+
+@pytest.mark.parametrize('output_stride', [32, 16])
+def test_resnest_encoder_matches_oracle(tmp_path, output_stride):
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.module.resnet import _stage_geometry
+    from ever_tpu.util import weight_io
+
+    torch.manual_seed(0)
+    ref = _make_torch_resnest50(geometry=_stage_geometry(output_stride))
+    _randomize_state(ref, seed=1)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_feats = [np.transpose(f.numpy(), (0, 2, 3, 1)) for f in ref_feats]
+
+    pth = tmp_path / 'resnest.pth'
+    torch.save(ref.state_dict(), str(pth))
+    ours = builder.make_model({'type': 'ResNeStEncoder', 'params': dict(
+        resnest_type='resnest50', output_stride=output_stride)})
+    variables = ours.init({'params': jax.random.key(0)}, jnp.asarray(x),
+                          train=True)
+    params, batch_stats = weight_io.load_weights(
+        str(pth), variables['params'], variables['batch_stats'], log=False)
+    our_feats = ours.apply({'params': params, 'batch_stats': batch_stats},
+                           jnp.asarray(x))
+
+    assert len(our_feats) == 4
+    for i, (a, b) in enumerate(zip(our_feats, ref_feats)):
+        assert a.shape == b.shape, f'level {i}: {a.shape} vs {b.shape}'
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-3, atol=1e-3,
+                                   err_msg=f'feature level {i}')
