@@ -27,6 +27,23 @@ from ever_tpu.magic.sliding_window import sliding_window
 __all__ = ['tiled_inference', 'pad_crop_apply']
 
 
+_TTA_WRAPPERS: dict = {}
+
+
+def _d4_wrapped(predict_fn: Callable) -> Callable:
+    """Memoized d4-TTA wrapper so repeated ``tiled_inference(..., tta='d4')``
+    calls reuse the same (jit-static) callable instead of recompiling."""
+    fn = _TTA_WRAPPERS.get(predict_fn)
+    if fn is None:
+        from ever_tpu.magic.transform import d4_tta
+
+        def fn(tiles):
+            return d4_tta(predict_fn, tiles)
+
+        _TTA_WRAPPERS[predict_fn] = fn
+    return fn
+
+
 def pad_crop_apply(fn: Callable, x: jnp.ndarray, size_divisor: int) -> jnp.ndarray:
     """Pad NHWC input to a size multiple, run ``fn``, crop back.
 
@@ -46,7 +63,8 @@ def tiled_inference(predict_fn: Callable,
                     stride: int,
                     num_classes: int,
                     tile_batch: int = 8,
-                    mesh=None, axis: str = 'data') -> jnp.ndarray:
+                    mesh=None, axis: str = 'data',
+                    tta: Optional[str] = None) -> jnp.ndarray:
     """Run ``predict_fn`` over every sliding-window tile and average overlaps.
 
     Args:
@@ -62,9 +80,19 @@ def tiled_inference(predict_fn: Callable,
             ``psum`` at the end (this is how the ≥5k tiles/s v5e-8 north
             star composes from the ~725/s single-chip scan: tiles are
             embarrassingly parallel, one collective per scene).
+        tta: ``'d4'`` fuses full dihedral-group test-time augmentation into
+            the SAME compiled scan — each tile batch is expanded to its 8
+            symmetries, predicted in one batched call, inverted, and
+            averaged before pasting (one program; the reference runs TTA as
+            8 separate forwards per tile, ``ever/magic/transform/tta.py:11-42``).
+            Requires square tiles.
 
     Returns ``[H, W, num_classes]``.
     """
+    if tta is not None:
+        if tta != 'd4':
+            raise ValueError(f"tta must be None or 'd4', got {tta!r}")
+        predict_fn = _d4_wrapped(predict_fn)
     h, w, _ = image.shape
     boxes = sliding_window((h, w), kernel_size, stride)
     if mesh is None:

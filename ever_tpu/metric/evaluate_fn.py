@@ -56,9 +56,21 @@ def _make_eval_loop(num_classes, data_parse_fn, tune_model_fn, prediction_fn,
         eval_step = tune_model_fn(self.get_eval_step())
         it = _progress(loader, desc) if (not distributed or
                                          jax.process_index() == 0) else loader
+        n_dev = 1
+        if getattr(self, 'mesh', None) is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
         for data in it:
             x, y_true, other_info = data_parse_fn(data)
-            y_pred = eval_step(self.state, (jnp.asarray(x),))
+            x = jnp.asarray(x)
+            # tail batches need not divide the mesh: pad with repeats of the
+            # last sample and drop the padded predictions after the step
+            n = x.shape[0]
+            pad = (-n) % n_dev
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+            y_pred = eval_step(self.state, (x,))
+            if pad:
+                y_pred = jax.tree.map(lambda p: p[:n], y_pred)
             y_true, y_pred = prediction_fn(y_true, y_pred, other_info,
                                            self.model_dir, self.checkpoint)
             pm.forward(y_true, y_pred)

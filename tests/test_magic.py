@@ -133,6 +133,41 @@ def test_tiled_inference_sharded_context_dependent_head():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_tiled_inference_tta_matches_sequential():
+    """tta='d4' (TTA fused into the scan, one program) must equal the
+    sequential oracle: per tile, apply all 8 dihedral variants, invert,
+    average, then paste (reference semantics, ever/magic/transform/tta.py)."""
+    rng = np.random.default_rng(2)
+    scene = jnp.asarray(rng.normal(size=(70, 60, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 2)).astype(np.float32))
+
+    def predict(tiles):   # anisotropic head → TTA actually changes the output
+        shifted = jnp.roll(tiles, 1, axis=1)
+        return jnp.einsum('bhwc,cn->bhwn', tiles + 0.5 * shifted, kernel)
+
+    def tta_oracle(tiles):
+        outs = []
+        for flip in (False, True):
+            base = jnp.flip(tiles, axis=2) if flip else tiles
+            for k in range(4):
+                pred = predict(jnp.rot90(base, k, axes=(1, 2)))
+                pred = jnp.rot90(pred, 4 - k, axes=(1, 2))
+                if flip:
+                    pred = jnp.flip(pred, axis=2)
+                outs.append(pred)
+        return sum(outs) / 8.0
+
+    ref = _numpy_tiled_reference(tta_oracle, scene, 32, 24, 2)
+    got = tiled_inference(predict, scene, 32, 24, 2, tile_batch=4, tta='d4')
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+    # sharded variant composes with TTA too
+    from ever_tpu.parallel.mesh import make_mesh
+    got_sh = tiled_inference(predict, scene, 32, 24, 2, tile_batch=4,
+                             tta='d4', mesh=make_mesh(('data',)))
+    np.testing.assert_allclose(np.asarray(got_sh), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_tiled_inference_sharded_matches_single_device():
     """mesh= shards the tile list over 'data'; result equals the
     single-device scan exactly (overlapping geometry + tail padding)."""
