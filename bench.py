@@ -176,6 +176,21 @@ def main():
         _ = float(jax.device_get(jnp.sum(out[0, 0])))
         infer_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3)
 
+        # D4-TTA whole-scene variant: 8 symmetries fused into the same scan
+        # (one program; ~8x the FLOPs per tile).  tile_batch=2 keeps the
+        # 8-way expanded predict batch at 16 tiles.
+        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=2,
+                              tta='d4')
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=2,
+                                  tta='d4')
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        tta_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 2)
+    else:
+        tta_tiles_per_sec_chip = 0.0
+
     print(json.dumps({
         'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
         'value': round(tiles_per_sec_chip, 2),
@@ -186,6 +201,7 @@ def main():
         'step_flops_g': round(step_flops / 1e9, 1),
         'infer_tiles_per_sec_per_chip': round(infer_tiles_per_sec_chip, 1),
         'infer_vs_baseline': round(infer_tiles_per_sec_chip / 625.0, 4),
+        'tta_d4_tiles_per_sec_per_chip': round(tta_tiles_per_sec_chip, 1),
         'n_chips': n_chips,
         'global_batch': batch,
         'device': devices[0].device_kind,

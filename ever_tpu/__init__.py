@@ -35,7 +35,9 @@ from ever_tpu.interface import (
     MultiTransform,
     Transform,
 )
+from ever_tpu.core.logger import info
 from ever_tpu.magic.sliding_window import sliding_window
+from ever_tpu.magic.transform import TestTimeAugmentation, d4_tta, tta
 from ever_tpu.util.param_util import count_model_parameters
 from ever_tpu.util.seedlib import seed_everything, seed_torch
 
@@ -57,4 +59,5 @@ __all__ = [
     'LearningRateBase', 'MultiTransform', 'Transform',
     'sliding_window', 'seed_everything', 'seed_torch',
     'count_model_parameters', 'auto_device',
+    'info', 'tta', 'd4_tta', 'TestTimeAugmentation',
 ]

@@ -284,6 +284,17 @@ def max_pool(x, window=3, stride=2, padding='SAME', impl='reduce_window'):
             and x.ndim == 4 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and jnp.issubdtype(x.dtype, jnp.floating)):
         return _max_pool_32_p(x) if impl == 'pallas' else _max_pool_32(x)
+    if impl == 'separable' and x.ndim == 4:
+        # max over a 2-D window factorizes into two 1-D maxes; the backward
+        # becomes two 1-D select_and_scatters instead of one 2-D (an MFU
+        # experiment for the 0.54 ms stem maxpool backward)
+        pad = padding if isinstance(padding, str) else tuple(padding)
+        y = nn.max_pool(x, window_shape=(w[0], 1), strides=(s[0], 1),
+                        padding=pad if isinstance(pad, str)
+                        else (pad[0], (0, 0)))
+        return nn.max_pool(y, window_shape=(1, w[1]), strides=(1, s[1]),
+                           padding=pad if isinstance(pad, str)
+                           else ((0, 0), pad[1]))
     return nn.max_pool(x, window_shape=w, strides=s, padding=padding)
 
 

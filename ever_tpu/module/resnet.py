@@ -303,6 +303,7 @@ class ResNet(nn.Module):
     se_ratio: Optional[int] = None
     gc_ratio: Optional[float] = None
     stem: str = 'conv'              # 'conv' | 's2d' | 's2dw' | 's2d3' (exact folds)
+    maxpool_impl: str = 'reduce_window'   # | 'separable' | 'planes' | 'pallas'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -335,7 +336,7 @@ class ResNet(nn.Module):
         # values and a.e. gradients to the reference's relu->maxpool,
         # ``_resnets.py`` stem), but the full-resolution relu activation is
         # never materialized — the pool reads the BN output directly
-        x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)))
+        x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)), impl=self.maxpool_impl)
         x = nn.relu(x)
 
         feats = []
@@ -382,6 +383,7 @@ class ResNetEncoder(ERModule):
             se_ratio=None,
             gc_ratio=None,
             stem='conv',
+            maxpool_impl='reduce_window',
             dtype='float32',
         ))
 
@@ -395,6 +397,7 @@ class ResNetEncoder(ERModule):
             se_ratio=self.config.se_ratio,
             gc_ratio=self.config.gc_ratio,
             stem=self.config.get('stem', 'conv'),
+            maxpool_impl=self.config.get('maxpool_impl', 'reduce_window'),
             dtype=jnp.dtype(self.config.dtype),
         )
 

@@ -39,7 +39,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     n = q.shape[1]
     if impl is None:
-        on_tpu = jax.devices()[0].platform == 'tpu'
+        dev = jax.devices()[0]
+        # tunneled TPU plugins report platform 'axon' with a 'TPU ...'
+        # device_kind — check both or flash never auto-dispatches there
+        on_tpu = dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
         impl = 'flash' if (on_tpu and n >= FLASH_TOKEN_THRESHOLD) else 'xla'
     if impl == 'flash':
         try:

@@ -17,7 +17,8 @@ def test_top_level_exports():
     for name in ('registry', 'builder', 'config', 'to', 'param_util', 'data',
                  'metric', 'preprocess', 'infer_tool', 'ERDataLoader',
                  'LearningRateBase', 'ERModule', 'Transform', 'MultiTransform',
-                 'Callback', 'seed_torch', 'sliding_window', 'auto_device'):
+                 'Callback', 'seed_torch', 'sliding_window', 'auto_device',
+                 'tta', 'TestTimeAugmentation', 'info'):
         assert hasattr(er, name), f'missing export: {name}'
 
 

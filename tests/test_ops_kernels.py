@@ -127,3 +127,25 @@ def test_max_pool_pallas_impl_matches_reduce_window(shape):
         lambda a: jnp.sum(max_pool(a, 3, 2, ((1, 1), (1, 1)), impl='pallas') * w))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize('padding', [((1, 1), (1, 1)), 'SAME'])
+def test_max_pool_separable_matches_reduce_window(padding):
+    """impl='separable' (two 1-D pools; two cheap 1-D select_and_scatter
+    backwards) equals the 2-D pool in value and, for untied inputs, grad."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.module.ops import max_pool
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
+    ref_fn = lambda a: nn.max_pool(a, (3, 3), (2, 2), padding)
+    out = max_pool(x, 3, 2, padding, impl='separable')
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_fn(x)))
+    w = jnp.asarray(rng.normal(size=np.asarray(out).shape).astype(np.float32))
+    g_ref = jax.grad(lambda a: jnp.sum(ref_fn(a) * w))(x)
+    g_got = jax.grad(
+        lambda a: jnp.sum(max_pool(a, 3, 2, padding, impl='separable') * w))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
