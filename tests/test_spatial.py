@@ -21,10 +21,10 @@ class _ConvStack(nn.Module):
         return nn.Conv(4, (1, 1), name='out')(x)
 
 
-@pytest.mark.parametrize('halo', [8, 16])
-def test_spatial_partition_matches_unsharded(halo):
-    """Exact everywhere except within RF//2 rows of the TRUE image border
-    (explicit zero halo vs nested conv padding — see module docstring)."""
+@pytest.mark.parametrize('halo', [4, 8])
+def test_spatial_partition_exact_matches_unsharded_everywhere(halo):
+    """boundary='exact' (overlap strips at the true border): equals the
+    unsharded forward at EVERY row, including image borders."""
     mesh = make_mesh(('data',))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(1, 128, 64, 3)).astype(np.float32))
@@ -34,13 +34,37 @@ def test_spatial_partition_matches_unsharded(halo):
 
     full = np.asarray(fn(x))
     sharded = np.asarray(spatial_partition_apply(fn, x, mesh, axis='data',
-                                                 halo=halo))
+                                                 halo=halo, boundary='exact'))
+    np.testing.assert_allclose(sharded, full, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('halo', [8, 16])
+def test_spatial_partition_zeros_matches_interior(halo):
+    """boundary='zeros': exact away from the true border, bounded at it
+    (zero halo vs nested conv padding — see module docstring)."""
+    mesh = make_mesh(('data',))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 128, 64, 3)).astype(np.float32))
+    model = _ConvStack()
+    v = model.init(jax.random.key(0), x)
+    fn = lambda t: model.apply(v, t)
+
+    full = np.asarray(fn(x))
+    sharded = np.asarray(spatial_partition_apply(fn, x, mesh, axis='data',
+                                                 halo=halo, boundary='zeros'))
     rf_half = 3   # three 3x3 convs
     # every strip boundary in the interior is bit-exact
     np.testing.assert_allclose(sharded[:, rf_half:-rf_half],
                                full[:, rf_half:-rf_half], rtol=1e-5, atol=1e-5)
     # border rows stay bounded (zero-halo vs conv-padding difference)
     assert np.abs(sharded - full).max() < 1.0
+
+
+def test_spatial_partition_exact_rejects_oversized_halo():
+    mesh = make_mesh(('data',))
+    x = jnp.ones((1, 64, 32, 3))   # h_local = 8 on the 8-device mesh
+    with pytest.raises(ValueError):
+        spatial_partition_apply(lambda t: t, x, mesh, halo=8, boundary='exact')
 
 
 def test_spatial_partition_rejects_bad_shape():
