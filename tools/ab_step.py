@@ -21,8 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('variants', nargs='*')
     ap.add_argument('--trace', default=None)
-    ap.add_argument('--steps', type=int, default=4, help='timing loops of K=10')
+    ap.add_argument('--steps', type=int, default=4, help='timing loops of K')
     ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--k', type=int, default=10, help='steps per dispatch')
     args = ap.parse_args()
 
     import jax
@@ -34,19 +35,21 @@ def main():
     from ever_tpu.parallel.spmd import build_train_loop, create_train_state
 
     VARIANTS = {
-        # name -> (farseg param overrides, maxpool impl)
-        's2d_legacymp': (dict(stem='s2d'), 'reduce_window'),
-        's2dw_legacymp': (dict(stem='s2dw'), 'reduce_window'),
-        's2d3_legacymp': (dict(stem='s2d3'), 'reduce_window'),
-        's2d': (dict(stem='s2d'), 'planes'),
-        's2dw': (dict(stem='s2dw'), 'planes'),
-        's2d3': (dict(stem='s2d3'), 'planes'),
-        's2d_pallasmp': (dict(stem='s2d'), 'pallas'),
-        's2d_input': (dict(stem='s2d_input'), 'reduce_window'),
+        # name -> encoder param overrides (maxpool_impl is config-plumbed)
+        's2d_legacymp': dict(stem='s2d'),
+        's2dw_legacymp': dict(stem='s2dw'),
+        's2d3_legacymp': dict(stem='s2d3'),
+        's2d': dict(stem='s2d', maxpool_impl='planes'),
+        's2dw': dict(stem='s2dw', maxpool_impl='planes'),
+        's2d3': dict(stem='s2d3', maxpool_impl='planes'),
+        's2d_pallasmp': dict(stem='s2d', maxpool_impl='pallas'),
+        's2d_input': dict(stem='s2d_input'),
+        's2d_input_sep': dict(stem='s2d_input', maxpool_impl='separable'),
+        's2d_sep': dict(stem='s2d', maxpool_impl='separable'),
     }
     names = args.variants or list(VARIANTS)
 
-    batch, tile, K = args.batch, 512, 10
+    batch, tile, K = args.batch, 512, args.k
     rng = np.random.default_rng(0)
     x = rng.normal(size=(batch, tile, tile, 3)).astype(jnp.bfloat16)
     y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
@@ -61,15 +64,9 @@ def main():
         {'type': 'sgd', 'params': dict(momentum=0.9)})
     tx = factory.build(schedule)
 
-    from functools import partial
-
-    from ever_tpu.module import ops as _ops
-    from ever_tpu.module import resnet as _resnet
-
     results = {}
     for name in names:
-        over, mp_impl = VARIANTS[name]
-        _resnet.max_pool = partial(_ops.max_pool, impl=mp_impl)
+        over = VARIANTS[name]
         model = builder.make_model({'type': 'FarSeg', 'params': dict(
             encoder=dict(resnet_type='resnet50', **over),
             classes=7, dtype='bfloat16')})
