@@ -153,10 +153,7 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     import math as _math
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis]
     n_tiles = len(boxes)

@@ -249,6 +249,7 @@ class SelfAttentionBlock(nn.Module):
     ffn_layer: str = 'mlp'            # 'mlp' | 'swiglu' | 'swiglu{32,64,128}'
     norm: str = 'ln'                  # 'ln' | 'rms'
     norm_eps: float = 1e-6            # 1e-5 = reference 'layernormbf16'
+    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
     dtype: Dtype = jnp.float32
 
     def _norm(self, name):
@@ -261,6 +262,7 @@ class SelfAttentionBlock(nn.Module):
         hidden = int(self.dim * self.ffn_ratio)
         y = self._norm('norm1')(x)
         y = SelfAttention(self.dim, self.num_heads, self.qkv_bias,
+                          attn_impl=self.attn_impl,
                           dtype=self.dtype, name='attn')(y, rope)
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name='ls1')(y)
@@ -338,6 +340,7 @@ class DinoVisionTransformer(nn.Module):
     pos_embed_rope_max_period: Optional[float] = None
     norm: str = 'ln'
     untie_cls_and_patch_norms: bool = False
+    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -366,7 +369,7 @@ class DinoVisionTransformer(nn.Module):
             dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
             layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
             ffn_layer=self.ffn_layer or ffn_layer, norm=self.norm,
-            norm_eps=self.norm_eps, dtype=self.dtype,
+            norm_eps=self.norm_eps, attn_impl=self.attn_impl, dtype=self.dtype,
             name=f'block{i}') for i in range(depth)]
         if self.norm == 'rms':
             self.final_norm = RMSNorm(epsilon=self.norm_eps, dtype=self.dtype,
@@ -534,6 +537,7 @@ class ViTEncoder(ERModule):
             drop_path_rate=0.0,
             out_indices=None,         # default: evenly spaced quarters
             pyramid=True,             # resize taps to os4/8/16/32
+            attn_impl=None,           # None=auto | 'xla' | 'flash'
             dtype='float32',
         ))
 
@@ -543,6 +547,7 @@ class ViTEncoder(ERModule):
             patch_size=self.config.patch_size,
             n_storage_tokens=self.config.n_storage_tokens,
             drop_path_rate=self.config.drop_path_rate,
+            attn_impl=self.config.attn_impl,
             dtype=jnp.dtype(self.config.dtype),
         )
 

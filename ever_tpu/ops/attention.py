@@ -22,13 +22,45 @@ __all__ = ['attention']
 FLASH_TOKEN_THRESHOLD = 4096
 
 
-def _flash(q, k, v):
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+def _pick_block(n: int, cap: int) -> int:
+    """Largest power-of-two block <= cap that divides n (the kernel asserts
+    divisibility).  Defaults in jax are 128 everywhere, which at 16k tokens
+    makes a 128x grid of tiny invocations — measured 1.6x slower than XLA
+    until the blocks are raised (docs/PERFORMANCE.md 'flash attention')."""
+    b = cap
+    while b > 128 and n % b:
+        b //= 2
+    return b if n % b == 0 else 128
+
+
+def _flash(q, k, v, block_q: Optional[int] = None, block_k: Optional[int] = None):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    b, n, h, d = q.shape
+    # The kernel asserts block divisibility, and real ViT token counts are
+    # patches + prefix (cls + storage), e.g. 4101 — never a block multiple.
+    # Pad to one and mask the pad tokens out with segment ids (real tokens
+    # segment 0, pads segment 1: pad keys never reach real queries).
+    unit = 512 if n > 512 else 128
+    target = -(-n // unit) * unit
+    seg = None
+    if target != n:
+        pad = target - n
+        q, k, v = (jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                   for t in (q, k, v))
+        ids = (jnp.arange(target) >= n).astype(jnp.int32)[None].repeat(b, 0)
+        seg = SegmentIds(q=ids, kv=ids)
     # pallas kernel wants [B, H, N, D]
     qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-    d = q.shape[-1]
-    out = flash_attention(qt, kt, vt, causal=False, sm_scale=1.0 / (d ** 0.5))
-    return jnp.swapaxes(out, 1, 2)
+    bq = block_q or _pick_block(target, 1024)
+    bk = block_k or _pick_block(target, 1024)
+    bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                    block_q_major_dkv=bq, block_k_major_dkv=bk,
+                    block_k_dkv=bk, block_q_dkv=bq,
+                    block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
+                          sm_scale=1.0 / (d ** 0.5), block_sizes=bs)
+    return jnp.swapaxes(out, 1, 2)[:, :n]
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ['stack_layer_params', 'pipeline', 'pipelined_vit_apply']
 
@@ -160,7 +160,7 @@ def pipelined_vit_apply(model, variables, mesh: Mesh, *,
             mesh=mesh,
             in_specs=(P(axis_name), P()),
             out_specs=P(),
-            check_rep=False)
+            check_vma=False)
         out = run(stacked, mbs).reshape(b, n_tok, d)
         cls_and_storage, patches = finalize(out)
         return dict(x_norm_clstoken=cls_and_storage[:, 0],

@@ -149,3 +149,18 @@ def test_max_pool_separable_matches_reduce_window(padding):
         lambda a: jnp.sum(max_pool(a, 3, 2, padding, impl='separable') * w))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_flash_block_picker():
+    from ever_tpu.ops.attention import _pick_block
+    # exact power-of-two lengths take the largest block <= cap
+    assert _pick_block(16384, 1024) == 1024
+    assert _pick_block(1024, 1024) == 1024
+    # padded targets that are odd multiples of 512 fall back to 512
+    assert _pick_block(4608, 1024) == 512
+    assert _pick_block(16896, 1024) == 512
+    # non-multiples of every pow2 block land on the 128 floor
+    assert _pick_block(1152, 1024) == 128
+    for n in (384, 1536, 4608, 16896):
+        b = _pick_block(n, 1024)
+        assert n % b == 0

@@ -21,7 +21,7 @@ def test_pipeline_primitive_matches_sequential():
     """The GPipe schedule applied to a stack of linear layers equals the
     plain sequential application."""
     _need_devices(4)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     rng = np.random.default_rng(0)
@@ -39,7 +39,7 @@ def test_pipeline_primitive_matches_sequential():
     mesh = make_mesh(('pipe',), devices=jax.devices()[:4])
     run = shard_map(
         lambda sp, xs: pipeline(layer_fn, sp, xs, axis_name='pipe'),
-        mesh=mesh, in_specs=(P('pipe'), P()), out_specs=P(), check_rep=False)
+        mesh=mesh, in_specs=(P('pipe'), P()), out_specs=P(), check_vma=False)
     out = jax.jit(run)(ws, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)

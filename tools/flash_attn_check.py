@@ -44,7 +44,8 @@ def main():
     rng = np.random.default_rng(0)
     print(f'{"tokens":>8} {"heads":>5} {"xla ms":>9} {"flash ms":>9} '
           f'{"speedup":>8} {"max|diff|":>10} {"auto":>6}')
-    for n, h in ((1024, 6), (4096, 6), (4104, 6), (16384, 12)):
+    for n, h in ((1024, 6), (4096, 6), (4101, 6), (8192, 12), (16384, 12),
+                 (16389, 12)):
         d = 64
         q, k, v = (jnp.asarray(rng.normal(size=(1, n, h, d)),
                                jnp.bfloat16) for _ in range(3))
@@ -64,6 +65,21 @@ def main():
         auto_pick = 'flash' if abs(t_a - t_f) < abs(t_a - t_x) else 'xla'
         print(f'{n:>8} {h:>5} {t_x:>9.3f} {t_f:>9.3f} {t_x / t_f:>8.2f} '
               f'{diff:>10.4f} {auto_pick:>6}')
+
+    # block-size sweep at the big-tile point (defaults are 128 everywhere)
+    from ever_tpu.ops.attention import _flash
+    n, h, d = 16384, 12, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(1, n, h, d)),
+                           jnp.bfloat16) for _ in range(3))
+    for bq, bk in ((128, 128), (256, 256), (512, 512), (512, 1024),
+                   (1024, 1024), (1024, 2048), (2048, 2048)):
+        try:
+            fn = jax.jit(partial(_flash, block_q=bq, block_k=bk))
+            t, _ = bench(fn, q, k, v)
+            print(f'  flash 16384x12 block_q={bq:<5d} block_k={bk:<5d} {t:8.3f} ms')
+        except Exception as e:
+            print(f'  flash 16384x12 block_q={bq} block_k={bk} FAILED: '
+                  f'{type(e).__name__}')
 
     # full ViT dense forward at 4096 tokens (1024² image, patch 16)
     from ever_tpu.core import builder
