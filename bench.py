@@ -51,7 +51,10 @@ def main():
     # Inference keeps stem='s2d' (tiles are gathered on device from a scene).
     model = builder.make_model({'type': 'FarSeg', 'params': dict(
         encoder=dict(resnet_type='resnet50',
-                     stem='s2d_input' if on_tpu else 's2d'),
+                     stem='s2d_input' if on_tpu else 's2d',
+                     # layer1 in the 128-lane pack2 layout (-0.8 ms/step
+                     # measured; identical params, docs/PERFORMANCE.md)
+                     pack2_layer1=bool(on_tpu)),
         classes=7,
         dtype='bfloat16' if on_tpu else 'float32',
     )})
@@ -133,7 +136,8 @@ def main():
         from ever_tpu.magic.tiled import tiled_inference
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
-            encoder=dict(resnet_type='resnet50', stem='s2d'),
+            encoder=dict(resnet_type='resnet50', stem='s2d',
+                         pack2_layer1=True),
             classes=7, dtype='bfloat16')})
 
         def predict(tiles):
@@ -156,7 +160,8 @@ def main():
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         # same params, raw-layout stem for on-device tile gathering
         infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
-            encoder=dict(resnet_type='resnet50', stem='s2d'),
+            encoder=dict(resnet_type='resnet50', stem='s2d',
+                         pack2_layer1=True),
             classes=7, dtype='bfloat16')})
 
         def predict(tiles):

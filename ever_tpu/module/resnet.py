@@ -228,6 +228,154 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+# -- pack2 layout (layer1) -----------------------------------------------------
+# 64-channel stages only half-fill the MXU's 128 lanes.  The pack2 layout
+# views two adjacent width pixels' channels as one 128-lane vector — a FREE
+# reshape in NHWC ([B,H,W,C] -> [B,H,W/2,2C] merges contiguous trailing dims)
+# — and runs every conv with zero-block-structured packed weights on the
+# packed grid.  Measured on v5e: layer1 fwd+bwd 5.66 -> 4.44 ms (1.28x); the
+# true [k,k,cin,cout] kernels stay the checkpoint parameters and the packing
+# is traced (differentiable), so converters/checkpoints are unchanged.
+# Derivation + fp32 exactness checks: docs/PERFORMANCE.md "pack2".
+
+
+def _pack2_w_1x1(w):
+    """[1,1,cin,cout] -> [1,1,2cin,2cout] block-diagonal (even/odd pixels)."""
+    cin, cout = w.shape[2], w.shape[3]
+    z = jnp.zeros((1, 1, 2 * cin, 2 * cout), w.dtype)
+    z = z.at[:, :, :cin, :cout].set(w)
+    z = z.at[:, :, cin:, cout:].set(w)
+    return z
+
+
+def _pack2_w_3x3(w):
+    """[3,3,c,c] stride-1 -> [3,3,2c,2c] over the packed (H, W/2) grid.
+
+    Even outputs (lanes :c) read x[2w2-1] (packed col w2-1, high half) and
+    x[2w2], x[2w2+1] (packed col w2); odd outputs (lanes c:) read
+    x[2w2..2w2+2] across packed cols w2, w2+1.  SAME padding on the packed
+    grid supplies exactly the x[-1]/x[W] zeros the unpacked conv pads with.
+    """
+    c = w.shape[2]
+    z = jnp.zeros((3, 3, 2 * c, 2 * c), w.dtype)
+    z = z.at[:, 0, c:, :c].set(w[:, 0])
+    z = z.at[:, 1, :c, :c].set(w[:, 1])
+    z = z.at[:, 1, c:, :c].set(w[:, 2])
+    z = z.at[:, 1, :c, c:].set(w[:, 0])
+    z = z.at[:, 1, c:, c:].set(w[:, 1])
+    z = z.at[:, 2, :c, c:].set(w[:, 2])
+    return z
+
+
+class _Pack2Conv(nn.Module):
+    """Conv on the pack2 layout; the parameter is the TRUE (unpacked) kernel
+    at the same path/shape as ``nn.Conv`` (``kernel``)."""
+
+    features: int            # true output channels
+    kernel: int              # 1 or 3
+    in_features: int         # true input channels
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, self.in_features,
+                        self.features), jnp.float32)
+        wp = (_pack2_w_3x3(w) if self.kernel == 3 else _pack2_w_1x1(w))
+        return jax.lax.conv_general_dilated(
+            z.astype(self.dtype), wp.astype(self.dtype), (1, 1),
+            ((self.kernel // 2,) * 2,) * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class _Pack2BatchNorm(nn.Module):
+    """BatchNorm over the pack2 layout with TRUE-channel [C] variables at the
+    same paths as ``nn.BatchNorm`` (checkpoint-compatible).  Batch stats are
+    the average of the even/odd lane halves — the exact global statistics up
+    to fp32 reduction order."""
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 2
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_running_average:
+            m, v = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(stat_dtype)
+            m2 = jnp.mean(x32, axis=(0, 1, 2))
+            q2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            m = 0.5 * (m2[:c] + m2[c:])
+            v = 0.5 * (q2[:c] + q2[c:]) - m * m
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * m).astype(jnp.float32)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * v).astype(jnp.float32)
+        mul = jax.lax.rsqrt(v.astype(stat_dtype) + self.epsilon) * scale
+        y = ((x.astype(stat_dtype) - jnp.tile(m.astype(stat_dtype), 2))
+             * jnp.tile(mul, 2) + jnp.tile(bias.astype(stat_dtype), 2))
+        return y.astype(self.dtype)
+
+
+class _Pack2Norm(nn.Module):
+    """Norm('bn')-shaped wrapper so the variable path is ``bnX/BatchNorm_0``."""
+
+    frozen: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _Pack2BatchNorm(
+            use_running_average=(not train) or self.frozen,
+            dtype=self.dtype, name='BatchNorm_0')(x)
+
+
+class Pack2Bottleneck(nn.Module):
+    """Bottleneck on the pack2 layout (stride 1, dilation 1, no plugins).
+
+    Identical parameter tree to :class:`Bottleneck`; inputs/outputs are the
+    packed ``[B, H, W/2, 2C]`` view.
+    """
+
+    filters: int
+    in_filters: int
+    downsample: bool = False
+    bn_frozen: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        identity = z
+        y = _Pack2Conv(self.filters, 1, self.in_filters, dtype=self.dtype,
+                       name='conv1')(z)
+        y = _Pack2Norm(self.bn_frozen, self.dtype, name='bn1')(y, train)
+        y = nn.relu(y)
+        y = _Pack2Conv(self.filters, 3, self.filters, dtype=self.dtype,
+                       name='conv2')(y)
+        y = _Pack2Norm(self.bn_frozen, self.dtype, name='bn2')(y, train)
+        y = nn.relu(y)
+        y = _Pack2Conv(self.filters * 4, 1, self.filters, dtype=self.dtype,
+                       name='conv3')(y)
+        y = _Pack2Norm(self.bn_frozen, self.dtype, name='bn3')(y, train)
+        if self.downsample:
+            identity = _Pack2Conv(self.filters * 4, 1, self.in_filters,
+                                  dtype=self.dtype, name='downsample_conv')(z)
+            identity = _Pack2Norm(self.bn_frozen, self.dtype,
+                                  name='downsample_bn')(identity, train)
+        return nn.relu(y + identity)
+
+
 class ResNetStage(nn.Module):
     """One stage (``layerN``) of blocks sharing filters/dilation."""
 
@@ -242,10 +390,27 @@ class ResNetStage(nn.Module):
     bn_frozen: bool = False
     se_ratio: Optional[int] = None
     gc_ratio: Optional[float] = None
+    pack2: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.pack2 and self.block is Bottleneck and self.stride == 1
+                and self.dilation == 1 and self.first_dilation == 1
+                and self.groups == 1 and self.width_per_group == 64
+                and not self.se_ratio and not self.gc_ratio
+                and x.shape[2] % 2 == 0):
+            b, h, w, c = x.shape
+            z = x.reshape(b, h, w // 2, 2 * c)            # free NHWC view
+            needs_ds = c != self.filters * self.block.expansion
+            z = Pack2Bottleneck(self.filters, c, downsample=needs_ds,
+                                bn_frozen=self.bn_frozen, dtype=self.dtype,
+                                name='block0')(z, train)
+            for i in range(1, self.num_blocks):
+                z = Pack2Bottleneck(self.filters, self.filters * 4,
+                                    bn_frozen=self.bn_frozen, dtype=self.dtype,
+                                    name=f'block{i}')(z, train)
+            return z.reshape(b, h, w, self.filters * 4)
         kwargs = dict(bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,
                       gc_ratio=self.gc_ratio, dtype=self.dtype)
         if self.block is Bottleneck:
@@ -304,6 +469,7 @@ class ResNet(nn.Module):
     gc_ratio: Optional[float] = None
     stem: str = 'conv'              # 'conv' | 's2d' | 's2dw' | 's2d3' (exact folds)
     maxpool_impl: str = 'reduce_window'   # | 'separable' | 'planes' | 'pallas'
+    pack2_layer1: bool = False      # run layer1 in the 128-lane pack2 layout
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -348,7 +514,8 @@ class ResNet(nn.Module):
             x = stage_cls(block, filters[i], sizes[i], stride=stride, dilation=dil,
                           first_dilation=first_dil, groups=groups, width_per_group=wpg,
                           bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,
-                          gc_ratio=self.gc_ratio, dtype=self.dtype,
+                          gc_ratio=self.gc_ratio,
+                          pack2=(self.pack2_layer1 and i == 0), dtype=self.dtype,
                           name=f'layer{i + 1}')(x, train)
             feats.append(x)
         return feats
@@ -384,6 +551,7 @@ class ResNetEncoder(ERModule):
             gc_ratio=None,
             stem='conv',
             maxpool_impl='reduce_window',
+            pack2_layer1=False,
             dtype='float32',
         ))
 
@@ -398,6 +566,7 @@ class ResNetEncoder(ERModule):
             gc_ratio=self.config.gc_ratio,
             stem=self.config.get('stem', 'conv'),
             maxpool_impl=self.config.get('maxpool_impl', 'reduce_window'),
+            pack2_layer1=self.config.get('pack2_layer1', False),
             dtype=jnp.dtype(self.config.dtype),
         )
 

@@ -364,3 +364,36 @@ def test_farseg_plusplus_relation_v2():
     assert 'cls_loss' in losses
     out = m.apply(variables, x)
     assert out.shape == (1, 32, 32, 5)
+
+
+def test_pack2_layer1_matches_default_layout():
+    """pack2_layer1 runs layer1 in the 128-lane packed layout with an
+    IDENTICAL variable tree (checkpoint/converter compatible) and equal
+    outputs (eval exact; train mode within BN reduction-order noise)."""
+    from ever_tpu.module.resnet import ResNet
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    base = ResNet(resnet_type='resnet50', include_conv5=False)
+    packed = ResNet(resnet_type='resnet50', include_conv5=False,
+                    pack2_layer1=True)
+    v = base.init({'params': jax.random.key(0)}, x)
+    vp = packed.init({'params': jax.random.key(0)}, x)
+    ka = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(v)[0]]
+    kb = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(vp)[0]]
+    assert ka == kb
+
+    oa = base.apply(v, x)
+    ob = packed.apply(v, x)
+    for a, b in zip(oa, ob):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    (oa, ma), (ob, mb) = (m.apply(v, x, train=True, mutable=['batch_stats'])
+                          for m in (base, packed))
+    np.testing.assert_allclose(np.asarray(oa[0]), np.asarray(ob[0]),
+                               rtol=1e-2, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(ma), jax.tree.leaves(mb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-3)

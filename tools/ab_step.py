@@ -46,6 +46,8 @@ def main():
         's2d_input': dict(stem='s2d_input'),
         's2d_input_sep': dict(stem='s2d_input', maxpool_impl='separable'),
         's2d_sep': dict(stem='s2d', maxpool_impl='separable'),
+        's2d_input_pack2': dict(stem='s2d_input', pack2_layer1=True),
+        's2d_pack2': dict(stem='s2d', pack2_layer1=True),
     }
     names = args.variants or list(VARIANTS)
 
