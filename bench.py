@@ -98,12 +98,36 @@ def main():
     loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
                              data)
 
-    # FLOPs of one compiled step from XLA cost analysis
-    try:
-        cost = jax.jit(step).lower(state, data).compile().cost_analysis()
-        step_flops = float(cost.get('flops', 0.0)) if cost else 0.0
-    except Exception:
-        step_flops = 0.0
+    # FLOPs of one step from XLA cost analysis.  MFU must count the TRUE
+    # model FLOPs: the pack2 layout's zero-block packed weights inflate the
+    # packed program's counted flops (2943 vs 2780 GFLOP measured), so the
+    # denominator comes from an UNPACKED twin of the same model (identical
+    # math), lowered but never compiled.
+    # The axon TPU plugin HANGS on pre-compile cost_analysis, so the
+    # reference count runs in a CPU subprocess (tools/ref_flops.py).
+    step_flops = 0.0
+    if on_tpu:
+        import os
+        import subprocess
+        import sys
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), 'tools', 'ref_flops.py'),
+                 '--batch', str(batch), '--tile', str(tile)],
+                capture_output=True, text=True, timeout=600)
+            step_flops = float(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            step_flops = 0.0
+    if not step_flops:
+        try:
+            # fallback: the running (possibly packed) program's own count —
+            # NOTE this overcounts pack2's zero-block padding; step_flops_g
+            # in the JSON line makes the denominator auditable
+            cost = jax.jit(step).lower(state, data).compile().cost_analysis()
+            step_flops = float(cost.get('flops', 0.0)) if cost else 0.0
+        except Exception:
+            step_flops = 0.0
 
     def sync(s):
         # NOTE: on the axon tunnel backend block_until_ready returns early;

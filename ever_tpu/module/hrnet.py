@@ -22,7 +22,9 @@ from ever_tpu.core import registry
 from ever_tpu.interface.module import ERModule
 from ever_tpu.module.context_block import ContextBlock2d
 from ever_tpu.module.ops import Norm, resize
-from ever_tpu.module.resnet import BasicBlock, Bottleneck, _conv
+from ever_tpu.module.resnet import (BasicBlock, Bottleneck,
+                                    Pack2BasicBlock, _conv,
+                                    _pack_factor)
 from ever_tpu.module.se_block import SEBlock
 
 __all__ = ['HighResolutionModule', 'HRNet', 'HRNetEncoder', 'HRNET_WIDTHS']
@@ -49,19 +51,37 @@ class HighResolutionModule(nn.Module):
     bn_frozen: bool = False
     se_ratio: Optional[int] = None
     gc_ratio: Optional[float] = None
+    pack: bool = False               # pack-k branch layout (module/resnet.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         n = len(self.channels)
-        # branches
+        # branches.  Branch widths are 18-96 channels — far below the MXU's
+        # 128 lanes; pack=True views k adjacent width pixels' channels as
+        # one lane vector (free NHWC reshape) and runs the blocks with
+        # zero-block packed weights (identical params; docs/PERFORMANCE.md
+        # "pack2").
         outs = []
         for i, x in enumerate(xs):
-            for b in range(self.num_blocks):
-                x = BasicBlock(self.channels[i], bn_frozen=self.bn_frozen,
-                               se_ratio=self.se_ratio, gc_ratio=self.gc_ratio,
-                               dtype=self.dtype,
-                               name=f'branch{i}_block{b}')(x, train)
+            c = self.channels[i]
+            k = (_pack_factor(c, x.shape[2])
+                 if self.pack and not self.se_ratio and not self.gc_ratio
+                 else 1)
+            if k > 1:
+                b0, hh, ww, _ = x.shape
+                z = x.reshape(b0, hh, ww // k, k * c)      # free NHWC view
+                for b in range(self.num_blocks):
+                    z = Pack2BasicBlock(c, bn_frozen=self.bn_frozen, k=k,
+                                        dtype=self.dtype,
+                                        name=f'branch{i}_block{b}')(z, train)
+                x = z.reshape(b0, hh, ww, c)
+            else:
+                for b in range(self.num_blocks):
+                    x = BasicBlock(c, bn_frozen=self.bn_frozen,
+                                   se_ratio=self.se_ratio,
+                                   gc_ratio=self.gc_ratio, dtype=self.dtype,
+                                   name=f'branch{i}_block{b}')(x, train)
             outs.append(x)
         if n == 1:
             return outs
@@ -102,6 +122,7 @@ class HRNet(nn.Module):
     bn_frozen: bool = False
     se_ratio: Optional[int] = None
     gc_ratio: Optional[float] = None
+    pack_branches: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +171,8 @@ class HRNet(nn.Module):
             for m in range(STAGE_MODULES[stage_idx]):
                 xs = HighResolutionModule(
                     widths[:n_branches], BLOCKS_PER_BRANCH,
-                    se_ratio=self.se_ratio, gc_ratio=self.gc_ratio, **kw,
+                    se_ratio=self.se_ratio, gc_ratio=self.gc_ratio,
+                    pack=self.pack_branches, **kw,
                     name=f'stage{stage_idx + 2}_module{m}')(xs, train)
         return xs
 
@@ -173,24 +195,21 @@ class HRNetEncoder(ERModule):
             with_cp=False,
             se_ratio=None,
             gc_ratio=None,
+            pack_branches=False,
             dtype='float32',
         ))
 
     def setup(self):
-        trunk = HRNet(
+        kw = dict(
             hrnet_type=self.config.hrnet_type,
             bn_frozen=self.config.norm_eval,
             se_ratio=self.config.se_ratio,
             gc_ratio=self.config.gc_ratio,
+            pack_branches=self.config.get('pack_branches', False),
             dtype=jnp.dtype(self.config.dtype),
         )
-        self.hrnet = nn.remat(HRNet)(
-            hrnet_type=self.config.hrnet_type,
-            bn_frozen=self.config.norm_eval,
-            se_ratio=self.config.se_ratio,
-            gc_ratio=self.config.gc_ratio,
-            dtype=jnp.dtype(self.config.dtype),
-        ) if self.config.with_cp else trunk
+        self.hrnet = (nn.remat(HRNet)(**kw) if self.config.with_cp
+                      else HRNet(**kw))
 
     def __call__(self, x, train: bool = False):
         return self.hrnet(x, train)

@@ -118,7 +118,8 @@ class S2DStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1] // 4 if self.mode == 's2d_input' else x.shape[-1]
+        cin = (x.shape[-1] // 4 if self.mode.startswith('s2d_input')
+               else x.shape[-1])
         n, h, w, _ = x.shape
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
@@ -146,7 +147,28 @@ class S2DStemConv(nn.Module):
         w8 = w8.reshape(4, 2, 4, 2, cin, self.features)
         w2 = jnp.transpose(w8, (0, 2, 1, 3, 4, 5)).reshape(
             4, 4, 4 * cin, self.features).astype(self.dtype)
-        s = x if self.mode == 's2d_input' else space_to_depth(x, 2)
+        s = x if self.mode.startswith('s2d_input') else space_to_depth(x, 2)
+        if self.mode.endswith('_pack2') and s.shape[2] % 2 == 0:
+            # pack2 over the output width: the union window of an adjacent
+            # output pair spans 3 packed cols (K=4·3·2c) vs the unpacked
+            # window 4 (K=4·4·c) — 25% fewer MXU passes at N=2F=128 lanes.
+            c4, f = 4 * cin, self.features
+            wp = jnp.zeros((4, 3, 2 * c4, 2 * f), w2.dtype)
+            wp = wp.at[:, 0, 0:c4, 0:f].set(w2[:, 0])
+            wp = wp.at[:, 0, c4:, 0:f].set(w2[:, 1])
+            wp = wp.at[:, 1, 0:c4, 0:f].set(w2[:, 2])
+            wp = wp.at[:, 1, c4:, 0:f].set(w2[:, 3])
+            wp = wp.at[:, 0, c4:, f:].set(w2[:, 0])
+            wp = wp.at[:, 1, 0:c4, f:].set(w2[:, 1])
+            wp = wp.at[:, 1, c4:, f:].set(w2[:, 2])
+            wp = wp.at[:, 2, 0:c4, f:].set(w2[:, 3])
+            b, hh, ww, _ = s.shape
+            z = s.reshape(b, hh, ww // 2, 2 * c4)          # free NHWC view
+            out = jax.lax.conv_general_dilated(
+                z, wp, (1, 1), ((2, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=self.dtype)
+            return out.reshape(b, hh, ww, f)               # free view back
         return jax.lax.conv_general_dilated(
             s, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
@@ -239,41 +261,60 @@ class Bottleneck(nn.Module):
 # Derivation + fp32 exactness checks: docs/PERFORMANCE.md "pack2".
 
 
-def _pack2_w_1x1(w):
-    """[1,1,cin,cout] -> [1,1,2cin,2cout] block-diagonal (even/odd pixels)."""
+def _pack_w_1x1(w, k=2):
+    """[1,1,cin,cout] -> [1,1,k·cin,k·cout] block-diagonal (k pixels/row)."""
     cin, cout = w.shape[2], w.shape[3]
-    z = jnp.zeros((1, 1, 2 * cin, 2 * cout), w.dtype)
-    z = z.at[:, :, :cin, :cout].set(w)
-    z = z.at[:, :, cin:, cout:].set(w)
+    z = jnp.zeros((1, 1, k * cin, k * cout), w.dtype)
+    for p in range(k):
+        z = z.at[:, :, p * cin:(p + 1) * cin, p * cout:(p + 1) * cout].set(w)
     return z
 
 
-def _pack2_w_3x3(w):
-    """[3,3,c,c] stride-1 -> [3,3,2c,2c] over the packed (H, W/2) grid.
+def _pack_w_3x3(w, k=2):
+    """[3,3,c,c] stride-1 -> [3,3,k·c,k·c] over the packed (H, W/k) grid.
 
-    Even outputs (lanes :c) read x[2w2-1] (packed col w2-1, high half) and
-    x[2w2], x[2w2+1] (packed col w2); odd outputs (lanes c:) read
-    x[2w2..2w2+2] across packed cols w2, w2+1.  SAME padding on the packed
-    grid supplies exactly the x[-1]/x[W] zeros the unpacked conv pads with.
+    Output sub-position p (orig col k·w2+p) reads orig cols k·w2+p-1..+1:
+    all inside packed col w2 for 0<p<k-1; p=0 additionally reads the last
+    sub of col w2-1, p=k-1 the first sub of col w2+1.  SAME padding on the
+    packed grid supplies exactly the border zeros of the unpacked conv.
     """
     c = w.shape[2]
-    z = jnp.zeros((3, 3, 2 * c, 2 * c), w.dtype)
-    z = z.at[:, 0, c:, :c].set(w[:, 0])
-    z = z.at[:, 1, :c, :c].set(w[:, 1])
-    z = z.at[:, 1, c:, :c].set(w[:, 2])
-    z = z.at[:, 1, :c, c:].set(w[:, 0])
-    z = z.at[:, 1, c:, c:].set(w[:, 1])
-    z = z.at[:, 2, :c, c:].set(w[:, 2])
+    z = jnp.zeros((3, 3, k * c, k * c), w.dtype)
+    sub = lambda p: slice(p * c, (p + 1) * c)
+    z = z.at[:, 0, sub(k - 1), sub(0)].set(w[:, 0])       # p=0 ← col w2-1
+    for p in range(k):
+        if p - 1 >= 0:
+            z = z.at[:, 1, sub(p - 1), sub(p)].set(w[:, 0])
+        z = z.at[:, 1, sub(p), sub(p)].set(w[:, 1])
+        if p + 1 < k:
+            z = z.at[:, 1, sub(p + 1), sub(p)].set(w[:, 2])
+    z = z.at[:, 2, sub(0), sub(k - 1)].set(w[:, 2])       # p=k-1 ← col w2+1
     return z
+
+
+def _pack_factor(c: int, w: int) -> int:
+    """Pick the pack factor k ∈ {1,2,4,8} minimizing MXU passes for a
+    c-channel stride-1 conv on a w-wide grid: passes ∝ pad128(k·c)/k.
+    Prefers the smallest k at the optimum (less zero-block K)."""
+    pad128 = lambda n: -(-n // 128) * 128
+    best, best_cost = 1, pad128(c)
+    for k in (2, 4, 8):
+        if w % k:
+            continue
+        cost = pad128(k * c) / k
+        if cost < best_cost:
+            best, best_cost = k, cost
+    return best
 
 
 class _Pack2Conv(nn.Module):
-    """Conv on the pack2 layout; the parameter is the TRUE (unpacked) kernel
+    """Conv on the pack-k layout; the parameter is the TRUE (unpacked) kernel
     at the same path/shape as ``nn.Conv`` (``kernel``)."""
 
     features: int            # true output channels
     kernel: int              # 1 or 3
     in_features: int         # true input channels
+    k: int = 2               # pack factor
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -281,7 +322,8 @@ class _Pack2Conv(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.kernel, self.kernel, self.in_features,
                         self.features), jnp.float32)
-        wp = (_pack2_w_3x3(w) if self.kernel == 3 else _pack2_w_1x1(w))
+        wp = (_pack_w_3x3(w, self.k) if self.kernel == 3
+              else _pack_w_1x1(w, self.k))
         return jax.lax.conv_general_dilated(
             z.astype(self.dtype), wp.astype(self.dtype), (1, 1),
             ((self.kernel // 2,) * 2,) * 2,
@@ -289,19 +331,21 @@ class _Pack2Conv(nn.Module):
 
 
 class _Pack2BatchNorm(nn.Module):
-    """BatchNorm over the pack2 layout with TRUE-channel [C] variables at the
-    same paths as ``nn.BatchNorm`` (checkpoint-compatible).  Batch stats are
-    the average of the even/odd lane halves — the exact global statistics up
-    to fp32 reduction order."""
+    """BatchNorm over the pack-k layout with TRUE-channel [C] variables at
+    the same paths as ``nn.BatchNorm`` (checkpoint-compatible).  Batch stats
+    are the average of the k lane groups — the exact global statistics up to
+    fp32 reduction order."""
 
     use_running_average: bool = True
     momentum: float = 0.9
     epsilon: float = 1e-5
+    k: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1] // 2
+        k = self.k
+        c = x.shape[-1] // k
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',
@@ -315,16 +359,16 @@ class _Pack2BatchNorm(nn.Module):
             x32 = x.astype(stat_dtype)
             m2 = jnp.mean(x32, axis=(0, 1, 2))
             q2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-            m = 0.5 * (m2[:c] + m2[c:])
-            v = 0.5 * (q2[:c] + q2[c:]) - m * m
+            m = jnp.mean(m2.reshape(k, c), axis=0)
+            v = jnp.mean(q2.reshape(k, c), axis=0) - m * m
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * m).astype(jnp.float32)
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * v).astype(jnp.float32)
         mul = jax.lax.rsqrt(v.astype(stat_dtype) + self.epsilon) * scale
-        y = ((x.astype(stat_dtype) - jnp.tile(m.astype(stat_dtype), 2))
-             * jnp.tile(mul, 2) + jnp.tile(bias.astype(stat_dtype), 2))
+        y = ((x.astype(stat_dtype) - jnp.tile(m.astype(stat_dtype), k))
+             * jnp.tile(mul, k) + jnp.tile(bias.astype(stat_dtype), k))
         return y.astype(self.dtype)
 
 
@@ -333,12 +377,36 @@ class _Pack2Norm(nn.Module):
 
     frozen: bool = False
     dtype: Dtype = jnp.float32
+    k: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return _Pack2BatchNorm(
             use_running_average=(not train) or self.frozen,
-            dtype=self.dtype, name='BatchNorm_0')(x)
+            k=self.k, dtype=self.dtype, name='BatchNorm_0')(x)
+
+
+class Pack2BasicBlock(nn.Module):
+    """BasicBlock on the pack-k layout (stride 1, dilation 1, equal in/out
+    width, no plugins) — the resnet18/34 layer1 and HRNet-branch case.
+    Identical parameter tree to :class:`BasicBlock`."""
+
+    filters: int
+    bn_frozen: bool = False
+    k: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        identity = z
+        y = _Pack2Conv(self.filters, 3, self.filters, k=self.k,
+                       dtype=self.dtype, name='conv1')(z)
+        y = _Pack2Norm(self.bn_frozen, self.dtype, self.k, name='bn1')(y, train)
+        y = nn.relu(y)
+        y = _Pack2Conv(self.filters, 3, self.filters, k=self.k,
+                       dtype=self.dtype, name='conv2')(y)
+        y = _Pack2Norm(self.bn_frozen, self.dtype, self.k, name='bn2')(y, train)
+        return nn.relu(y + identity)
 
 
 class Pack2Bottleneck(nn.Module):
@@ -395,11 +463,11 @@ class ResNetStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (self.pack2 and self.block is Bottleneck and self.stride == 1
-                and self.dilation == 1 and self.first_dilation == 1
-                and self.groups == 1 and self.width_per_group == 64
-                and not self.se_ratio and not self.gc_ratio
-                and x.shape[2] % 2 == 0):
+        pack_ok = (self.pack2 and self.stride == 1 and self.dilation == 1
+                   and self.first_dilation == 1 and self.groups == 1
+                   and self.width_per_group == 64 and not self.se_ratio
+                   and not self.gc_ratio and x.shape[2] % 2 == 0)
+        if pack_ok and self.block is Bottleneck:
             b, h, w, c = x.shape
             z = x.reshape(b, h, w // 2, 2 * c)            # free NHWC view
             needs_ds = c != self.filters * self.block.expansion
@@ -411,6 +479,13 @@ class ResNetStage(nn.Module):
                                     bn_frozen=self.bn_frozen, dtype=self.dtype,
                                     name=f'block{i}')(z, train)
             return z.reshape(b, h, w, self.filters * 4)
+        if pack_ok and self.block is BasicBlock and x.shape[-1] == self.filters:
+            b, h, w, c = x.shape
+            z = x.reshape(b, h, w // 2, 2 * c)            # free NHWC view
+            for i in range(self.num_blocks):
+                z = Pack2BasicBlock(self.filters, bn_frozen=self.bn_frozen,
+                                    dtype=self.dtype, name=f'block{i}')(z, train)
+            return z.reshape(b, h, w, c)
         kwargs = dict(bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,
                       gc_ratio=self.gc_ratio, dtype=self.dtype)
         if self.block is Bottleneck:

@@ -397,3 +397,65 @@ def test_pack2_layer1_matches_default_layout():
     for a, b in zip(jax.tree.leaves(ma), jax.tree.leaves(mb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_pack2_layer1_basicblock_matches_default_layout():
+    """resnet18 (BasicBlock) layer1 pack2 equivalence."""
+    from ever_tpu.module.resnet import ResNet
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    base = ResNet(resnet_type='resnet18', include_conv5=False)
+    packed = ResNet(resnet_type='resnet18', include_conv5=False,
+                    pack2_layer1=True)
+    v = base.init({'params': jax.random.key(0)}, x)
+    vp = packed.init({'params': jax.random.key(0)}, x)
+    ka = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(v)[0]]
+    kb = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(vp)[0]]
+    assert ka == kb
+    oa = base.apply(v, x)
+    ob = packed.apply(v, x)
+    for a, b in zip(oa, ob):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pack2_stem_exact():
+    """s2d_pack2 / s2d_input_pack2 stem modes are bit-exact vs s2d
+    (docs/PERFORMANCE.md pack2: window-3 packed conv, 25% fewer MXU
+    passes)."""
+    from ever_tpu.module.resnet import S2DStemConv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref = S2DStemConv(64, mode='s2d')
+    v = ref.init(jax.random.key(0), x)
+    a = ref.apply(v, x)
+    b = S2DStemConv(64, mode='s2d_pack2').apply(v, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    xs = x.reshape(2, 32, 2, 32, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
+        2, 32, 32, 12)
+    c = S2DStemConv(64, mode='s2d_input_pack2').apply(v, xs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_hrnet_pack_branches_matches_default_layout():
+    """HRNet pack-k branch layout: identical variable tree and equal eval
+    outputs (w18 branches run at k=4/2 chosen by _pack_factor)."""
+    from ever_tpu.module.hrnet import HRNet
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    base = HRNet(hrnet_type='hrnetv2_w18')
+    packed = HRNet(hrnet_type='hrnetv2_w18', pack_branches=True)
+    v = base.init({'params': jax.random.key(0)}, x)
+    vp = packed.init({'params': jax.random.key(0)}, x)
+    ka = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(v)[0]]
+    kb = [(jax.tree_util.keystr(k), a.shape)
+          for k, a in jax.tree_util.tree_flatten_with_path(vp)[0]]
+    assert ka == kb
+    oa = base.apply(v, x)
+    ob = packed.apply(v, x)
+    for a, b in zip(oa, ob):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

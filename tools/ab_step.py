@@ -48,6 +48,8 @@ def main():
         's2d_sep': dict(stem='s2d', maxpool_impl='separable'),
         's2d_input_pack2': dict(stem='s2d_input', pack2_layer1=True),
         's2d_pack2': dict(stem='s2d', pack2_layer1=True),
+        'allpack2': dict(stem='s2d_input_pack2', pack2_layer1=True),
+        'stem_pack2': dict(stem='s2d_input_pack2'),
     }
     names = args.variants or list(VARIANTS)
 
@@ -72,7 +74,7 @@ def main():
         model = builder.make_model({'type': 'FarSeg', 'params': dict(
             encoder=dict(resnet_type='resnet50', **over),
             classes=7, dtype='bfloat16')})
-        xin = xs if over.get('stem') == 's2d_input' else x
+        xin = xs if str(over.get('stem', '')).startswith('s2d_input') else x
         state = create_train_state(model, tx, (xin, y), rng=jax.random.key(0))
         data = jax.device_put((jnp.asarray(xin), jnp.asarray(y)))
         loop_data = jax.tree.map(

@@ -56,7 +56,7 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(args.batch, args.tile, args.tile, 3)).astype(jnp.bfloat16)
     y = rng.integers(0, 7, size=(args.batch, args.tile, args.tile)).astype(np.int32)
-    if params['encoder'].get('stem') == 's2d_input':
+    if str(params['encoder'].get('stem', '')).startswith('s2d_input'):
         # the loader emits the folded 2x2 space-to-depth layout for this stem
         b, t = args.batch, args.tile
         xs = np.asarray(x, np.float32).reshape(b, t // 2, 2, t // 2, 2, 3)
