@@ -8,6 +8,19 @@ Transform, MultiTransform, Callback, seed_torch, sliding_window``.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+# Persistent XLA compilation cache, on by default (first FarSeg-R50 TPU
+# compile is ~2 min; a warm cache replays it in <1 s — measured 4.5 s → 0.1 s
+# on a 12-conv probe).  Opt out with EVER_COMPILE_CACHE=0 or point
+# EVER_COMPILE_CACHE at a directory.
+_cache = _os.environ.get('EVER_COMPILE_CACHE', '')
+if _cache != '0':
+    import jax as _jax
+    _jax.config.update('jax_compilation_cache_dir',
+                       _cache or _os.path.expanduser('~/.cache/ever_tpu/xla'))
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 from ever_tpu.core import builder, config, dist, registry, to
 from ever_tpu.core.config import AttrDict, FrozenConfig, from_dict, import_config
 

@@ -81,6 +81,25 @@ def main():
             print(f'  flash 16384x12 block_q={bq} block_k={bk} FAILED: '
                   f'{type(e).__name__}')
 
+    # gradient parity through the padded segment-ids path (training big-tile
+    # ViTs uses the kernel's backward; pads are sliced so no grad leaks)
+    n, h, d = 4101, 6, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(1, n, h, d)), jnp.bfloat16)
+               for _ in range(3))
+
+    def loss(impl):
+        def f(args):
+            o = attention(*args, impl=impl)
+            return jnp.sum(jnp.square(o.astype(jnp.float32)))
+        return f
+
+    gx = jax.jit(jax.grad(loss('xla')))((q, k, v))
+    gf = jax.jit(jax.grad(loss('flash')))((q, k, v))
+    rel = max(float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+                    / (jnp.max(jnp.abs(a.astype(jnp.float32))) + 1e-9))
+              for a, b in zip(gx, gf))
+    print(f'grad parity at n={n} (padded): max rel diff {rel:.4f}')
+
     # full ViT dense forward at 4096 tokens (1024² image, patch 16)
     from ever_tpu.core import builder
     for impl in ('xla', 'flash'):
