@@ -1,4 +1,4 @@
-from ever_tpu.module import loss, ops
+from ever_tpu.module import dinov3, loss, ops
 from ever_tpu.module.change import ChangeMask, ChangeMixin, ChangeOS, ChangeStar
 from ever_tpu.module.context_block import ContextBlock2d
 from ever_tpu.module.densenet import DenseNet, DenseNetEncoder

@@ -1,4 +1,5 @@
-from ever_tpu.preprocess import device, function, segm
+from ever_tpu.preprocess import albu, device, function, segm
+from ever_tpu.preprocess.albu import ConstantPad, ToTensor
 from ever_tpu.preprocess.function import (
     IMAGENET_MEAN,
     IMAGENET_STD,

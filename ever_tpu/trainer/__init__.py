@@ -16,12 +16,22 @@ import os
 
 from ever_tpu.trainer.trainer import SPMDTrainer, Trainer
 
-__all__ = ['get_trainer', 'parse_args', 'TRAINER']
+# Reference class spellings (``ever/trainer/__init__.py:4``): the SPMD mesh
+# trainer is the DDP analog, the GAN variant resolves lazily below.
+THDDPTrainer = SPMDTrainer
+
+__all__ = ['get_trainer', 'parse_args', 'get_default_parser', 'TRAINER',
+           'THDDPTrainer', 'THDDPGANTrainer']
 
 
 def _gan_trainer(args):
     from ever_tpu.trainer.gan import GANSPMDTrainer
     return GANSPMDTrainer(args)
+
+
+def THDDPGANTrainer(args):
+    """Reference spelling of the GAN trainer (``trainer/__init__.py:4,8``)."""
+    return _gan_trainer(args)
 
 
 TRAINER = {
@@ -33,7 +43,7 @@ TRAINER = {
 }
 
 
-def parse_args(argv=None) -> argparse.Namespace:
+def get_default_parser() -> argparse.ArgumentParser:
     """CLI surface parity: ``ever/trainer/__init__.py:14-43``."""
     parser = argparse.ArgumentParser(description='ever_tpu training launcher')
     parser.add_argument('--config_path', required=True, type=str,
@@ -54,7 +64,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help='accepted for surface parity; meaningless in XLA')
     parser.add_argument('opts', nargs=argparse.REMAINDER,
                         help='free-form dotted-key overrides: k v [k v ...]')
-    args = parser.parse_args(argv)
+    return parser
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    args = get_default_parser().parse_args(argv)
     if args.mixed_precision == 'fp16':
         args.mixed_precision = 'bf16'
     return args

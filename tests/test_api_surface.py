@@ -22,6 +22,34 @@ def test_top_level_exports():
         assert hasattr(er, name), f'missing export: {name}'
 
 
+def test_reference_compat_spellings():
+    """Subpackage names a reference user imports directly (ever/module/
+    __init__.py:20, ever/preprocess/__init__.py:1-4, ever/trainer/
+    __init__.py:4,14)."""
+    from ever_tpu.module import dinov3
+    for name in ('DinoVisionTransformer', 'DINOHead', 'vit_small', 'vit_base',
+                 'vit_large', 'vit_so400m', 'vit_huge2', 'vit_giant2',
+                 'vit_7b', 'vitl16_sat493m', 'vit7b16_sat493m',
+                 'get_convnext_arch', 'RMSNorm', 'LayerScale'):
+        assert hasattr(dinov3, name), f'missing dinov3 name: {name}'
+    assert dinov3.vit_small().vit_type == 'vit_small'
+    assert dinov3.vitl16_sat493m().n_storage_tokens == 4
+    assert dinov3.get_convnext_arch('convnext_tiny')().model_name == 'convnext_tiny'
+
+    from ever_tpu.preprocess import ConstantPad, ToTensor, albu
+    assert albu.ToTensor is ToTensor
+    img, mask = ToTensor()(np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8), np.uint8))
+    assert img.dtype == np.float32 and mask.dtype == np.int32
+    img, mask = ConstantPad(min_height=16, min_width=16)(img, mask)
+    assert img.shape == (16, 16, 3) and mask[10, 10] == 255  # mask pad = ignore
+
+    from ever_tpu.trainer import THDDPGANTrainer, THDDPTrainer, get_default_parser
+    from ever_tpu.trainer.trainer import SPMDTrainer
+    assert THDDPTrainer is SPMDTrainer
+    args = get_default_parser().parse_args(['--config_path', 'x', '--model_dir', 'y'])
+    assert args.trainer == 'th_ddp'
+
+
 def test_registry_population():
     assert {'FarSeg', 'FactSeg', 'ChangeStar', 'ChangeMask', 'ChangeOS',
             'ResNetEncoder', 'HRNetEncoder', 'DenseNetEncoder', 'EFNetEncoder',
