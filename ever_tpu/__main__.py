@@ -6,6 +6,12 @@ import argparse
 from ever_tpu.util._main import create_project
 
 
+def create(path: str) -> None:
+    """Reference spelling (``ever/__main__.py:6-11`` exposes ``create`` via
+    python-fire)."""
+    create_project(path)
+
+
 def main():
     parser = argparse.ArgumentParser(prog='ever_tpu')
     sub = parser.add_subparsers(dest='cmd', required=True)

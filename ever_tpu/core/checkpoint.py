@@ -242,3 +242,16 @@ def remove_optimizer_in_ckpt(fp: str, new_fp: Optional[str] = None) -> None:
     ckpt.pop(OPTIMIZER, None)
     with open(new_fp or fp, 'wb') as f:
         f.write(serialization.msgpack_serialize(ckpt))
+
+
+def load_model_state_dict_from_ckpt(filepath: str) -> dict:
+    """Reference spelling of :func:`load_model_state_from_ckpt`
+    (``ever/core/checkpoint.py``)."""
+    return load_model_state_from_ckpt(filepath)
+
+
+def remove_module_prefix(state_dict: dict, prefix: str = 'module.') -> dict:
+    """Strip a key prefix from a flat state dict (parity: the reference's DDP
+    ``module.``-prefix cleanup in ``ever/core/checkpoint.py``)."""
+    return {(k[len(prefix):] if k.startswith(prefix) else k): v
+            for k, v in state_dict.items()}

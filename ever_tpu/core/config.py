@@ -272,3 +272,14 @@ def save_pkl(config: AttrDict, path: str) -> None:
 
 
 __all__ = ['AttrDict', 'FrozenConfig', 'from_dict', 'import_config', 'save_pkl']
+
+
+def from_pickle(path: str) -> AttrDict:
+    """Load a pickled config (parity: ``ever/core/config.py`` ``from_pickle``;
+    the trainer persists ``config.pkl`` into every ``model_dir``)."""
+    with open(path, 'rb') as f:
+        cfg = pickle.load(f)
+    return cfg if isinstance(cfg, AttrDict) else from_dict(cfg)
+
+
+__all__ += ['from_pickle']

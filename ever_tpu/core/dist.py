@@ -122,7 +122,47 @@ def all_gather_host(value):
     return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
 
 
+def all_gather(value):
+    """Reference spelling of :func:`all_gather_host`
+    (``ever/core/dist.py:95-115``)."""
+    return all_gather_host(value)
+
+
+def gather(value, dst: int = 0):
+    """Gather host values to process ``dst`` (parity: ``ever/core/dist.py:63-92``).
+
+    Implemented over :func:`all_gather_host` — JAX multihost collectives are
+    symmetric, so every process pays the same traffic; non-dst processes get
+    ``[]`` to mirror the reference contract.
+    """
+    if get_world_size() == 1:
+        return [value]
+    gathered = all_gather_host(value)
+    return gathered if get_rank() == dst else []
+
+
+def reduce_loss_dict(loss_dict: dict) -> dict:
+    """Average a host-side loss dict across processes onto rank 0 (parity:
+    ``ever/core/dist.py:118-140``).
+
+    Inside the jitted SPMD train step losses are already globally averaged by
+    the compiler-inserted collectives; this host-level helper exists for
+    hand-rolled loops that keep per-process python floats.
+    """
+    world = get_world_size()
+    if world < 2:
+        return loss_dict
+    keys = sorted(loss_dict)
+    gathered = all_gather_host([float(loss_dict[k]) for k in keys])
+    if get_rank() != 0:
+        return loss_dict
+    import numpy as _np
+    mean = _np.mean(_np.asarray(gathered), axis=0)
+    return {k: float(v) for k, v in zip(keys, mean)}
+
+
 __all__ = [
+    'gather', 'all_gather', 'reduce_loss_dict',
     'get_world_size', 'get_rank', 'get_local_device_count', 'get_global_device_count',
     'is_main_process', 'main_process_only', 'init_dist_env', 'synchronize',
     'broadcast_one_to_all', 'all_gather_host',

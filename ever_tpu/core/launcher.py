@@ -458,3 +458,20 @@ class Launcher:
 
     def save_model(self, filename: Optional[str] = None) -> None:
         self._ckpt.save(filename or 'model-saved.ckpt')
+
+
+def scale_dict(input_dict: dict, scale) -> dict:
+    """Scale every value (parity: ``ever/core/launcher.py:429-432``)."""
+    for k, v in input_dict.items():
+        input_dict[k] = v * scale
+    return input_dict
+
+
+def average_dict(input_dict: dict) -> dict:
+    """Mean-reduce non-scalar values (parity: ``ever/core/launcher.py:435-438``)."""
+    for k, v in input_dict.items():
+        input_dict[k] = v.mean() if getattr(v, 'ndim', 0) != 0 else v
+    return input_dict
+
+
+__all__ += ['scale_dict', 'average_dict']

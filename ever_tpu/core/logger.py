@@ -222,3 +222,20 @@ class Logger:
             self._tb.close()
         if self._wandb:
             self._wandb.finish()
+
+
+def eval_start(logger: logging.Logger) -> None:
+    """Parity: ``ever/core/logger.py:303-304``."""
+    import time
+    logger.info('Start evaluation at {}'.format(
+        time.strftime('%Y-%m-%d %H:%M:%S', time.localtime())))
+
+
+def eval_progress(logger: logging.Logger, cur: int, total: int) -> None:
+    """Parity: ``ever/core/logger.py:307-308``."""
+    logger.info('[Eval] {}/{}'.format(cur, total))
+
+
+def speed(logger: logging.Logger, sec: float, unit: str = 'im') -> None:
+    """Parity: ``ever/core/logger.py:311-312``."""
+    logger.info('[Speed] {} s/{}'.format(sec, unit))

@@ -128,3 +128,28 @@ __all__ = [
     'Registry', 'register_file', 'register_dir',
     'LR', 'OPT', 'DATALOADER', 'MODEL', 'LOSS', 'OP', 'CALLBACK', 'DATASET',
 ]
+
+
+def register_modules() -> None:
+    """Auto-import a user project's ``module/`` dir (parity:
+    ``ever/core/registry.py:109-110``)."""
+    register_dir('module')
+
+
+def register_dataloaders() -> None:
+    """Auto-import a user project's ``data/`` dir (parity:
+    ``ever/core/registry.py:113-114``)."""
+    register_dir('data')
+
+
+def register_callbacks() -> None:
+    register_dir('callback')
+
+
+def register_all() -> None:
+    """Register a user project's module/data/callback dirs (parity:
+    ``ever/core/registry.py:117-120``)."""
+    import os
+    for d in ('data', 'module', 'callback'):
+        if os.path.isdir(d):
+            register_dir(d)

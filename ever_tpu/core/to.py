@@ -30,3 +30,28 @@ def to_device(data: Any, sharding: Optional[Any] = None) -> Any:
 
 
 __all__ = ['to_tensor', 'to_device']
+
+
+def auto_device():
+    """The default JAX device (parity: ``ever/core/device.py:7-8``)."""
+    import jax
+    return jax.devices()[0]
+
+
+def cpu_device():
+    """Parity: ``ever/core/device.py:11-12``."""
+    import jax
+    return jax.devices('cpu')[0]
+
+
+def tpu_device(id=None):
+    """Parity: ``ever/core/device.py:15-19`` (``gpu_device`` → TPU here)."""
+    import jax
+    devs = jax.devices('tpu')
+    return devs[id or 0]
+
+
+# reference spelling: the accelerator handle
+gpu_device = tpu_device
+
+__all__ += ['auto_device', 'cpu_device', 'gpu_device', 'tpu_device']

@@ -54,7 +54,8 @@ def pad_crop_apply(fn: Callable, x: jnp.ndarray, size_divisor: int) -> jnp.ndarr
     nw = math.ceil(w / size_divisor) * size_divisor
     x = jnp.pad(x, ((0, 0), (0, nh - h), (0, nw - w), (0, 0)))
     out = fn(x)
-    return out[:, :h, :w, :]
+    # crop any [N, H', W', ...] output back (class-index maps are [N, H, W])
+    return jax.tree.map(lambda t: t[:, :h, :w], out)
 
 
 def tiled_inference(predict_fn: Callable,

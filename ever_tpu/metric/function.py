@@ -70,3 +70,25 @@ def iou_per_class(cm: jnp.ndarray) -> jnp.ndarray:
 
 def mean_iou(cm: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(iou_per_class(cm))
+
+
+# -- reference spellings ------------------------------------------------------
+# The reference keeps two families — numpy/scipy and ``th_``-prefixed torch
+# variants (``ever/metric/function.py:4-81``).  On TPU there is one device
+# family; the th_ spellings alias it so ported code runs unchanged.
+
+intersection_over_union_per_class = iou_per_class
+mean_intersection_over_union = mean_iou
+th_confusion_matrix = confusion_matrix
+th_overall_accuracy_score = overall_accuracy_score
+th_average_accuracy_score = average_accuracy_score
+th_cohen_kappa_score = cohen_kappa_score
+th_intersection_over_union_per_class = iou_per_class
+th_mean_intersection_over_union = mean_iou
+
+__all__ += [
+    'intersection_over_union_per_class', 'mean_intersection_over_union',
+    'th_confusion_matrix', 'th_overall_accuracy_score',
+    'th_average_accuracy_score', 'th_cohen_kappa_score',
+    'th_intersection_over_union_per_class', 'th_mean_intersection_over_union',
+]

@@ -213,3 +213,18 @@ class PixelMetric(ConfusionMatrix):
         if is_main_process():
             self._log_summary(tb, dense_cm)
         return tb
+
+
+def prettytable_to_dataframe(tb):
+    """Table → pandas DataFrame (parity: ``ever/metric/pixel.py:209-213``;
+    ``tb`` is an :class:`AccTable` or any object with ``field_names``/``rows``)."""
+    import pandas as pd
+    return pd.DataFrame(list(tb.rows), columns=list(tb.field_names))
+
+
+def prettytable_to_csv(tb, csv_file: str) -> None:
+    """Table → CSV file (parity: ``ever/metric/pixel.py:216-218``)."""
+    prettytable_to_dataframe(tb).to_csv(csv_file)
+
+
+__all__ += ['prettytable_to_dataframe', 'prettytable_to_csv']

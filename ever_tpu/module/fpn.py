@@ -245,3 +245,40 @@ class BiFPN(nn.Module):
             inner.insert(0, fused)
             out.append(fused)
         return out
+
+
+# -- reference spellings (fpn.py:18-36, 227-244) ------------------------------
+
+def init_conv():
+    """Kaiming-uniform(a=1) conv kernel init (parity: ``fpn.py:18-20``) —
+    torch's ``kaiming_uniform_(w, a=1)`` is variance_scaling(1, fan_in,
+    uniform) in flax."""
+    return nn.initializers.variance_scaling(1.0, 'fan_in', 'uniform')
+
+
+def conv_with_kaiming_uniform(use_bn: bool = False, use_relu: bool = False):
+    """Return a ConvBlock factory with FPN's init (parity: ``fpn.py:23-36``)."""
+    def make_conv(features, kernel_size, stride=1, dilation=1, **kw):
+        from ever_tpu.module.ops import ConvBlock
+        return ConvBlock(features, kernel_size, stride, dilation,
+                         norm='bn' if use_bn else None,
+                         act=nn.relu if use_relu else None, **kw)
+    return make_conv
+
+
+class FastNormalizedFusionConv3x3(_FusedConv3x3):
+    """relu-sum-normalized fusion → sepconv3x3-bn-relu (parity:
+    ``fpn.py:227-234``)."""
+
+    norm_method: str = 'fast_normalize'
+
+
+class NormalizedFusionConv3x3(_FusedConv3x3):
+    """softmax-weighted fusion → sepconv3x3-bn-relu (parity:
+    ``fpn.py:237-244``)."""
+
+    norm_method: str = 'softmax'
+
+
+__all__ += ['init_conv', 'conv_with_kaiming_uniform',
+            'FastNormalizedFusionConv3x3', 'NormalizedFusionConv3x3']

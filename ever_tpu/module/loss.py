@@ -270,3 +270,37 @@ def soft_cross_entropy(input, target):
     assert input.ndim == 4 and target.ndim == 4
     logp = jax.nn.log_softmax(input.astype(jnp.float32), axis=-1)
     return -jnp.sum(jnp.mean(target * logp, axis=(0, 1, 2)))
+
+
+# -- reference spellings (loss.py:20-51) --------------------------------------
+
+def all_reduce_sum(x, axis_name: Optional[str] = None):
+    """Differentiable cross-replica sum (parity: ``ever/module/loss.py:20-23``,
+    the one gradient-carrying collective).  ``jax.lax.psum`` is differentiable
+    by construction; with no mesh axis it is the identity."""
+    return _maybe_psum(x, axis_name)
+
+
+def select(y_pred, y_true, ignore_index: int = 255):
+    """Mask out ignored pixels (parity: ``ever/module/loss.py:26-37``).
+
+    The reference gathers valid rows (data-dependent shapes); under XLA we
+    keep static shapes and return ``(y_pred_flat, y_true_flat, valid_mask)``
+    — every loss in this module consumes the mask form.
+    """
+    y_pred, y_true = _flatten_logits(y_pred, y_true)
+    return y_pred, y_true, _valid_mask(y_true, ignore_index)
+
+
+def dice_coeff(y_prob, y_onehot, valid=None, smooth_value: float = 1.0,
+               axis_name: Optional[str] = None):
+    """Mean per-class dice coefficient over valid pixels (parity:
+    ``ever/module/loss.py:40-51``; statistics cross-replica-summed when
+    ``axis_name`` is given, mirroring ``sync_statistics=True``)."""
+    if valid is None:
+        valid = jnp.ones(y_prob.shape[0], jnp.float32)
+    inter, z = _dice_stats(y_prob, y_onehot, valid, axis_name)
+    return jnp.mean((2.0 * inter + smooth_value) / (z + smooth_value))
+
+
+__all__ += ['all_reduce_sum', 'select', 'dice_coeff']

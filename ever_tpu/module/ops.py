@@ -480,3 +480,80 @@ class ConvUpsampling(nn.Module):
         x = ConvBlock(self.features, self.kernel_size, norm=None, act=None,
                       use_bias=True, dtype=self.dtype)(x, train)
         return resize(x, scale=self.scale, method=self.method)
+
+
+# -- reference module spellings (ops.py:114-190) ------------------------------
+# The functional forms above are the idiomatic JAX surface; these linen
+# wrappers keep configs written against the reference's nn.Module spellings
+# working unchanged.
+
+class ChannelReduction(nn.Module):
+    """Per-scale 1x1 conv+BN channel projection (parity: ``ops.py:114-121``)."""
+
+    out_channels: int
+    norm: Optional[str] = 'bn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
+        return [ConvBlock(self.out_channels, 1, norm=self.norm, act=None,
+                          dtype=self.dtype, name=f'reduce{i}')(f, train)
+                for i, f in enumerate(features)]
+
+
+class ChannelConcat(nn.Module):
+    """Module spelling of :func:`channel_concat` (parity: ``ops.py:124-129``)."""
+
+    def __call__(self, features):
+        assert isinstance(features, (list, tuple))
+        return channel_concat(list(features))
+
+
+class Sum(nn.Module):
+    """Module spelling of :func:`channel_sum` (parity: ``ops.py:132-137``)."""
+
+    def __call__(self, features):
+        assert isinstance(features, (list, tuple))
+        return channel_sum(list(features))
+
+
+class ListIndex(nn.Module):
+    """Module spelling of :func:`list_index` (parity: ``ops.py:140-149``)."""
+
+    index: Tuple[int, ...] = (0,)
+
+    def __call__(self, features):
+        return list_index(features, *self.index)
+
+
+class Squeeze(nn.Module):
+    """Squeeze one axis (parity: ``ops.py:184-190``)."""
+
+    dim: int = -1
+
+    def __call__(self, x):
+        return jnp.squeeze(x, axis=self.dim)
+
+
+class Bf16compatible(nn.Module):
+    """Run a submodule in fp32 under bf16 compute (parity: ``ops.py:152-166``).
+
+    Rarely needed on TPU — XLA's resize/normalize lower fine in bf16 and the
+    framework keeps params fp32 — but the escape hatch mirrors the reference
+    for numerically-delicate heads.
+    """
+
+    inner: nn.Module
+
+    def __call__(self, x, *args, **kwargs):
+        dtype = x.dtype
+        if dtype == jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        y = self.inner(x, *args, **kwargs)
+        if dtype == jnp.bfloat16:
+            y = jax.tree.map(lambda t: t.astype(dtype), y)
+        return y
+
+
+__all__ += ['ChannelReduction', 'ChannelConcat', 'Sum', 'ListIndex',
+            'Squeeze', 'Bf16compatible']

@@ -137,3 +137,21 @@ __all__ = [
     'WarmupMixin', 'MultiStepLearningRate', 'PolyLearningRate',
     'CosineAnnealingLearningRate', 'ConstantLearningRate', 'SearchLearningRate',
 ]
+
+
+def set_lr(opt_state, lr: float):
+    """Force a learning rate into an optax state (parity:
+    ``ever/opt/learning_rate.py:9-11``, which mutates torch param groups).
+
+    Works with states produced by ``optax.inject_hyperparams`` (sets
+    ``hyperparams['learning_rate']``); for plain schedule-driven states the
+    schedule owns the rate and this returns the state unchanged — pass a new
+    schedule instead (functional JAX has no mutable param groups).
+    """
+    hp = getattr(opt_state, 'hyperparams', None)
+    if hp is not None and 'learning_rate' in hp:
+        hp['learning_rate'] = lr
+    return opt_state
+
+
+__all__ += ['set_lr']

@@ -1,4 +1,4 @@
-from ever_tpu.preprocess import albu, device, function, segm
+from ever_tpu.preprocess import albu, device, function, segm, thcomm, thsegm
 from ever_tpu.preprocess.albu import ConstantPad, ToTensor
 from ever_tpu.preprocess.function import (
     IMAGENET_MEAN,
@@ -23,4 +23,5 @@ from ever_tpu.preprocess.segm import (
     RandomVerticalFlip,
     SpaceToDepth,
     ToArray,
+    transpose,
 )

@@ -46,3 +46,12 @@ def pad_to_size(image: jnp.ndarray, size: Tuple[int, int],
     nh, nw = max(size[0], h), max(size[1], w)
     pad = [(0, 0)] * (image.ndim - 3) + [(0, nh - h), (0, nw - w), (0, 0)]
     return jnp.pad(image, pad, constant_values=value)
+
+
+# Reference th_ spellings (``ever/preprocess/function.py:9-83``): the torch
+# tensor family maps onto the single device-array family here.
+th_mean_std_normalize = mean_std_normalize
+th_divisible_pad = divisible_pad
+th_pad_to_size = pad_to_size
+
+__all__ += ['th_mean_std_normalize', 'th_divisible_pad', 'th_pad_to_size']

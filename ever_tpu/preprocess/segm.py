@@ -299,3 +299,11 @@ class ChannelFirstToLast:
 
     def __call__(self, image, mask=None):
         return np.ascontiguousarray(np.moveaxis(image, 0, -1)), mask
+
+
+def transpose(img):
+    """H/W transpose of an HWC array (parity: ``segm.py:10-13``, which is
+    PIL-only; arrays are the native currency here)."""
+    img = np.asarray(img)
+    axes = (1, 0) + tuple(range(2, img.ndim))
+    return np.transpose(img, axes)

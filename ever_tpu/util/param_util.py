@@ -147,3 +147,24 @@ def count_model_flops(fn: Callable, *sample_args, _default_logger=logger) -> int
     flops = int(analysis.get('flops', 0)) if analysis else 0
     _default_logger.info('# FLOPs: %d, %s G', flops, round(flops / 1e9, 2))
     return flops
+
+
+def count_model_params_flops(params, fn, *sample_args,
+                             _default_logger=logger) -> None:
+    """Log parameter count + FLOPs in one call (parity:
+    ``ever/util/param_util.py:73-75``)."""
+    count_model_parameters(params, _default_logger)
+    count_model_flops(fn, *sample_args, _default_logger=_default_logger)
+
+
+def copy_weight_bias(src: dict, dst: dict) -> dict:
+    """Copy kernel/scale + bias leaves between param subtrees (parity:
+    ``ever/util/param_util.py:105-113``).  Returns the updated ``dst``."""
+    out = dict(dst)
+    for k in ('kernel', 'weight', 'scale', 'bias'):
+        if k in src and k in out:
+            out[k] = src[k]
+    return out
+
+
+__all__ += ['count_model_params_flops', 'copy_weight_bias']
