@@ -75,20 +75,20 @@ def init_dist_env(coordinator_address: Optional[str] = None,
     ``ever/core/dist.py:34-39``).  A no-op on single-process runs and when
     already initialised."""
     jax = _jax()
-    if jax.process_count() > 1:
+    # NOTE: do not touch jax.process_count()/jax.devices() before
+    # distributed.initialize — any backend query initialises the LOCAL
+    # runtime and the later initialize() becomes a no-op (verified by
+    # tools/multiprocess_validation.py).
+    if getattr(jax.distributed, 'is_initialized', lambda: False)():
         return  # already initialised by the runtime
     if coordinator_address is None and 'JAX_COORDINATOR_ADDRESS' not in os.environ \
             and num_processes is None:
         return  # single-process run; nothing to do
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except Exception:
-        # Already initialised (or runtime handles it) — keep going.
-        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def synchronize() -> None:

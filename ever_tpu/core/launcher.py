@@ -80,6 +80,11 @@ class Launcher:
     model_without_ddp = model
 
     @property
+    def logger(self):
+        """Parity: ``ever/core/launcher.py:161``."""
+        return self._logger
+
+    @property
     def state(self):
         return self._state
 
