@@ -283,3 +283,15 @@ def from_pickle(path: str) -> AttrDict:
 
 
 __all__ += ['from_pickle']
+
+
+def to_dict(obj):
+    """Recursively demote AttrDicts to plain containers (parity:
+    ``ever/core/config.py:43-49``)."""
+    if isinstance(obj, FrozenConfig):
+        return obj.to_dict()
+    if isinstance(obj, dict):
+        return {k: to_dict(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [to_dict(v) for v in obj]
+    return obj

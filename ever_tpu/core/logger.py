@@ -239,3 +239,13 @@ def eval_progress(logger: logging.Logger, cur: int, total: int) -> None:
 def speed(logger: logging.Logger, sec: float, unit: str = 'im') -> None:
     """Parity: ``ever/core/logger.py:311-312``."""
     logger.info('[Speed] {} s/{}'.format(sec, unit))
+
+
+def save_log(logger, checkpoint_name):
+    """Parity: ``ever/core/logger.py:295-296``."""
+    logger.info('{} has been saved.'.format(checkpoint_name))
+
+
+def restore_log(logger, checkpoint_name):
+    """Parity: ``ever/core/logger.py:299-300``."""
+    logger.info('{} has been restored.'.format(checkpoint_name))

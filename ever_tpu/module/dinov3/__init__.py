@@ -20,7 +20,13 @@ from functools import partial
 
 from ever_tpu.module.convnext import CONVNEXT_SPECS, ConvNeXt
 from ever_tpu.module.vit import (
+    CausalSelfAttention,
+    CausalSelfAttentionBlock,
     DINOHead,
+    LinearKMaskedBias,
+    ListForwardMixin,
+    init_weights_vit,
+    make_2tuple,
     DinoVisionTransformer,
     LayerScale,
     Mlp,
@@ -39,6 +45,8 @@ from ever_tpu.module.vit import (
 __all__ = [
     'DinoVisionTransformer', 'DINOHead', 'RopePositionEmbedding', 'RMSNorm',
     'LayerScale', 'Mlp', 'SwiGLUFFN', 'SelfAttention', 'SelfAttentionBlock',
+    'CausalSelfAttention', 'CausalSelfAttentionBlock', 'LinearKMaskedBias',
+    'ListForwardMixin', 'init_weights_vit', 'make_2tuple',
     'PatchEmbed', 'cat_keep_shapes', 'uncat_with_shapes', 'get_convnext_arch',
     'vit_small', 'vit_base', 'vit_large', 'vit_so400m', 'vit_huge2',
     'vit_giant2', 'vit_7b', 'vitl16_sat493m', 'vit7b16_sat493m',

@@ -212,3 +212,14 @@ class EFNetEncoder(ERModule):
             'efficientnet-b7': (32, 48, 80, 224, 640),
         }
         return table[self.config.efficientnet_type]
+
+
+def nostride_dilate(encoder, dilate):
+    """Reference spelling (``ever/module/efficientnet.py:87-106``): convert
+    stride-2 blocks to dilated stride-1.  The torch original mutates conv
+    modules in place; here dilation surgery is driven by the encoder's
+    ``output_stride`` config, so this returns a reconfigured copy
+    (``output_stride = 32 // dilate``)."""
+    cfg = encoder.config.to_dict()
+    cfg['output_stride'] = max(32 // int(dilate), 8)
+    return type(encoder)(cfg)

@@ -670,3 +670,27 @@ class ResNetEncoder(ERModule):
             if at >= i:
                 prefixes.append(f'resnet/layer{i - 1}')
         return prefixes
+
+
+def make_layer(block, in_channel, basic_out_channel, blocks, stride=1,
+               dilation=1, **kw):
+    """Reference spelling (``ever/module/resnet.py:37-52``): build one ResNet
+    stage.  ``in_channel`` is inferred from the input at apply time in flax,
+    so it is accepted and unused; the downsample shortcut is created exactly
+    when the reference would (stride != 1 or channel change — decided inside
+    :class:`ResNetStage` from the actual input)."""
+    del in_channel
+    return ResNetStage(block=block, filters=basic_out_channel,
+                       num_blocks=blocks, stride=stride, dilation=dilation,
+                       **kw)
+
+
+def patch_first_conv(kernel, new_in_channels, default_in_channels=3):
+    """Reference spelling re-export (``ever/module/resnet.py:55-69``); the
+    array-level implementation lives in ``util/weight_io.py`` (HWIO
+    kernels)."""
+    from ever_tpu.util.weight_io import patch_first_conv as _impl
+    return _impl(kernel, new_in_channels, default_in_channels)
+
+
+__all__ += ['ResNetStage', 'make_layer', 'patch_first_conv']

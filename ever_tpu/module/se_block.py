@@ -57,3 +57,68 @@ class SCSEModule(nn.Module):
         q = nn.sigmoid(nn.Conv(1, (1, 1), dtype=self.dtype)(x))
         sse = x * q
         return cse + sse
+
+
+# ---------------------------------------------------------------------------
+# Reference-spelling plugin surface (``ever/module/se_block.py:64-230``).
+#
+# The reference mutates a built torch trunk, swapping each BasicBlock /
+# Bottleneck for an SE-augmented copy and transplanting its weights
+# (``se_block.py:147-230``).  Flax modules are immutable dataclasses and
+# params live outside the module, so the equivalent operation is a *config*
+# transform: return a copy of the block/stage/trunk/encoder with ``se_ratio``
+# set.  Params are untouched — the SE branch initializes fresh on the next
+# ``init``/``apply``, exactly like the reference's newly constructed SE
+# layers.
+
+def _with_ratio(module, **updates):
+    from ever_tpu.interface.module import ERModule
+    if isinstance(module, ERModule):
+        # encoder-level: carry the ratio through the config surface
+        cfg = module.config.to_dict()
+        cfg.update(updates)
+        return type(module)(cfg)
+    # flax module (ResNet trunk / ResNetStage / block): attribute clone
+    return module.clone(**updates)
+
+
+def plugin_to_basicblock(module, ratio):
+    """SE-augment BasicBlocks (parity: ``se_block.py:147-175``).
+
+    Accepts a :class:`~ever_tpu.module.resnet.ResNet` trunk, a
+    ``ResNetStage``, a block, or a ``ResNetEncoder``; returns a copy with
+    ``se_ratio=ratio``.  Granularity note: the ratio applies to every block
+    under ``module`` (the reference converts blocks recursively, which for
+    its documented per-stage usage is the same thing).
+    """
+    return _with_ratio(module, se_ratio=ratio)
+
+
+def plugin_to_bottleneck(module, ratio):
+    """SE-augment Bottlenecks (parity: ``se_block.py:178-230``)."""
+    return _with_ratio(module, se_ratio=ratio)
+
+
+def conv3x3(features, stride=1, dilation=1, **kw):
+    """Parity: ``se_block.py:64-67``."""
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   kernel_dilation=(dilation, dilation), padding='SAME',
+                   use_bias=False, **kw)
+
+
+def conv1x1(features, stride=1, **kw):
+    """Parity: ``se_block.py:70-72``."""
+    return nn.Conv(features, (1, 1), strides=(stride, stride),
+                   use_bias=False, **kw)
+
+
+def __getattr__(name):
+    # Lazy: avoid a circular import (resnet.py imports SEBlock from here).
+    if name in ('BasicBlock', 'Bottleneck'):
+        from ever_tpu.module import resnet
+        return getattr(resnet, name)
+    raise AttributeError(name)
+
+
+__all__ += ['plugin_to_basicblock', 'plugin_to_bottleneck', 'conv3x3',
+            'conv1x1', 'BasicBlock', 'Bottleneck']

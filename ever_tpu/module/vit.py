@@ -563,3 +563,118 @@ class ViTEncoder(ERModule):
         scales = (4.0, 2.0, 1.0, 0.5)  # os16 grid → os4/os8/os16/os32
         return [resize(t, scale=s, method='bilinear') if s != 1.0 else t
                 for t, s in zip(taps, scales)]
+
+
+# ---------------------------------------------------------------------------
+# Causal (text-decoder) attention family + reference layer helpers
+# (``dinov3/layers/attention.py:30-166``, ``block.py:215-270``,
+# ``ffn_layers.py:14-21``, ``patch_embed.py:14-18``,
+# ``vision_transformer.py:55-65``).  These exist in the reference for
+# DINOv3's text alignment; causal masking is a flag on
+# ``jax.nn.dot_product_attention`` (fused on TPU by XLA).
+
+def make_2tuple(x):
+    """Parity: ``layers/patch_embed.py:14-18``."""
+    if isinstance(x, tuple):
+        assert len(x) == 2
+        return x
+    return (x, x)
+
+
+def init_weights_vit(key=None):
+    """Trunc-normal(0.02) kernel / zero bias initializer pair (parity:
+    ``models/vision_transformer.py:55-65``, flax spelling: pass as
+    ``kernel_init``/``bias_init``)."""
+    return (nn.initializers.truncated_normal(stddev=0.02),
+            nn.initializers.zeros)
+
+
+class ListForwardMixin:
+    """Run a token module over a list of [B, N_i, C] tensors as ONE batched
+    call (parity: ``layers/ffn_layers.py:14-21``).  On TPU this keeps the
+    MXU fed: one matmul over the concatenated tokens instead of list-many."""
+
+    def forward_list(self, x_list):
+        flat, shapes, num_tokens = cat_keep_shapes(x_list)
+        out = self(flat)
+        return uncat_with_shapes(out, shapes, num_tokens)
+
+
+class LinearKMaskedBias(nn.Module):
+    """Fused-QKV Dense whose bias is multiplied by a persisted 0/1 mask
+    zeroing the K third (parity: ``layers/attention.py:30-40`` — a K bias is
+    redundant because softmax(q·(k+b)) shifts every logit equally).  The mask
+    lives in the ``constants`` collection so checkpoint surgery can override
+    it like the reference's ``bias_mask`` buffer."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.features % 3 == 0
+        y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name='linear')(x)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        third = self.features // 3
+        default = jnp.concatenate([jnp.ones((third,)), jnp.zeros((third,)),
+                                   jnp.ones((third,))])
+        mask = self.variable('constants', 'bias_mask', lambda: default)
+        return y + (bias * mask.value).astype(y.dtype)
+
+
+class CausalSelfAttention(nn.Module):
+    """Parity: ``layers/attention.py:121-166``."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    proj_bias: bool = True
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, is_causal: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name='qkv')(x).reshape(b, n, 3, h, c // h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = jax.nn.dot_product_attention(q, k, v, is_causal=is_causal)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
+                        name='proj')(out)
+
+
+class CausalSelfAttentionBlock(nn.Module):
+    """Parity: ``layers/block.py:215-270``."""
+
+    dim: int
+    num_heads: int
+    ffn_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    is_causal: bool = True
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name='attention_norm')(x)
+        y = CausalSelfAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                name='attention')(y, self.is_causal)
+        if self.ls_init_value:
+            y = LayerScale(self.ls_init_value, name='ls1')(y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name='ffn_norm')(x)
+        y = Mlp(int(self.dim * self.ffn_ratio), self.dim, dtype=self.dtype,
+                name='feed_forward')(y)
+        if self.ls_init_value:
+            y = LayerScale(self.ls_init_value, name='ls2')(y)
+        return x + y
+
+
+__all__ += ['make_2tuple', 'init_weights_vit', 'ListForwardMixin',
+            'LinearKMaskedBias', 'CausalSelfAttention',
+            'CausalSelfAttentionBlock']

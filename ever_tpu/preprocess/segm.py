@@ -307,3 +307,9 @@ def transpose(img):
     img = np.asarray(img)
     axes = (1, 0) + tuple(range(2, img.ndim))
     return np.transpose(img, axes)
+
+
+# Reference spelling (``ever/preprocess/segm.py:16-34``): the joint
+# image+mask "to tensor" — here arrays stay NHWC numpy (255-keep default).
+ToTensor = ToArray
+__all__ += ['ToTensor']
