@@ -32,7 +32,7 @@ class CollectibleSequential:
 
 def _factory(name):
     def make(pretrained=False, **kwargs):
-        kwargs.pop('pretrained', None)
+        del pretrained  # weights load via util.weight_io converters
         return DenseNet(densenet_type=name, **kwargs)
     make.__name__ = name
     make.__doc__ = f'``{name}`` trunk (reference ``ever/module/_densenet.py:170-244``).'

@@ -17,7 +17,7 @@ __all__ = ['HighResolutionModule', 'HighResolutionNet', 'HRNet',
 
 def _factory(name):
     def make(pretrained=False, **kwargs):
-        kwargs.pop('pretrained', None)
+        del pretrained  # weights load via util.weight_io converters
         return HRNet(hrnet_type=name, **kwargs)
     make.__name__ = name
     make.__doc__ = f'``{name}`` trunk (reference ``ever/module/_hrnet.py:610-659``).'

@@ -20,7 +20,7 @@ __all__ = ['BasicBlock', 'Bottleneck', 'ResNet',
 
 def _factory(name):
     def make(pretrained=False, **kwargs):
-        kwargs.pop('pretrained', None)
+        del pretrained  # weights load via util.weight_io converters
         return ResNet(resnet_type=name, **kwargs)
     make.__name__ = name
     make.__doc__ = f'``{name}`` trunk (reference ``ever/module/_resnets.py:241-344``).'

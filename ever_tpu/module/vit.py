@@ -630,7 +630,6 @@ class CausalSelfAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     proj_bias: bool = True
-
     dtype: Dtype = jnp.float32
 
     @nn.compact
