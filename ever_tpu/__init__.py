@@ -17,8 +17,12 @@ import os as _os
 _cache = _os.environ.get('EVER_COMPILE_CACHE', '')
 if _cache != '0':
     import jax as _jax
-    _jax.config.update('jax_compilation_cache_dir',
-                       _cache or _os.path.expanduser('~/.cache/ever_tpu/xla'))
+    # an explicit EVER_COMPILE_CACHE path always wins; the default only fills
+    # in when nothing configured a cache dir before import (e.g. a test
+    # suite's own conftest cache must not be silently re-pointed)
+    if _cache or _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update('jax_compilation_cache_dir',
+                           _cache or _os.path.expanduser('~/.cache/ever_tpu/xla'))
     _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from ever_tpu.core import builder, config, dist, registry, to
@@ -56,11 +60,7 @@ from ever_tpu.util.seedlib import seed_everything, seed_torch
 
 from ever_tpu.util import param_util
 
-
-def auto_device():
-    """The default JAX device (parity: ``ever/core/device.py:7-8``)."""
-    import jax
-    return jax.devices()[0]
+from ever_tpu.core.to import auto_device
 
 
 __all__ = [

@@ -45,9 +45,20 @@ def cpu_device():
 
 
 def tpu_device(id=None):
-    """Parity: ``ever/core/device.py:15-19`` (``gpu_device`` → TPU here)."""
+    """Parity: ``ever/core/device.py:15-19`` (``gpu_device`` → TPU here).
+
+    Tunneled TPU plugins report platform names like 'axon' with a 'TPU ...'
+    device_kind (same fallback as ``ops/attention.py``), so fall back to a
+    device_kind scan when ``jax.devices('tpu')`` knows no such backend.
+    """
     import jax
-    devs = jax.devices('tpu')
+    try:
+        devs = jax.devices('tpu')
+    except RuntimeError:
+        devs = [d for d in jax.devices()
+                if d.platform == 'tpu' or 'tpu' in d.device_kind.lower()]
+        if not devs:
+            raise
     return devs[id or 0]
 
 

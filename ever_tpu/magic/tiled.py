@@ -27,20 +27,23 @@ from ever_tpu.magic.sliding_window import sliding_window
 __all__ = ['tiled_inference', 'pad_crop_apply']
 
 
-_TTA_WRAPPERS: dict = {}
-
-
 def _d4_wrapped(predict_fn: Callable) -> Callable:
     """Memoized d4-TTA wrapper so repeated ``tiled_inference(..., tta='d4')``
-    calls reuse the same (jit-static) callable instead of recompiling."""
-    fn = _TTA_WRAPPERS.get(predict_fn)
+    calls with the SAME predict_fn reuse one (jit-static) callable instead of
+    recompiling.  The wrapper lives as an attribute on ``predict_fn`` itself —
+    a module-level cache would pin every closure (and its captured params)
+    forever."""
+    fn = getattr(predict_fn, '_ever_d4_wrapper', None)
     if fn is None:
         from ever_tpu.magic.transform import d4_tta
 
         def fn(tiles):
             return d4_tta(predict_fn, tiles)
 
-        _TTA_WRAPPERS[predict_fn] = fn
+        try:
+            predict_fn._ever_d4_wrapper = fn
+        except AttributeError:
+            pass  # non-function callable without __dict__: no memoization
     return fn
 
 

@@ -29,10 +29,14 @@ def sparsify24(w: jnp.ndarray) -> jnp.ndarray:
     assert n % 4 == 0, f'last dim {n} not divisible by 4'
     g = w.reshape(*lead, n // 4, 4)
     a = jnp.abs(g)
-    # keep the top-2 per group: an element survives if fewer than 2 others
-    # are strictly larger (ties broken by position via epsilon ramp)
-    order = a + jnp.arange(4, dtype=w.dtype) * jnp.finfo(jnp.float32).tiny
-    rank = jnp.sum(order[..., None, :] > order[..., :, None], axis=-1)
+    # keep the top-2 per group: element i survives if fewer than 2 others
+    # outrank it, where j outranks i iff |w_j| > |w_i| or (|w_j| == |w_i|
+    # and j < i) — an exact lexicographic tie-break (earlier index wins,
+    # torch.topk order), so exactly 2 of every 4 survive even on ties.
+    idx = jnp.arange(4)
+    larger = a[..., None, :] > a[..., :, None]
+    tie_earlier = (a[..., None, :] == a[..., :, None]) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum(larger | tie_earlier, axis=-1)
     mask = (rank < 2).astype(w.dtype)
     return (g * mask).reshape(w.shape)
 

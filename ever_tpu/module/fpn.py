@@ -260,6 +260,7 @@ def conv_with_kaiming_uniform(use_bn: bool = False, use_relu: bool = False):
     """Return a ConvBlock factory with FPN's init (parity: ``fpn.py:23-36``)."""
     def make_conv(features, kernel_size, stride=1, dilation=1, **kw):
         from ever_tpu.module.ops import ConvBlock
+        kw.setdefault('kernel_init', init_conv())
         return ConvBlock(features, kernel_size, stride, dilation,
                          norm='bn' if use_bn else None,
                          act=nn.relu if use_relu else None, **kw)

@@ -361,14 +361,16 @@ class ConvBlock(nn.Module):
     norm: Optional[str] = 'bn'
     act: Optional[Callable] = nn.relu
     bn_frozen: bool = False
+    kernel_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        init_kw = {} if self.kernel_init is None else {'kernel_init': self.kernel_init}
         x = nn.Conv(self.features, _pair(self.kernel_size), strides=_pair(self.stride),
                     kernel_dilation=_pair(self.dilation), padding='SAME',
                     feature_group_count=self.groups, use_bias=self.use_bias,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, **init_kw)(x)
         x = Norm(self.norm, dtype=self.dtype, frozen=self.bn_frozen)(x, train)
         if self.act is not None:
             x = self.act(x)

@@ -95,6 +95,17 @@ def host_to_global(batch: Any, sharding: NamedSharding) -> Any:
     (``total_batch_size // process_count`` rows, parity with
     ``ever/interface/dataloader.py:61-67``).
     """
+    n_shards = sharding.mesh.shape.get(sharding.spec[0]) if sharding.spec else None
+    if n_shards:
+        for x in jax.tree.leaves(batch):
+            dim0 = np.shape(x)[0] if np.ndim(x) else None
+            if dim0 is not None and dim0 * jax.process_count() % n_shards:
+                raise ValueError(
+                    f'global batch {dim0 * jax.process_count()} is not '
+                    f'divisible by the {n_shards}-way batch sharding '
+                    f'({sharding.spec}); raise total_batch_size to a '
+                    f'multiple of the device count (reference semantics: '
+                    f'ever/interface/dataloader.py:61-67)')
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     return jax.tree.map(

@@ -65,6 +65,10 @@ def halo_exchange_exact(x: jnp.ndarray, halo: int, axis_name: str):
     otherwise).  Requires ``2 * halo <= h_local``.
     """
     k = jax.lax.axis_size(axis_name)
+    if k == 1:
+        # single strip IS the whole image: no halo, no wrap — the ring
+        # ppermute below would feed the strip its own rows as a halo
+        return x, 0
     idx = jax.lax.axis_index(axis_name)
     top2 = x[:, :2 * halo]
     bot2 = x[:, -2 * halo:]

@@ -60,12 +60,15 @@ class THChannelFirst:
     The reference forces CHW because torch convs want channel-first; the TPU
     framework's native layout is channel-LAST, so this adapter ensures HWC —
     ported pipelines keep working and end up in the layout the models expect.
-    Uses the reference's small-axis heuristic (channels <= 8).
+    Exact dual of the reference heuristic: the reference classifies an input
+    as already-CHW iff ``size(0) <= 8`` — we transpose exactly those inputs
+    (CHW → HWC) and pass everything else through as HWC, so >8-band
+    hyperspectral HWC stacks are NOT scrambled.
     """
 
     @staticmethod
     def _is_channel_last(x) -> bool:
-        return x.shape[-1] <= 8
+        return x.shape[0] > 8
 
     def __call__(self, image):
         if THChannelFirst._is_channel_last(image):

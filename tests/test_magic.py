@@ -188,3 +188,21 @@ def test_tiled_inference_sharded_matches_single_device():
     got = tiled_inference(predict, scene, 32, 24, 4, tile_batch=4, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_d4_wrapper_memoized_without_global_cache():
+    """The d4-TTA wrapper memoizes per predict_fn via a function attribute —
+    no module-global dict pinning closures (and their captured params)."""
+    from ever_tpu.magic import tiled as tiled_mod
+    from ever_tpu.magic.tiled import _d4_wrapped
+    assert not hasattr(tiled_mod, '_TTA_WRAPPERS')
+
+    def predict(tiles):
+        return tiles
+
+    w1 = _d4_wrapped(predict)
+    w2 = _d4_wrapped(predict)
+    assert w1 is w2
+    import jax.numpy as jnp
+    out = w1(jnp.ones((2, 8, 8, 3)))
+    assert out.shape == (2, 8, 8, 3)

@@ -208,3 +208,89 @@ def test_full_reference_symbol_surface():
                 if not hasattr(m, n):
                     failures.append(f'{ours}.{n}')
     assert not failures, 'missing reference symbols:\n' + '\n'.join(failures)
+
+
+def test_thchannelfirst_hyperspectral_passthrough():
+    """>8-band HWC stacks must NOT be scrambled: transpose applies only to
+    inputs the reference heuristic classifies as CHW (shape[0] <= 8)."""
+    from ever_tpu.preprocess import thcomm
+    cf = thcomm.THChannelFirst()
+    assert cf(jnp.zeros((64, 48, 16))).shape == (64, 48, 16)  # 16-band HWC stays
+    assert cf(cf(jnp.zeros((64, 48, 16)))).shape == (64, 48, 16)  # idempotent
+    assert cf(jnp.zeros((3, 64, 48))).shape == (64, 48, 3)    # CHW → HWC
+
+
+def test_auto_device_single_definition():
+    """er.auto_device IS core.to.auto_device (one implementation, no drift)."""
+    import ever_tpu as er
+    from ever_tpu.core import to as core_to
+    assert er.auto_device is core_to.auto_device
+    assert er.auto_device().platform is not None
+
+
+def test_tpu_device_device_kind_fallback(monkeypatch):
+    """Tunneled plugins report platform 'axon' with device_kind 'TPU ...':
+    tpu_device must find them when jax.devices('tpu') raises."""
+    import jax
+    from ever_tpu.core import to as core_to
+
+    class _FakeDev:
+        platform = 'axon'
+        device_kind = 'TPU v5 lite'
+
+    real_devices = jax.devices
+
+    def fake_devices(backend=None):
+        if backend == 'tpu':
+            raise RuntimeError('Unknown backend tpu')
+        if backend is None:
+            return [_FakeDev()]
+        return real_devices(backend)
+
+    monkeypatch.setattr(jax, 'devices', fake_devices)
+    assert isinstance(core_to.tpu_device(), _FakeDev)
+    assert isinstance(core_to.gpu_device(), _FakeDev)
+
+
+def test_import_respects_preconfigured_compile_cache():
+    """import ever_tpu must not re-point a jax_compilation_cache_dir that was
+    configured before import (e.g. a test suite's conftest cache)."""
+    import subprocess, sys
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/user_cache_xyz')\n"
+        "import ever_tpu\n"
+        "assert jax.config.jax_compilation_cache_dir == '/tmp/user_cache_xyz', \\\n"
+        "    jax.config.jax_compilation_cache_dir\n"
+        "print('CACHE_KEPT')\n"
+    )
+    env = dict(__import__('os').environ)
+    env.pop('EVER_COMPILE_CACHE', None)
+    out = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'CACHE_KEPT' in out.stdout
+
+
+def test_conv_with_kaiming_uniform_actually_inits_kaiming():
+    """The factory's whole contract is the kaiming-uniform(a=1) kernel init
+    (reference fpn.py:18-36) — verify the returned ConvBlock uses it."""
+    import jax
+    from ever_tpu.module.fpn import conv_with_kaiming_uniform
+    from ever_tpu.module.ops import ConvBlock
+
+    make = conv_with_kaiming_uniform(use_bn=False, use_relu=False)
+    blk = make(32, 3)
+    x = jnp.zeros((1, 8, 8, 16))
+    w = blk.init(jax.random.key(0), x)['params']['Conv_0']['kernel']
+    # variance_scaling(1, fan_in, uniform): support bound sqrt(3/fan_in)
+    fan_in = 3 * 3 * 16
+    bound = float(np.sqrt(3.0 / fan_in))
+    w = np.asarray(w)
+    assert np.abs(w).max() <= bound + 1e-6
+    # lecun_normal (the ConvBlock default) is unbounded: same-seed default
+    # init must differ
+    w_def = ConvBlock(32, 3, norm=None, act=None).init(
+        jax.random.key(0), x)['params']['Conv_0']['kernel']
+    assert not np.allclose(w, np.asarray(w_def))

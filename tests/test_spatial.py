@@ -72,3 +72,19 @@ def test_spatial_partition_rejects_bad_shape():
     x = jnp.ones((1, 100, 64, 3))   # 100 not divisible by 8
     with pytest.raises(ValueError):
         spatial_partition_apply(lambda t: t, x, mesh, halo=4)
+
+
+def test_spatial_partition_exact_single_device_mesh():
+    """boundary='exact' on a k=1 mesh must equal the plain forward — the ring
+    ppermute otherwise wraps the strip's own rows in as its halo."""
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:1]), ('data',))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 32, 16, 3)).astype(np.float32))
+    model = _ConvStack()
+    v = model.init(jax.random.key(0), x)
+    fn = lambda t: model.apply(v, t)
+    full = np.asarray(fn(x))
+    got = np.asarray(spatial_partition_apply(fn, x, mesh, axis='data',
+                                             halo=4, boundary='exact'))
+    np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-5)

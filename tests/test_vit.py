@@ -83,3 +83,36 @@ def test_drop_path_training_stochastic():
     e2 = m.apply(v, x)
     np.testing.assert_array_equal(np.asarray(e1['x_norm_clstoken']),
                                   np.asarray(e2['x_norm_clstoken']))
+
+
+def test_sparsify24_exactly_2of4_even_on_ties():
+    """Tie groups must still keep EXACTLY 2 of 4 (lexicographic tie-break,
+    earlier index wins) — an epsilon-ramp tie-break is absorbed at normal
+    float magnitudes and used to let all tied weights survive."""
+    from ever_tpu.module.dinov3.layers.sparse_linear import sparsify24
+    w = jnp.asarray([[1., 1., 1., 1.],
+                     [3., 2., 2., 1.],
+                     [0., 0., 0., 0.],
+                     [-2., 2., -2., 2.]])
+    out = np.asarray(sparsify24(w))
+    np.testing.assert_array_equal(out, [[1., 1., 0., 0.],
+                                        [3., 2., 0., 0.],
+                                        [0., 0., 0., 0.],
+                                        [-2., 2., 0., 0.]])
+    # every group of 4 has at most 2 nonzeros, and the kept ones are the
+    # largest-|w| (first occurrences on ties)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.integers(-3, 4, size=(16, 64)).astype(np.float32))
+    out = np.asarray(sparsify24(w)).reshape(16, 16, 4)
+    assert ((out != 0).sum(-1) <= 2).all()
+    kept_mag = np.sort(np.abs(np.asarray(w)).reshape(16, 16, 4), axis=-1)
+    # sum of kept |w| equals sum of the 2 largest |w| per group
+    np.testing.assert_allclose(np.abs(out).sum(-1), kept_mag[..., 2:].sum(-1))
+
+
+def test_sparsify24_straight_through_gradient():
+    from ever_tpu.module.dinov3.layers.sparse_linear import sparsify24
+    w = jnp.asarray([[4., 3., 2., 1.]])
+    g = jax.grad(lambda t: (sparsify24(t) ** 2).sum())(w)
+    # STE: the vjp is identity, so grad == upstream grad == 2 * sparsify(w)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(sparsify24(w)))
