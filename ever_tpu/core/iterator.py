@@ -61,6 +61,13 @@ class Iterator:
         self._step += 1
         ep = self.epoch(forward_times)
         if ep not in self._look_up:
+            # forward the epoch to datasets with deterministic per-epoch
+            # augmentation RNGs (e.g. LoveDA's crop rng) — samplers are
+            # reseeded per step separately (set_seed_for_dist_sampler), but
+            # nothing else ever told the DATASET which epoch it is in
+            ds = getattr(self._data_loader, 'dataset', None)
+            if hasattr(ds, 'set_epoch'):
+                ds.set_epoch(ep - 1)
             run_callbacks(call_backs, ep, is_master)
             self._look_up[ep] = True
         return [self._get_one() for _ in range(forward_times)]

@@ -80,11 +80,6 @@ class Launcher:
     model_without_ddp = model
 
     @property
-    def logger(self):
-        """Parity: ``ever/core/launcher.py:161``."""
-        return self._logger
-
-    @property
     def state(self):
         return self._state
 
@@ -208,10 +203,41 @@ class Launcher:
                     forward_times=forward_times, mesh=self._mesh,
                     rng_seed=self._seed)
 
-    def get_eval_step(self):
+    def get_eval_step(self, local: bool = False):
+        """The jitted eval step.  ``local=True`` returns a step bound to THIS
+        process's devices only — required for disjoint-partition distributed
+        eval, where ranks iterate different batch counts: a global-mesh SPMD
+        program would deadlock on the rank with fewer batches."""
+        if local and self._mesh is not None and jax.process_count() > 1:
+            if getattr(self, '_eval_step_local', None) is None:
+                self._local_mesh = jax.sharding.Mesh(
+                    np.asarray(jax.local_devices()), ('data',))
+                self._eval_step_local = build_eval_step(self._model,
+                                                        mesh=self._local_mesh)
+            return self._eval_step_local
         if self._eval_step is None:
             self._eval_step = build_eval_step(self._model, mesh=self._mesh)
         return self._eval_step
+
+    def local_state(self):
+        """The train state staged on this process's devices (for
+        :meth:`get_eval_step` ``local=True``).  Requires replicated state —
+        ZeRO-sharded state has no full local copy."""
+        if self._mesh is None or jax.process_count() == 1:
+            return self.state
+        self.get_eval_step(local=True)   # ensure self._local_mesh
+        from ever_tpu.parallel.mesh import replicated as _repl
+        sh = _repl(self._local_mesh)
+
+        def pull(a):
+            if hasattr(a, 'is_fully_replicated') and not a.is_fully_replicated:
+                raise ValueError(
+                    'local_state() needs a replicated train state; this '
+                    'state is sharded (ZeRO?) — evaluate with the global '
+                    'mesh instead')
+            return jax.device_put(np.asarray(a.addressable_data(0)), sh)
+
+        return jax.tree.map(pull, self.state)
 
     # -- training loop (parity: launcher.py:248-367) -------------------------
     def train_iters(self, train_data_loader, test_data_loader=None, **kwargs):
@@ -236,9 +262,26 @@ class Launcher:
         self._summary_weights = kwargs.get('summary_weights', False)
         self._tensorboard_interval = kwargs.get('tensorboard_interval_step', 100)
 
-        iterator = get_iterator(iterator_type)(train_data_loader)
+        batch_sh = None
+        if self._mesh is not None:
+            batch_sh = batch_sharding(self._mesh,
+                                      accum_leading=forward_times > 1)
+        it_cls = get_iterator(iterator_type)
+        # the prefetched iterator must stage batches in the TRAINING sharding
+        # — prefetching to the default device then re-putting per step defeats
+        # the prefetch (and round-trips through the host multi-process)
+        iterator = (it_cls(train_data_loader, sharding=batch_sh)
+                    if iterator_type == 'prefetched'
+                    else it_cls(train_data_loader))
 
-        self.register_callback(SaveCheckpointCallback(save_ckpt_interval_epoch))
+        # drop auto-registered callbacks from a PREVIOUS train_iters call
+        # (staged training / retry would otherwise save+evaluate twice per
+        # epoch); user-registered callbacks are kept
+        self._callbacks = [cb for cb in self._callbacks
+                           if not getattr(cb, '_auto_registered', False)]
+        save_cb = SaveCheckpointCallback(save_ckpt_interval_epoch)
+        save_cb._auto_registered = True
+        self.register_callback(save_cb)
         if eval_per_epoch or eval_after_train:
             if eval_per_epoch and eval_interval_epoch < 0:
                 raise ValueError('eval_interval_epoch must be positive when '
@@ -246,17 +289,17 @@ class Launcher:
             if not eval_per_epoch and eval_interval_epoch > 0:
                 raise ValueError('eval_per_epoch should be True when '
                                  'eval_interval_epoch > 0')
-            self.register_callback(EvaluationCallback(
+            eval_cb = EvaluationCallback(
                 test_data_loader, eval_interval_epoch, not dist_eval,
-                config=AttrDict(kwargs), after_train=eval_after_train))
+                config=AttrDict(kwargs), after_train=eval_after_train)
+            eval_cb._auto_registered = True
+            self.register_callback(eval_cb)
         self._callbacks.sort(key=lambda cb: cb.prior)
 
         self.run_callbacks('before_train')
         self._logger.forward_times_log(forward_times)
 
-        sharding = None
-        if self._mesh is not None:
-            sharding = batch_sharding(self._mesh, accum_leading=forward_times > 1)
+        sharding = batch_sh
 
         pending = None   # (step_idx, metrics, data_time, t_start) of the async step
         try:

@@ -40,6 +40,14 @@ def get_console_file_logger(name: str, logdir: str) -> logging.Logger:
     """Console + timestamped file logging (parity: ``logger.py:22-73``)."""
     logger = get_logger(name)
     if is_main_process() and logdir:
+        # one FileHandler per (logger, logdir): repeated construction (e.g.
+        # PixelMetric once per eval) must not duplicate every line into every
+        # previously opened log file or leak descriptors
+        logdir = os.path.abspath(logdir)
+        for h in logger.handlers:
+            if isinstance(h, logging.FileHandler) and \
+                    os.path.dirname(h.baseFilename) == logdir:
+                return logger
         os.makedirs(logdir, exist_ok=True)
         fname = time.strftime('%Y-%m-%d-%H-%M-%S', time.localtime()) + '.log'
         fh = logging.FileHandler(os.path.join(logdir, fname))

@@ -21,14 +21,22 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
     """Wrap a host-batch iterator with an N-deep device-transfer queue."""
     queue = []
 
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        # host_to_global handles the multi-process case, where each host's
+        # batch is a LOCAL slice of the global array (a bare device_put would
+        # misread it as the full global value)
+        from ever_tpu.parallel.mesh import host_to_global
+        return host_to_global(batch, sharding)
+
     def enqueue(n):
         for _ in range(n):
             try:
                 batch = next(iterator)
             except StopIteration:
                 return
-            queue.append(jax.device_put(batch, sharding) if sharding is not None
-                         else jax.device_put(batch))
+            queue.append(put(batch))
 
     enqueue(size)
     while queue:

@@ -96,7 +96,11 @@ def register_file(py_file: str) -> None:
     Parity: ``ever/core/registry.py:88-104``.
     """
     py_file = os.path.abspath(py_file)
-    mod_name = 'ever_tpu._user.' + os.path.splitext(os.path.basename(py_file))[0]
+    # key by the FULL path, not the basename: module/farseg.py and
+    # callback/farseg.py are different files whose registrations must both run
+    stem = os.path.splitext(py_file)[0]
+    mod_name = ('ever_tpu._user.'
+                + stem.strip(os.sep).replace(os.sep, '.').replace('-', '_'))
     if mod_name in sys.modules:
         return
     spec = importlib.util.spec_from_file_location(mod_name, py_file)

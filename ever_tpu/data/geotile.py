@@ -45,19 +45,39 @@ def read_raster(path: str) -> np.ndarray:
 
 
 class _SceneCache:
+    """LRU of decoded scenes.  Thread-safe: the threaded DataLoader fetches
+    batches concurrently, so lookup must not race eviction (and a scene
+    being decoded by one thread must not be decoded again by another)."""
+
     def __init__(self, max_items: int = 4):
+        import threading
         self.max_items = max_items
         self._cache: 'OrderedDict[str, np.ndarray]' = OrderedDict()
+        self._lock = threading.Lock()
+        self._pending: dict = {}   # path -> Event for in-flight decodes
 
     def get(self, path: str) -> np.ndarray:
-        if path in self._cache:
-            self._cache.move_to_end(path)
-            return self._cache[path]
-        arr = read_raster(path)
-        self._cache[path] = arr
-        if len(self._cache) > self.max_items:
-            self._cache.popitem(last=False)
-        return arr
+        import threading
+        while True:
+            with self._lock:
+                if path in self._cache:
+                    self._cache.move_to_end(path)
+                    return self._cache[path]
+                ev = self._pending.get(path)
+                if ev is None:
+                    self._pending[path] = threading.Event()
+                    break
+            ev.wait()   # another thread is decoding this scene
+        try:
+            arr = read_raster(path)
+            with self._lock:
+                self._cache[path] = arr
+                if len(self._cache) > self.max_items:
+                    self._cache.popitem(last=False)
+            return arr
+        finally:
+            with self._lock:
+                self._pending.pop(path).set()
 
 
 @registry.DATASET.register('geotile')

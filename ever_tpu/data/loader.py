@@ -57,10 +57,19 @@ class DataLoader:
                  prefetch_factor: int = 2,
                  persistent_workers: bool = False,
                  pin_memory: bool = False,  # accepted for surface parity; no-op
+                 shuffle: bool = False,
                  ):
-        from ever_tpu.data.distributed import SequentialSampler
+        from ever_tpu.data.distributed import RandomSampler, SequentialSampler
+        if shuffle and sampler is not None:
+            raise ValueError('shuffle=True is mutually exclusive with an '
+                             'explicit sampler (torch DataLoader semantics)')
         self.dataset = dataset
-        self.sampler = sampler if sampler is not None else SequentialSampler(dataset)
+        if sampler is not None:
+            self.sampler = sampler
+        elif shuffle:
+            self.sampler = RandomSampler(dataset)
+        else:
+            self.sampler = SequentialSampler(dataset)
         self.batch_size = int(batch_size)
         self.num_workers = int(num_workers)
         self.collate_fn = collate_fn

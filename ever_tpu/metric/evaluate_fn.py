@@ -53,11 +53,20 @@ def _make_eval_loop(num_classes, data_parse_fn, tune_model_fn, prediction_fn,
                 loader = loader.clone(
                     sampler=DistributedNonOverlapSeqSampler(loader.dataset))
         pm = PixelMetric(num_classes, self.model_dir, logger=self.logger)
-        eval_step = tune_model_fn(self.get_eval_step())
+        # multi-process disjoint partitions give ranks DIFFERENT batch counts;
+        # a global-mesh SPMD step would deadlock the rank with fewer batches
+        # and would treat each rank's local x as the global batch — evaluate
+        # on this process's devices only (reference semantics: independent
+        # per-rank forward, evaluate_fn.py:70-115), CMs host-gathered below
+        multiproc = distributed and jax.process_count() > 1
+        eval_step = tune_model_fn(self.get_eval_step(local=multiproc))
+        state = self.local_state() if multiproc else self.state
         it = _progress(loader, desc) if (not distributed or
                                          jax.process_index() == 0) else loader
         n_dev = 1
-        if getattr(self, 'mesh', None) is not None:
+        if multiproc:
+            n_dev = len(jax.local_devices())
+        elif getattr(self, 'mesh', None) is not None:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
         for data in it:
             x, y_true, other_info = data_parse_fn(data)
@@ -68,7 +77,7 @@ def _make_eval_loop(num_classes, data_parse_fn, tune_model_fn, prediction_fn,
             pad = (-n) % n_dev
             if pad:
                 x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
-            y_pred = eval_step(self.state, (x,))
+            y_pred = eval_step(state, (x,))
             if pad:
                 y_pred = jax.tree.map(lambda p: p[:n], y_pred)
             y_true, y_pred = prediction_fn(y_true, y_pred, other_info,

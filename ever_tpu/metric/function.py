@@ -33,9 +33,12 @@ def confusion_matrix(y_true: jnp.ndarray, y_pred: jnp.ndarray,
     valid = (y_true != ignore_index) & (y_true >= 0) & (y_true < num_classes)
     t = jnp.where(valid, y_true, 0)
     idx = t * num_classes + jnp.clip(y_pred, 0, num_classes - 1)
-    counts = jnp.bincount(idx, weights=valid.astype(jnp.float32),
-                          length=num_classes * num_classes)
-    return counts.reshape(num_classes, num_classes)
+    # integer counts: a float32-weighted bincount silently stops counting
+    # past 2^24 per cell (one stitched 12k x 12k scene overflows it); route
+    # invalid pixels to an overflow bucket instead of weighting them out
+    idx = jnp.where(valid, idx, num_classes * num_classes)
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+    return counts[:-1].reshape(num_classes, num_classes)
 
 
 def overall_accuracy_score(cm: jnp.ndarray) -> jnp.ndarray:

@@ -158,7 +158,15 @@ class PixelMetric(ConfusionMatrix):
 
     # -- summaries (parity: pixel.py:127-206) --------------------------------
     def _gathered_cm(self) -> np.ndarray:
-        return np.sum(all_gather_host(self._total), axis=0)
+        # process_allgather downcasts f64 to f32 when jax_enable_x64 is off,
+        # which would corrupt counts past 2^24 — ship an exact hi/lo split
+        # (each half < 2^24, exact in f32) and reassemble in f64
+        hi = np.floor(self._total / 2 ** 24)
+        lo = self._total - hi * 2 ** 24
+        parts = all_gather_host({'hi': hi.astype(np.float32),
+                                 'lo': lo.astype(np.float32)})
+        return np.sum([p['hi'].astype(np.float64) * 2 ** 24 +
+                       p['lo'].astype(np.float64) for p in parts], axis=0)
 
     def _log_summary(self, table, dense_cm: np.ndarray) -> None:
         if self._logger is not None:

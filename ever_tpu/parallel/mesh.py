@@ -106,8 +106,14 @@ def host_to_global(batch: Any, sharding: NamedSharding) -> Any:
                     f'({sharding.spec}); raise total_batch_size to a '
                     f'multiple of the device count (reference semantics: '
                     f'ever/interface/dataloader.py:61-67)')
+    def _already_global(x):
+        return isinstance(x, jax.Array) and x.sharding == sharding
+
     if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
+        return jax.device_put(batch, sharding)   # no-op for matching arrays
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        # a prefetched batch is already a global array: np.asarray on it
+        # would be a blocking device->host fetch per step
+        lambda x: x if _already_global(x)
+        else jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch)

@@ -111,9 +111,11 @@ def spatial_partition_apply(fn: Callable, x: jnp.ndarray, mesh: Mesh,
                          f"boundary='zeros'")
 
     def local_zeros(x_local):
+        if halo == 0:
+            return fn(x_local)
         padded = halo_exchange(x_local, halo, axis)
         y = fn(padded)
-        return y[:, halo:-halo]
+        return y[:, halo:y.shape[1] - halo]
 
     def local_exact(x_local):
         padded, crop_start = halo_exchange_exact(x_local, halo, axis)

@@ -125,3 +125,15 @@ def test_sinks_degrade_gracefully_when_missing(tmp_path, monkeypatch):
                     tensorboard_logdir=str(tmp_path), use_wandb=True)
     assert logger._tb is None and logger._wandb is None
     logger.train_log(1, 2, {'loss': 1.0}, 0.0, 0.0, 0.1)  # must not raise
+
+
+def test_console_file_logger_no_duplicate_handlers(tmp_path):
+    """Repeated construction for the same logdir (PixelMetric per eval) must
+    not duplicate FileHandlers / log lines."""
+    import logging
+    from ever_tpu.core.logger import get_console_file_logger
+    lg1 = get_console_file_logger('_t_dedup', str(tmp_path))
+    lg2 = get_console_file_logger('_t_dedup', str(tmp_path))
+    assert lg1 is lg2
+    fhs = [h for h in lg1.handlers if isinstance(h, logging.FileHandler)]
+    assert len(fhs) == 1

@@ -75,3 +75,25 @@ def test_score_tracker():
     assert st.highest_score('miou') == {'step': 2, 'miou': 0.7}
     assert st.lowest_score('miou') == {'step': 1, 'miou': 0.5}
     assert len(st) == 3
+
+
+def test_confusion_matrix_counts_past_2_24():
+    """f32-weighted bincount saturates at 2^24 per cell; counts must be
+    integer-exact for whole-scene evals (one 12k x 12k scene overflows)."""
+    n = 2 ** 24 + 10
+    y = np.zeros(n, np.int32)
+    cm = np.asarray(confusion_matrix(y, y, 2))
+    assert int(cm[0, 0]) == n
+    assert int(cm.sum()) == n
+
+
+def test_gathered_cm_exact_past_2_24():
+    """The cross-process CM gather must survive the f64->f32 downcast
+    process_allgather applies when x64 is off (hi/lo split)."""
+    from ever_tpu.metric.pixel import PixelMetric
+    pm = PixelMetric(2)
+    big = float(2 ** 26 + 3)   # not representable in f32
+    pm._total[0, 0] = big
+    pm._total[1, 1] = 7.0
+    dense = pm._gathered_cm()
+    assert dense[0, 0] == big and dense[1, 1] == 7.0

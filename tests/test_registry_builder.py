@@ -92,3 +92,21 @@ def test_make_learningrate_and_optimizer():
         type='sgd', params=dict(momentum=0.9), grad_clip=dict(max_norm=10.0))))
     tx = tx_factory.build(lr, grad_clip=opt_cfg.get('grad_clip'))
     assert hasattr(tx, 'init') and hasattr(tx, 'update')
+
+
+def test_register_dir_same_basename_different_dirs(tmp_path):
+    """module/x.py and callback/x.py must BOTH import (keying modules by
+    basename silently skipped the second file's registrations)."""
+    from ever_tpu.core import registry
+    d1 = tmp_path / 'module'; d2 = tmp_path / 'callback'
+    d1.mkdir(); d2.mkdir()
+    (d1 / 'same.py').write_text(
+        'from ever_tpu.core import registry\n'
+        "registry.MODEL.register('_t_samebase_model')(object)\n")
+    (d2 / 'same.py').write_text(
+        'from ever_tpu.core import registry\n'
+        "registry.CALLBACK.register('_t_samebase_cb')(object)\n")
+    registry.register_dir(str(d1))
+    registry.register_dir(str(d2))
+    assert '_t_samebase_model' in registry.MODEL
+    assert '_t_samebase_cb' in registry.CALLBACK

@@ -1,3 +1,4 @@
+import pytest
 import itertools
 
 import numpy as np
@@ -89,3 +90,73 @@ def test_default_collate_nested():
     assert out['a'][0].shape == (3, 2)
     assert out['a'][1].shape == (3,)
     assert out['b'] is None
+
+
+def test_iterator_forwards_epoch_to_dataset():
+    """Datasets with deterministic per-epoch augmentation RNGs (LoveDA crop)
+    must actually be told the epoch — nothing called set_epoch before."""
+    from ever_tpu.core.iterator import Iterator
+    from ever_tpu.data.loader import DataLoader
+
+    class _DS(list):
+        epoch_calls = []
+
+        def set_epoch(self, e):
+            self.epoch_calls.append(e)
+
+    ds = _DS(range(4))
+    loader = DataLoader(ds, batch_size=2)
+    it = Iterator(loader)
+    for _ in range(5):   # 2 batches/epoch -> crosses epoch boundaries
+        it.next(1, call_backs=None)
+    assert ds.epoch_calls[:2] == [0, 1]
+
+
+def test_scene_cache_thread_safe():
+    import threading
+    from ever_tpu.data import geotile
+
+    calls = []
+    orig = geotile.read_raster
+
+    def fake_read(path):
+        calls.append(path)
+        import time as _t
+        _t.sleep(0.01)
+        return np.full((4, 4), hash(path) % 97, np.uint8)
+
+    geotile.read_raster, restore = fake_read, orig
+    try:
+        cache = geotile._SceneCache(max_items=2)
+        errs = []
+
+        def worker(k):
+            try:
+                for i in range(50):
+                    p = f's{(k + i) % 5}'
+                    a = cache.get(p)
+                    assert a[0, 0] == hash(p) % 97
+            except Exception as e:   # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs, errs
+    finally:
+        geotile.read_raster = restore
+
+
+def test_dataloader_shuffle_kwarg():
+    """torch DataLoader surface: shuffle=True selects a RandomSampler;
+    mutually exclusive with an explicit sampler."""
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.data.distributed import RandomSampler, SequentialSampler
+    ds = list(range(10))
+    dl = DataLoader(ds, batch_size=2, shuffle=True)
+    assert isinstance(dl.sampler, RandomSampler)
+    seen = sorted(int(v) for b in dl for v in np.asarray(b).ravel())
+    assert seen == list(range(10))
+    assert isinstance(DataLoader(ds).sampler, SequentialSampler)
+    with pytest.raises(ValueError):
+        DataLoader(ds, sampler=SequentialSampler(ds), shuffle=True)

@@ -88,3 +88,13 @@ def test_spatial_partition_exact_single_device_mesh():
     got = np.asarray(spatial_partition_apply(fn, x, mesh, axis='data',
                                              halo=4, boundary='exact'))
     np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_partition_zeros_halo0_pointwise():
+    """halo=0 with boundary='zeros' (legitimate for pointwise fns) must run
+    fn unpadded — y[:, 0:-0] used to return an empty slice."""
+    mesh = make_mesh(('data',))
+    x = jnp.arange(8 * 16 * 4 * 3, dtype=jnp.float32).reshape(1, 8 * 16, 4, 3)
+    got = np.asarray(spatial_partition_apply(lambda t: t * 2.0, x, mesh,
+                                             halo=0, boundary='zeros'))
+    np.testing.assert_allclose(got, np.asarray(x) * 2.0)

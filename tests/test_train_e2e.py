@@ -712,3 +712,27 @@ config = dict(
     prob = model.apply(variables, x)
     assert prob.shape == (2, 32, 32, 5)
     np.testing.assert_allclose(np.asarray(jnp.sum(prob, -1)), 1.0, atol=1e-5)
+
+
+def test_train_iters_twice_no_duplicate_callbacks(tmp_path):
+    """Staged training (two train_iters calls on one Launcher) must not
+    stack a second auto-registered SaveCheckpoint/Evaluation callback."""
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.core import builder
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.interface.callback import SaveCheckpointCallback
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'), classes=7)})
+    schedule = builder.make_learningrate(
+        {'type': 'constant', 'params': dict(base_lr=0.01)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': {}})
+    ds = SyntheticSegDataset(dict(num_samples=8, image_size=32))
+    tl = Launcher(str(tmp_path / 'run'), model, factory.build(schedule),
+                  schedule)
+    tl.train_iters(DataLoader(ds, batch_size=4), num_iters=2, distributed=False)
+    tl.train_iters(DataLoader(ds, batch_size=4), num_iters=4, distributed=False)
+    saves = [cb for cb in tl._callbacks
+             if isinstance(cb, SaveCheckpointCallback)]
+    assert len(saves) == 1
+    assert tl.global_step == 4

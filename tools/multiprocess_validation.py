@@ -152,9 +152,26 @@ def worker(pid: int, nproc: int, workdir: str) -> None:
     for other in all_losses:
         np.testing.assert_allclose(other, losses, rtol=1e-5)
 
+    # distributed eval over an ODD sample count: ranks get UNEQUAL batch
+    # counts (5 vs 4 here), which deadlocks a global-mesh SPMD eval step —
+    # must run on each process's local devices with host CM gather
+    # (parity: ever/metric/evaluate_fn.py:62-127 independent rank forwards)
+    from ever_tpu.core import registry
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.metric.evaluate_fn import (
+        distributed_evaluate_pixel_prediction_task)
+    eval_ds = registry.DATASET['mpval_synth'](
+        dict(num_samples=9, image_size=IMG))
+    eval_loader = DataLoader(eval_ds, batch_size=2)
+    launcher.override_evaluate(
+        distributed_evaluate_pixel_prediction_task(CLASSES))
+    acc_tb = launcher.evaluate(eval_loader, None)
+    oa = next(float(r[1]) for r in acc_tb._rows if r[0] == 'OA')
+
     if dist.is_main_process():
         ckpts = [f for f in os.listdir(model_dir) if f.startswith('checkpoint-')]
         out = dict(nproc=nproc, losses=losses, n_ckpts=len(ckpts),
+                   eval_oa=oa,
                    devices=len(jax.devices()),
                    local_devices=len(jax.local_devices()))
         with open(os.path.join(workdir, f'result_np{nproc}.json'), 'w') as f:
@@ -190,9 +207,13 @@ def launch() -> None:
     np.testing.assert_allclose(multi['losses'], single['losses'],
                                rtol=2e-4, atol=1e-6)
     assert multi['devices'] == 4 and multi['local_devices'] == 2
+    assert multi['eval_oa'] is not None and single['eval_oa'] is not None
+    np.testing.assert_allclose(multi['eval_oa'], single['eval_oa'], atol=2e-5)
     print('MULTIPROCESS VALIDATION OK')
     print('  2-process losses :', [round(l, 6) for l in multi['losses']])
     print('  1-process losses :', [round(l, 6) for l in single['losses']])
+    print('  distributed eval OA (9 samples, uneven 5/4 partition):',
+          multi['eval_oa'], '== single-process', single['eval_oa'])
     print(f'  checkpoints written once: {multi["n_ckpts"]} (main process only)')
     print('  result dir:', workdir)
 
