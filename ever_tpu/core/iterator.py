@@ -43,6 +43,7 @@ class Iterator:
         self._iterator = iter(self._data_loader)
         self._step = 0
         self._look_up = {}
+        self._ds_epoch = None
 
     def epoch(self, forward_times: int) -> int:
         return forward_times * self._step // max(len(self._data_loader), 1) + 1
@@ -60,14 +61,20 @@ class Iterator:
             is_master = is_main_process()
         self._step += 1
         ep = self.epoch(forward_times)
+        # forward the epoch to datasets with deterministic per-epoch
+        # augmentation RNGs (e.g. LoveDA's crop rng) — samplers are reseeded
+        # per step separately (set_seed_for_dist_sampler), but nothing else
+        # ever told the DATASET which epoch it is in.  The dataset epoch is
+        # that of the batch ABOUT TO BE DRAWN (first of this step's list),
+        # not `ep`, which flips one step early at epoch boundaries.
+        ds = getattr(self._data_loader, 'dataset', None)
+        if hasattr(ds, 'set_epoch'):
+            ds_ep = ((self._step - 1) * forward_times
+                     ) // max(len(self._data_loader), 1)
+            if ds_ep != self._ds_epoch:
+                ds.set_epoch(ds_ep)
+                self._ds_epoch = ds_ep
         if ep not in self._look_up:
-            # forward the epoch to datasets with deterministic per-epoch
-            # augmentation RNGs (e.g. LoveDA's crop rng) — samplers are
-            # reseeded per step separately (set_seed_for_dist_sampler), but
-            # nothing else ever told the DATASET which epoch it is in
-            ds = getattr(self._data_loader, 'dataset', None)
-            if hasattr(ds, 'set_epoch'):
-                ds.set_epoch(ep - 1)
             run_callbacks(call_backs, ep, is_master)
             self._look_up[ep] = True
         return [self._get_one() for _ in range(forward_times)]

@@ -70,6 +70,7 @@ class Launcher:
         self._evaluate_fn: Optional[Callable] = None
         self._init_params = None
         self._init_batch_stats = None
+        self._stack_jits: Dict[Any, Callable] = {}
 
     # -- properties (parity: launcher.py:82-160) -----------------------------
     @property
@@ -222,11 +223,14 @@ class Launcher:
     def local_state(self):
         """The train state staged on this process's devices (for
         :meth:`get_eval_step` ``local=True``).  Requires replicated state —
-        ZeRO-sharded state has no full local copy."""
+        ZeRO-sharded state has no full local copy.  Only the fields eval
+        reads (params / batch_stats / step) round-trip through the host;
+        the optimizer state — the largest piece under Adam — stays put."""
         if self._mesh is None or jax.process_count() == 1:
             return self.state
         self.get_eval_step(local=True)   # ensure self._local_mesh
         from ever_tpu.parallel.mesh import replicated as _repl
+        from ever_tpu.parallel.spmd import TrainState
         sh = _repl(self._local_mesh)
 
         def pull(a):
@@ -237,7 +241,11 @@ class Launcher:
                     'mesh instead')
             return jax.device_put(np.asarray(a.addressable_data(0)), sh)
 
-        return jax.tree.map(pull, self.state)
+        s = self.state
+        return TrainState(step=pull(s.step),
+                          params=jax.tree.map(pull, s.params),
+                          batch_stats=jax.tree.map(pull, s.batch_stats),
+                          opt_state=())
 
     # -- training loop (parity: launcher.py:248-367) -------------------------
     def train_iters(self, train_data_loader, test_data_loader=None, **kwargs):
@@ -269,8 +277,13 @@ class Launcher:
         it_cls = get_iterator(iterator_type)
         # the prefetched iterator must stage batches in the TRAINING sharding
         # — prefetching to the default device then re-putting per step defeats
-        # the prefetch (and round-trips through the host multi-process)
-        iterator = (it_cls(train_data_loader, sharding=batch_sh)
+        # the prefetch (and round-trips through the host multi-process).
+        # Each prefetched item is ONE batch, so it always stages with the
+        # per-batch (non-accum) sharding; grad-accum / steps-per-loop stacking
+        # happens on device afterwards (_stack_batches).
+        iterator = (it_cls(train_data_loader,
+                           sharding=(batch_sharding(self._mesh)
+                                     if self._mesh is not None else None))
                     if iterator_type == 'prefetched'
                     else it_cls(train_data_loader))
 
@@ -344,7 +357,8 @@ class Launcher:
             with jax.profiler.TraceAnnotation('load_data'):
                 data_list = iterator.next(forward_times, call_backs=self._callbacks,
                                           is_master=self._master)
-                batch = self._stack_microbatches(data_list, forward_times)
+                batch = self._stack_microbatches(data_list, forward_times,
+                                                 accum_sh=sharding)
                 # async H2D: dispatch is non-blocking, so while the device
                 # runs step N the host loop is already transferring N+1
                 batch = (host_to_global(batch, sharding) if sharding is not None
@@ -407,7 +421,7 @@ class Launcher:
                     data_list = iterator.next(1, call_backs=self._callbacks,
                                               is_master=self._master)
                     stage.append(data_list[0])
-                batch = jax.tree.map(lambda *xs: np.stack(xs), *stage)
+                batch = self._stack_batches(stage, accum_sh=sharding)
                 batch = (host_to_global(batch, sharding) if sharding is not None
                          else jax.device_put(batch))
             data_time = time.time() - t0
@@ -453,11 +467,32 @@ class Launcher:
         self._state = self._state.replace(params=params, batch_stats=batch_stats)
         self.info(f"loaded init weights from {weight['path']}")
 
-    @staticmethod
-    def _stack_microbatches(data_list, forward_times: int):
+    def _stack_microbatches(self, data_list, forward_times: int, accum_sh=None):
         if forward_times == 1:
             return data_list[0]
-        return jax.tree.map(lambda *xs: np.stack(xs), *data_list)
+        return self._stack_batches(data_list, accum_sh)
+
+    def _stack_batches(self, batches, accum_sh=None):
+        """Stack per-step/microbatch pytrees along a new leading axis.
+
+        Host (numpy) batches stack on host; device-staged (prefetched)
+        batches stack ON DEVICE in one tiny jitted program with the
+        accum-leading sharding — ``np.stack`` on them would silently fetch
+        every prefetched array back to host (and, multi-process, raise on
+        non-addressable shards)."""
+        leaves = jax.tree.leaves(batches[0])
+        if leaves and isinstance(leaves[0], jax.Array):
+            import jax.numpy as jnp
+            key = (len(batches), accum_sh)
+            fn = self._stack_jits.get(key)
+            if fn is None:
+                def stack(*xs):
+                    return jax.tree.map(lambda *a: jnp.stack(a), *xs)
+                fn = (jax.jit(stack, out_shardings=accum_sh)
+                      if accum_sh is not None else jax.jit(stack))
+                self._stack_jits[key] = fn
+            return fn(*batches)
+        return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
     def _log_step(self, pending, num_iters: int) -> None:
         step, metrics, data_time, time_cost = pending

@@ -40,14 +40,18 @@ def get_console_file_logger(name: str, logdir: str) -> logging.Logger:
     """Console + timestamped file logging (parity: ``logger.py:22-73``)."""
     logger = get_logger(name)
     if is_main_process() and logdir:
-        # one FileHandler per (logger, logdir): repeated construction (e.g.
-        # PixelMetric once per eval) must not duplicate every line into every
-        # previously opened log file or leak descriptors
+        # ONE FileHandler per logger: repeated construction (e.g. PixelMetric
+        # once per eval) must not duplicate every line into every previously
+        # opened log file or leak descriptors.  Same logdir -> reuse; a NEW
+        # logdir (second run in one process) replaces the old handler so
+        # lines land only in the active run's file.
         logdir = os.path.abspath(logdir)
-        for h in logger.handlers:
-            if isinstance(h, logging.FileHandler) and \
-                    os.path.dirname(h.baseFilename) == logdir:
-                return logger
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler):
+                if os.path.dirname(h.baseFilename) == logdir:
+                    return logger
+                logger.removeHandler(h)
+                h.close()
         os.makedirs(logdir, exist_ok=True)
         fname = time.strftime('%Y-%m-%d-%H-%M-%S', time.localtime()) + '.log'
         fh = logging.FileHandler(os.path.join(logdir, fname))

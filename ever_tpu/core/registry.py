@@ -11,6 +11,7 @@ have them registered on import.  Eight global registries mirror the reference:
 from __future__ import annotations
 
 import glob
+import hashlib
 import importlib.util
 import logging
 import os
@@ -90,22 +91,28 @@ class Registry(dict):
         return f'Registry(name={self._name!r}, items={sorted(self.keys())})'
 
 
+_REGISTERED_FILES: dict = {}
+
+
 def register_file(py_file: str) -> None:
     """Import a single ``.py`` file so its registration decorators run.
 
     Parity: ``ever/core/registry.py:88-104``.
     """
     py_file = os.path.abspath(py_file)
-    # key by the FULL path, not the basename: module/farseg.py and
-    # callback/farseg.py are different files whose registrations must both run
-    stem = os.path.splitext(py_file)[0]
-    mod_name = ('ever_tpu._user.'
-                + stem.strip(os.sep).replace(os.sep, '.').replace('-', '_'))
-    if mod_name in sys.modules:
+    # guard on the FULL path, not the basename: module/farseg.py and
+    # callback/farseg.py are different files whose registrations must both
+    # run.  A path hash (not the path mapped into dots) keys the module name
+    # so dots in directory names can't alias two distinct files either.
+    if py_file in _REGISTERED_FILES:
         return
+    base = os.path.splitext(os.path.basename(py_file))[0].replace('-', '_')
+    digest = hashlib.sha1(py_file.encode('utf-8')).hexdigest()[:10]
+    mod_name = f'ever_tpu._user.{base}_{digest}'
     spec = importlib.util.spec_from_file_location(mod_name, py_file)
     module = importlib.util.module_from_spec(spec)
     sys.modules[mod_name] = module
+    _REGISTERED_FILES[py_file] = mod_name
     spec.loader.exec_module(module)  # type: ignore[union-attr]
 
 

@@ -210,6 +210,10 @@ class RandomSampler(Sampler):
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
+        # auto-advance so each pass draws a fresh permutation (torch
+        # RandomSampler semantics: its generator state advances per epoch);
+        # an explicit set_epoch still overrides for deterministic resume
+        self.epoch += 1
         yield from rng.permutation(len(self.dataset)).tolist()
 
     def __len__(self):
@@ -249,6 +253,7 @@ class SubsetRandomSampler(Sampler):
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1   # fresh permutation per pass (see RandomSampler)
         yield from self.indices[rng.permutation(len(self.indices))].tolist()
 
     def __len__(self):

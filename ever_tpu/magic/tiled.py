@@ -97,14 +97,23 @@ def tiled_inference(predict_fn: Callable,
         if tta != 'd4':
             raise ValueError(f"tta must be None or 'd4', got {tta!r}")
         predict_fn = _d4_wrapped(predict_fn)
+    h0, w0, _ = image.shape
+    # scenes smaller than one tile: pad up to the tile size (the static
+    # gather slice is kernel_size², so the clamped boxes sliding_window
+    # emits for small scenes would read out of bounds), crop at the end
+    if h0 < kernel_size or w0 < kernel_size:
+        image = jnp.pad(image, ((0, max(0, kernel_size - h0)),
+                                (0, max(0, kernel_size - w0)), (0, 0)))
     h, w, _ = image.shape
     boxes = sliding_window((h, w), kernel_size, stride)
     if mesh is None:
-        return _tiled_inference_impl(predict_fn, image, tuple(boxes[:, 1]),
-                                     tuple(boxes[:, 0]), kernel_size,
-                                     num_classes, tile_batch)
-    return _tiled_inference_sharded(predict_fn, image, boxes, kernel_size,
-                                    num_classes, tile_batch, mesh, axis)
+        out = _tiled_inference_impl(predict_fn, image, tuple(boxes[:, 1]),
+                                    tuple(boxes[:, 0]), kernel_size,
+                                    num_classes, tile_batch)
+    else:
+        out = _tiled_inference_sharded(predict_fn, image, boxes, kernel_size,
+                                       num_classes, tile_batch, mesh, axis)
+    return out[:h0, :w0] if (h, w) != (h0, w0) else out
 
 
 @partial(jax.jit, static_argnames=('predict_fn', 'ys', 'xs', 'k',
@@ -157,7 +166,6 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     import math as _math
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax import shard_map
 
     n_dev = mesh.shape[axis]
     n_tiles = len(boxes)
@@ -173,6 +181,21 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     xs = xs.reshape(n_dev * batches_per_dev, tile_batch)
     ws = ws.reshape(n_dev * batches_per_dev, tile_batch)
     h, w, c = image.shape
+
+    # memoize the compiled program per (geometry, mesh): jit keys its cache
+    # on the callable's identity, so rebuilding the shard_map closure each
+    # call would re-trace every scene — seconds of lowering against a ~1 s
+    # compute budget in a deployment loop.  The cache lives on predict_fn
+    # (like _d4_wrapped) so dropping the closure frees its params.
+    cache_key = (mesh, axis, k, num_classes, tile_batch, h, w, c)
+    cache = getattr(predict_fn, '_ever_sharded_cache', None)
+    fn = cache.get(cache_key) if cache is not None else None
+    if fn is not None:
+        image = jax.device_put(image, NamedSharding(mesh, P()))
+        ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
+        xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
+        ws = jax.device_put(jnp.asarray(ws), NamedSharding(mesh, P(axis)))
+        return fn(image, ys, xs, ws)
 
     def local(img, ys_l, xs_l, ws_l):
         acc = jnp.zeros((h, w, num_classes), jnp.float32)
@@ -210,10 +233,19 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
         cnt = jax.lax.psum(cnt, axis)
         return acc / jnp.maximum(cnt, 1.0)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(axis), P(axis), P(axis)), out_specs=P())
+    from jax import shard_map
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(axis), P(axis), P(axis)),
+                           out_specs=P()))
+    try:
+        if cache is None:
+            cache = {}
+            predict_fn._ever_sharded_cache = cache
+        cache[cache_key] = fn
+    except AttributeError:
+        pass  # non-function callable without __dict__: no memoization
     image = jax.device_put(image, NamedSharding(mesh, P()))
     ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
     xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
     ws = jax.device_put(jnp.asarray(ws), NamedSharding(mesh, P(axis)))
-    return jax.jit(fn)(image, ys, xs, ws)
+    return fn(image, ys, xs, ws)

@@ -40,6 +40,7 @@ class MoEMlp(nn.Module):
     hidden: int
     k: int = 2
     capacity_factor: float = 1.25
+    aux_loss_weight: float = 0.01
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -58,6 +59,18 @@ class MoEMlp(nn.Module):
         gate_vals, gate_idx = jax.lax.top_k(probs, self.k)          # [T, k]
         gate_vals = gate_vals / jnp.maximum(
             jnp.sum(gate_vals, -1, keepdims=True), 1e-9)
+
+        # Switch-style load-balancing auxiliary loss: E * Σ_e f_e·P_e, where
+        # f_e is the fraction of tokens whose TOP choice is expert e and P_e
+        # the mean router probability.  Without it the router has no
+        # incentive to balance and hot experts drop over-capacity tokens.
+        # Sown into the 'losses' collection — collect with
+        # ``model.apply(..., mutable=['losses'])`` and add to the loss dict
+        # (keys ending in 'loss' are summed by the ERModule contract).
+        f_e = jnp.mean(jax.nn.one_hot(gate_idx[:, 0], e, dtype=jnp.float32), 0)
+        p_e = jnp.mean(probs, axis=0)
+        self.sow('losses', 'moe_aux_loss',
+                 self.aux_loss_weight * e * jnp.sum(f_e * p_e))
 
         # position of each (token, choice) in its expert's buffer; tokens
         # beyond capacity get mask 0 (dropped — residual carries them)
@@ -97,11 +110,15 @@ class MoEMlp(nn.Module):
 def moe_expert_shardings(params: Any, mesh: Mesh, axis: str = 'expert') -> Any:
     """NamedShardings placing every ``experts_*`` leaf's leading expert dim
     on the ``expert`` mesh axis (router + everything else replicated)."""
+    k = mesh.shape[axis]
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for path, leaf in flat:
         keys = '/'.join(getattr(p, 'key', str(p)) for p in path)
-        if 'experts_' in keys:
+        # replicate indivisible leaves instead of emitting a sharding the
+        # device_put would reject with a raw error (same fallback as
+        # tp.vit_tp_shardings)
+        if 'experts_' in keys and jnp.ndim(leaf) and leaf.shape[0] % k == 0:
             out.append(NamedSharding(mesh, P(axis)))
         else:
             out.append(NamedSharding(mesh, P()))

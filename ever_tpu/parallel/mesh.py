@@ -95,13 +95,22 @@ def host_to_global(batch: Any, sharding: NamedSharding) -> Any:
     (``total_batch_size // process_count`` rows, parity with
     ``ever/interface/dataloader.py:61-67``).
     """
-    n_shards = sharding.mesh.shape.get(sharding.spec[0]) if sharding.spec else None
+    # find the first sharded dim (accum-leading specs are P(None, 'data'):
+    # dim 0 is the microbatch index, dim 1 the batch)
+    shard_dim, n_shards = None, None
+    for d, names in enumerate(sharding.spec):
+        if names is not None:
+            names = names if isinstance(names, tuple) else (names,)
+            shard_dim = d
+            n_shards = int(np.prod([sharding.mesh.shape[a] for a in names]))
+            break
     if n_shards:
         for x in jax.tree.leaves(batch):
-            dim0 = np.shape(x)[0] if np.ndim(x) else None
-            if dim0 is not None and dim0 * jax.process_count() % n_shards:
+            dim = (np.shape(x)[shard_dim]
+                   if np.ndim(x) > shard_dim else None)
+            if dim is not None and dim * jax.process_count() % n_shards:
                 raise ValueError(
-                    f'global batch {dim0 * jax.process_count()} is not '
+                    f'global batch {dim * jax.process_count()} is not '
                     f'divisible by the {n_shards}-way batch sharding '
                     f'({sharding.spec}); raise total_batch_size to a '
                     f'multiple of the device count (reference semantics: '

@@ -120,8 +120,10 @@ def pipelined_vit_apply(model, variables, mesh: Mesh, *,
     blk = SelfAttentionBlock(
         dim, heads, ffn_ratio, qkv_bias=model.qkv_bias,
         layerscale_init=model.layerscale_init,
+        drop_path_rate=model.drop_path_rate,
         ffn_layer=model.ffn_layer or ffn_layer, norm=model.norm,
-        norm_eps=model.norm_eps, dtype=model.dtype)
+        norm_eps=model.norm_eps, attn_impl=model.attn_impl,
+        dtype=model.dtype)
 
     def embed(x):
         return model.apply({'params': other}, x, method=model._tokens)

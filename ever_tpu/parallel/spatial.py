@@ -102,13 +102,19 @@ def spatial_partition_apply(fn: Callable, x: jnp.ndarray, mesh: Mesh,
     k = mesh.shape[axis]
     n, h, w, c = x.shape
     if h % k != 0:
-        raise ValueError(f'H={h} must divide the {axis!r} axis size {k}')
+        raise ValueError(f'the {axis!r} axis size {k} must divide H={h}; '
+                         f'pad the tile height to a multiple of {k}')
     if boundary not in ('exact', 'zeros'):
         raise ValueError(f"boundary must be 'exact' or 'zeros', got {boundary!r}")
+    if halo < 0:
+        raise ValueError(f'halo must be >= 0, got {halo}')
     if boundary == 'exact' and 2 * halo > h // k:
         raise ValueError(f"boundary='exact' needs 2*halo <= H/k "
                          f'({2 * halo} > {h // k}); lower halo or use '
                          f"boundary='zeros'")
+    if boundary == 'zeros' and halo > h // k:
+        raise ValueError(f"halo={halo} exceeds the per-device strip height "
+                         f'H/k = {h // k}; lower halo or use fewer devices')
 
     def local_zeros(x_local):
         if halo == 0:
@@ -118,6 +124,8 @@ def spatial_partition_apply(fn: Callable, x: jnp.ndarray, mesh: Mesh,
         return y[:, halo:y.shape[1] - halo]
 
     def local_exact(x_local):
+        if halo == 0:
+            return fn(x_local)
         padded, crop_start = halo_exchange_exact(x_local, halo, axis)
         y = fn(padded)
         return jax.lax.dynamic_slice_in_dim(y, crop_start, h // k, axis=1)

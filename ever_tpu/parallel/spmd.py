@@ -70,19 +70,24 @@ def create_train_state(model, tx, sample_batch, rng=None,
 
 def _forward_loss(model, params, batch_stats, batch, rng):
     variables = {'params': params}
+    # 'losses' collects layer-sown auxiliary losses (e.g. MoEMlp's
+    # load-balancing loss) that a bare return-tensor layer cannot put into
+    # the model's loss dict itself
+    mutable = ['losses']
     if batch_stats:
         variables['batch_stats'] = batch_stats
-        loss_dict, mut = model.apply(variables, *_model_args(batch), train=True,
-                                     mutable=['batch_stats'],
-                                     rngs={'dropout': rng})
-        new_bs = mut.get('batch_stats', batch_stats)
-    else:
-        loss_dict = model.apply(variables, *_model_args(batch), train=True,
-                                rngs={'dropout': rng})
-        new_bs = batch_stats
+        mutable = ['batch_stats', 'losses']
+    loss_dict, mut = model.apply(variables, *_model_args(batch), train=True,
+                                 mutable=mutable, rngs={'dropout': rng})
+    new_bs = mut.get('batch_stats', batch_stats)
     if not isinstance(loss_dict, dict):
         raise TypeError('training forward must return a dict of losses/metrics '
                         '(keys ending in "loss" are summed)')
+    sown = mut.get('losses', None)
+    if sown:
+        loss_dict = dict(loss_dict)
+        loss_dict['sown_aux_loss'] = sum(
+            jnp.sum(v) for v in jax.tree.leaves(sown))
     total = sum_losses(loss_dict)
     metrics = {k: jnp.asarray(v, jnp.float32) for k, v in loss_dict.items()}
     metrics['total_loss'] = total

@@ -82,3 +82,61 @@ def test_moe_expert_parallel_matches_single_device():
 def NamedSharding_rep(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
     return NamedSharding(mesh, P())
+
+
+def test_moe_aux_loss_sown():
+    """MoEMlp emits the Switch load-balancing loss via the 'losses'
+    collection so trainers can add it to the summed loss dict."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.parallel.ep import MoEMlp
+    m = MoEMlp(num_experts=4, hidden=16)
+    x = jnp.ones((2, 8, 8), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    y, aux = m.apply(variables, x, mutable=['losses'])
+    val = jax.tree.leaves(aux['losses'])[0]
+    assert np.isfinite(float(val)) and float(val) > 0.0
+
+
+def test_moe_expert_shardings_indivisible_replicates():
+    """experts_* leaves whose expert dim is not divisible by the mesh axis
+    replicate instead of producing a raw device_put failure."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.parallel.ep import MoEMlp, moe_expert_shardings
+    from ever_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(('expert',))           # 8-way
+    m = MoEMlp(num_experts=6, hidden=16)    # 6 % 8 != 0
+    variables = m.init(jax.random.key(0), jnp.ones((2, 8, 8), jnp.float32))
+    sh = moe_expert_shardings(variables['params'], mesh)
+    placed = jax.device_put(variables['params'], sh)   # must not raise
+    assert jax.tree.leaves(placed)[0] is not None
+
+
+def test_sown_aux_loss_flows_into_train_step():
+    """A layer-sown loss (MoE balance) must join the summed training loss via
+    the 'losses' collection — the layer returns a bare tensor and cannot put
+    it into the model's loss dict itself."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    import optax
+    from ever_tpu.parallel.ep import MoEMlp
+    from ever_tpu.parallel.spmd import build_train_step, create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            h = MoEMlp(num_experts=4, hidden=8)(x)
+            if train:
+                return dict(mse_loss=jnp.mean((h - 0.1) ** 2))
+            return h
+
+    model = Tiny()
+    tx = optax.sgd(0.01)
+    x = jnp.ones((2, 8, 8), jnp.float32)
+    state = create_train_state(model, tx, (x,))
+    step = build_train_step(model, tx, None, forward_times=1)
+    state2, metrics = step(state, (x,))
+    assert 'sown_aux_loss' in metrics
+    assert float(metrics['total_loss']) > float(metrics['mse_loss'])

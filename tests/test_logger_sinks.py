@@ -137,3 +137,17 @@ def test_console_file_logger_no_duplicate_handlers(tmp_path):
     assert lg1 is lg2
     fhs = [h for h in lg1.handlers if isinstance(h, logging.FileHandler)]
     assert len(fhs) == 1
+
+
+def test_console_file_logger_new_logdir_replaces_handler(tmp_path):
+    import os
+    """A second run in one process (different logdir) must move file logging
+    to the new dir, not duplicate lines into both files forever."""
+    import logging
+    from ever_tpu.core.logger import get_console_file_logger
+    d1, d2 = tmp_path / 'run_a', tmp_path / 'run_b'
+    lg = get_console_file_logger('_t_relog', str(d1))
+    lg = get_console_file_logger('_t_relog', str(d2))
+    fhs = [h for h in lg.handlers if isinstance(h, logging.FileHandler)]
+    assert len(fhs) == 1
+    assert os.path.dirname(fhs[0].baseFilename) == str(d2)

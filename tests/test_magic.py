@@ -206,3 +206,36 @@ def test_d4_wrapper_memoized_without_global_cache():
     import jax.numpy as jnp
     out = w1(jnp.ones((2, 8, 8, 3)))
     assert out.shape == (2, 8, 8, 3)
+
+
+def test_tiled_inference_scene_smaller_than_tile():
+    """Scenes smaller than one tile pad internally and crop back (the static
+    gather slice used to read out of bounds and abort the deployment)."""
+    import jax.numpy as jnp
+    from ever_tpu.magic.tiled import tiled_inference
+    scene = jnp.ones((40, 72, 3), jnp.float32)
+
+    def predict(tiles):
+        return jnp.repeat(jnp.mean(tiles, axis=-1, keepdims=True), 2, -1)
+
+    out = tiled_inference(predict, scene, 64, 64, 2)
+    assert out.shape == (40, 72, 2)
+
+
+def test_tiled_inference_sharded_memoizes_compiled_fn():
+    """Repeated mesh-sharded calls with the same predict_fn/geometry must
+    reuse one compiled program (jit keys on callable identity; a fresh
+    shard_map per call re-traced every scene)."""
+    import jax.numpy as jnp
+    from ever_tpu.magic.tiled import tiled_inference
+    from ever_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(('data',))
+
+    def predict(tiles):
+        return jnp.repeat(jnp.mean(tiles, -1, keepdims=True), 3, -1)
+
+    scene = jnp.ones((96, 96, 3), jnp.float32)
+    a = tiled_inference(predict, scene, 32, 32, 3, mesh=mesh)
+    b = tiled_inference(predict, scene, 32, 32, 3, mesh=mesh)
+    assert len(predict._ever_sharded_cache) == 1
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

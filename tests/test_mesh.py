@@ -37,3 +37,18 @@ def test_host_to_global_indivisible_batch_clear_error():
         host_to_global({'x': np.ones((4, 8, 8, 3), np.float32)}, sh)
     out = host_to_global({'x': np.ones((8, 4, 4, 3), np.float32)}, sh)
     assert out['x'].shape == (8, 4, 4, 3)
+
+
+def test_host_to_global_accum_leading_divisibility_guard():
+    """The indivisible-batch guard must fire for accum-leading specs too
+    (P(None,'data') shards dim 1, which the old dim-0-only check skipped)."""
+    import pytest
+    import jax.numpy as jnp
+    from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh
+    mesh = make_mesh(('data',))
+    sh = batch_sharding(mesh, accum_leading=True)
+    bad = np.zeros((2, 6, 4, 4, 3), np.float32)   # dim1=6 not divisible by 8
+    with pytest.raises(ValueError, match='divisible'):
+        host_to_global(bad, sh)
+    ok = host_to_global(np.zeros((2, 8, 4, 4, 3), np.float32), sh)
+    assert ok.shape == (2, 8, 4, 4, 3)

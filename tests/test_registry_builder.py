@@ -110,3 +110,20 @@ def test_register_dir_same_basename_different_dirs(tmp_path):
     registry.register_dir(str(d2))
     assert '_t_samebase_model' in registry.MODEL
     assert '_t_samebase_cb' in registry.CALLBACK
+
+
+def test_register_file_dotted_dirnames_do_not_alias(tmp_path):
+    """Dots in directory names must not alias two distinct files into one
+    module key (a/b.c/x.py vs a/b/c/x.py)."""
+    from ever_tpu.core import registry
+    d1 = tmp_path / 'a' / 'b.c'; d1.mkdir(parents=True)
+    d2 = tmp_path / 'a' / 'b' / 'c'; d2.mkdir(parents=True)
+    (d1 / 'x.py').write_text(
+        'from ever_tpu.core import registry\n'
+        "registry.MODEL.register('_t_dot1')(object)\n")
+    (d2 / 'x.py').write_text(
+        'from ever_tpu.core import registry\n'
+        "registry.MODEL.register('_t_dot2')(object)\n")
+    registry.register_file(str(d1 / 'x.py'))
+    registry.register_file(str(d2 / 'x.py'))
+    assert '_t_dot1' in registry.MODEL and '_t_dot2' in registry.MODEL

@@ -160,3 +160,53 @@ def test_dataloader_shuffle_kwarg():
     assert isinstance(DataLoader(ds).sampler, SequentialSampler)
     with pytest.raises(ValueError):
         DataLoader(ds, sampler=SequentialSampler(ds), shuffle=True)
+
+
+def test_random_sampler_fresh_permutation_per_pass():
+    """RandomSampler/SubsetRandomSampler must not repeat the identical
+    permutation every epoch (torch parity: generator state advances);
+    explicit set_epoch still pins it for deterministic resume."""
+    from ever_tpu.data.distributed import RandomSampler, SubsetRandomSampler
+    ds = list(range(32))
+    s = RandomSampler(ds)
+    p1, p2 = list(s), list(s)
+    assert sorted(p1) == sorted(p2) == list(range(32))
+    assert p1 != p2
+    s.set_epoch(0)
+    assert list(s) == p1   # resume determinism
+    ss = SubsetRandomSampler(list(range(16)))
+    q1, q2 = list(ss), list(ss)
+    assert sorted(q1) == sorted(q2) and q1 != q2
+
+
+def test_dataset_epoch_advances_with_first_drawn_batch():
+    """set_epoch must fire when the NEW epoch's first batch is drawn, not one
+    step early (the last batch of epoch e must be fetched under epoch e)."""
+    from ever_tpu.core.iterator import Iterator
+    from ever_tpu.data.loader import DataLoader
+
+    fetched_under = []
+
+    class _DS:
+        epoch = 0
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            fetched_under.append((i, self.epoch))
+            return np.zeros(2, np.float32)
+
+    ds = _DS()
+    it = Iterator(DataLoader(ds, batch_size=2))
+    for _ in range(7):   # 3 batches/epoch -> 2 full epochs + 1 batch
+        it.next(1, call_backs=None)
+    for idx, ep_seen in fetched_under[:6]:
+        assert ep_seen == 0, fetched_under
+    for idx, ep_seen in fetched_under[6:12]:
+        assert ep_seen == 1, fetched_under
+    for idx, ep_seen in fetched_under[12:14]:
+        assert ep_seen == 2, fetched_under

@@ -98,3 +98,24 @@ def test_spatial_partition_zeros_halo0_pointwise():
     got = np.asarray(spatial_partition_apply(lambda t: t * 2.0, x, mesh,
                                              halo=0, boundary='zeros'))
     np.testing.assert_allclose(got, np.asarray(x) * 2.0)
+
+
+def test_spatial_partition_exact_halo0_pointwise():
+    """halo=0 under the default boundary='exact' must run fn unpadded (the
+    exact halo exchange used to slice x[:, -0:] and crash on shape mismatch)."""
+    mesh = make_mesh(('data',))
+    x = jnp.arange(8 * 16 * 4 * 3, dtype=jnp.float32).reshape(1, 8 * 16, 4, 3)
+    got = np.asarray(spatial_partition_apply(lambda t: t * 2.0, x, mesh,
+                                             halo=0, boundary='exact'))
+    np.testing.assert_allclose(got, np.asarray(x) * 2.0)
+
+
+def test_spatial_partition_oversized_halo_actionable_error():
+    """halo > H/k must raise an actionable ValueError, not an internal XLA
+    sharding assertion."""
+    import pytest
+    mesh = make_mesh(('data',))
+    x = jnp.ones((1, 64, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match='halo'):
+        spatial_partition_apply(lambda t: t, x, mesh, halo=16,
+                                boundary='zeros')

@@ -736,3 +736,36 @@ def test_train_iters_twice_no_duplicate_callbacks(tmp_path):
              if isinstance(cb, SaveCheckpointCallback)]
     assert len(saves) == 1
     assert tl.global_step == 4
+
+
+@pytest.mark.slow
+def test_prefetched_grad_accum_and_k_loop_match_normal(tmp_path):
+    """iterator_type='prefetched' with forward_times>1 / steps_per_loop>1 on
+    the mesh: each microbatch stages with the per-batch sharding and stacking
+    happens ON DEVICE (the accum-leading prefetch sharding used to shard H,
+    and np.stack on device arrays silently fetched every prefetched batch
+    back to host).  Trajectories must equal the normal iterator's."""
+    import jax
+    from ever_tpu.trainer.trainer import SPMDTrainer
+
+    def params_of(run_dir, opts):
+        cfg_path = _demo_config(tmp_path, num_iters=3, forward_times=2)
+        r = SPMDTrainer(_args(cfg_path, tmp_path / run_dir, opts=opts)).run()
+        return jax.device_get(r['launcher'].state.params)
+
+    p_norm = params_of('r_ft_norm', [])
+    p_pref = params_of('r_ft_pref', ['train.iterator_type', 'prefetched'])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                         atol=1e-6),
+                 p_norm, p_pref)
+
+    def params_k(run_dir, opts):
+        cfg_path = _demo_config(tmp_path, num_iters=4, steps_per_loop=2)
+        r = SPMDTrainer(_args(cfg_path, tmp_path / run_dir, opts=opts)).run()
+        return jax.device_get(r['launcher'].state.params)
+
+    k_norm = params_k('r_k_norm', [])
+    k_pref = params_k('r_k_pref', ['train.iterator_type', 'prefetched'])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                         atol=1e-6),
+                 k_norm, k_pref)
