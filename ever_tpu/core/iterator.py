@@ -42,6 +42,7 @@ class Iterator:
         self._data_loader = data_loader
         self._iterator = iter(self._data_loader)
         self._step = 0
+        self._start_step = 0
         self._look_up = {}
         self._ds_epoch = None
 
@@ -69,7 +70,7 @@ class Iterator:
         # not `ep`, which flips one step early at epoch boundaries.
         ds = getattr(self._data_loader, 'dataset', None)
         if hasattr(ds, 'set_epoch'):
-            ds_ep = ((self._step - 1) * forward_times
+            ds_ep = ((self._start_step + self._step - 1) * forward_times
                      ) // max(len(self._data_loader), 1)
             if ds_ep != self._ds_epoch:
                 ds.set_epoch(ds_ep)
@@ -81,6 +82,14 @@ class Iterator:
 
     def reset(self) -> None:
         self._iterator = iter(self._data_loader)
+
+    def set_start_step(self, global_step: int) -> None:
+        """Offset the dataset-epoch computation by the resumed checkpoint's
+        global step, so ``ds.set_epoch`` continues from the epoch an unbroken
+        run would be at (a fresh Iterator's local ``_step`` restarts at 0 on
+        resume and on staged ``train_iters`` calls; samplers get the same
+        treatment via per-step ``set_seed_for_dist_sampler``)."""
+        self._start_step = int(global_step)
 
     def set_seed_for_dist_sampler(self, seed: int) -> None:
         """Reseed the sampler with the current step (duck-typed ``set_step``/

@@ -234,7 +234,10 @@ class Launcher:
         sh = _repl(self._local_mesh)
 
         def pull(a):
-            if hasattr(a, 'is_fully_replicated') and not a.is_fully_replicated:
+            if not isinstance(a, jax.Array):
+                # host leaf (e.g. numpy params straight from a weight file)
+                return jax.device_put(np.asarray(a), sh)
+            if not a.is_fully_replicated:
                 raise ValueError(
                     'local_state() needs a replicated train state; this '
                     'state is sharded (ZeRO?) — evaluate with the global '
@@ -286,6 +289,9 @@ class Launcher:
                                      if self._mesh is not None else None))
                     if iterator_type == 'prefetched'
                     else it_cls(train_data_loader))
+        # resumed (or staged) training: dataset-epoch RNGs continue from the
+        # checkpoint step instead of replaying epoch 0
+        iterator.set_start_step(self._ckpt.global_step)
 
         # drop auto-registered callbacks from a PREVIOUS train_iters call
         # (staged training / retry would otherwise save+evaluate twice per
@@ -532,8 +538,17 @@ class Launcher:
                     from ever_tpu.data.loader import default_collate as collate
                 self.init_state(collate([item]))
                 return
-        # loaders without an indexable dataset: fall back to consuming one
-        self.init_state(next(iter(train_data_loader)))
+        # loaders without an indexable dataset: fall back to consuming one.
+        # Starting the sampler's __iter__ may advance per-pass RNG state
+        # (RandomSampler auto-advances its epoch) — snapshot and restore so
+        # the probe can't shift training's first permutation vs no-resume.
+        sampler = getattr(train_data_loader, 'sampler', None)
+        epoch_before = getattr(sampler, 'epoch', None)
+        try:
+            self.init_state(next(iter(train_data_loader)))
+        finally:
+            if epoch_before is not None:
+                sampler.epoch = epoch_before
 
     def init(self) -> bool:
         """Resume from the last checkpoint if one exists."""

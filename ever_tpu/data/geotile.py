@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import threading
 from collections import OrderedDict
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -50,14 +51,12 @@ class _SceneCache:
     being decoded by one thread must not be decoded again by another)."""
 
     def __init__(self, max_items: int = 4):
-        import threading
         self.max_items = max_items
         self._cache: 'OrderedDict[str, np.ndarray]' = OrderedDict()
         self._lock = threading.Lock()
         self._pending: dict = {}   # path -> Event for in-flight decodes
 
     def get(self, path: str) -> np.ndarray:
-        import threading
         while True:
             with self._lock:
                 if path in self._cache:

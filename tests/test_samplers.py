@@ -210,3 +210,59 @@ def test_dataset_epoch_advances_with_first_drawn_batch():
         assert ep_seen == 1, fetched_under
     for idx, ep_seen in fetched_under[12:14]:
         assert ep_seen == 2, fetched_under
+
+
+def test_iterator_dataset_epoch_resumes_from_global_step():
+    """On resume a fresh Iterator must continue the dataset epoch from the
+    checkpoint step, not replay epoch 0 (launcher calls set_start_step)."""
+    from ever_tpu.core.iterator import Iterator
+    from ever_tpu.data.loader import DataLoader
+
+    class _DS(list):
+        epochs = []
+
+        def set_epoch(self, e):
+            self.epochs.append(e)
+
+    ds = _DS(range(4))          # 2 batches/epoch
+    it = Iterator(DataLoader(ds, batch_size=2))
+    it.set_start_step(4)        # resumed at step 4 -> epoch 2
+    it.next(1, call_backs=None)
+    assert ds.epochs[0] == 2
+
+
+def test_bootstrap_probe_does_not_shift_shuffle(tmp_path):
+    """The non-indexable bootstrap fallback must not advance the sampler's
+    per-pass RNG (RandomSampler auto-advances in __iter__): resume and
+    no-resume runs must see the same first-epoch permutation."""
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.core import builder
+    from ever_tpu.data.distributed import RandomSampler
+
+    class FakeLoader:
+        """Sampler-driven loader with no indexable dataset (custom loaders
+        over streaming datasets hit the consume-one bootstrap fallback)."""
+        dataset = None
+        collate_fn = None
+
+        def __init__(self, sampler):
+            self.sampler = sampler
+
+        def __iter__(self):
+            for _ in self.sampler:   # consumes the sampler's pass
+                yield (np.zeros((2, 32, 32, 3), np.float32),
+                       np.zeros((2, 32, 32), np.int32))
+
+        def __len__(self):
+            return 4
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'), classes=7)})
+    schedule = builder.make_learningrate(
+        {'type': 'constant', 'params': dict(base_lr=0.01)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': {}})
+    sampler = RandomSampler(list(range(8)))
+    tl = Launcher(str(tmp_path / 'run'), model, factory.build(schedule),
+                  schedule)
+    tl._bootstrap_state(FakeLoader(sampler))
+    assert sampler.epoch == 0   # probe consumed a pass; epoch restored
