@@ -85,11 +85,16 @@ class ERModule(nn.Module):
 
     # -- hooks ---------------------------------------------------------------
     def custom_param_groups(self, params) -> Optional[Dict]:
-        """Optional per-parameter optimizer-group labels.
+        """Optional per-parameter optimizer groups.
 
-        Return a pytree of str labels matching ``params``' structure (for
-        ``optax.multi_transform``), or ``None`` for a single group.
-        Parity: ``ever/interface/module.py:73-74``.
+        Return ``(labels, lr_mults)`` — ``labels`` a pytree of str group
+        labels matching ``params``' structure (a prefix pytree also works,
+        ``optax.multi_transform`` semantics) and ``lr_mults`` a
+        ``{label: lr_multiplier}`` dict — or ``None`` for a single group.
+        ``params`` is ``None`` when called at optimizer-build time (before
+        init); prefix pytrees keyed by top-level module names handle that.
+        Parity: ``ever/interface/module.py:73-74``; consumer:
+        ``opt/optimizer.py`` ``OptimizerFactory.build(param_groups=...)``.
         """
         return None
 

@@ -63,6 +63,14 @@ class Transpose(Transform):
 
 
 class Scale(Transform):
+    """Bilinear rescale whose inverse restores the LAST transformed shape.
+
+    Stateful by reference design (``ever/magic/transform/segm.py:71-88``
+    stores ``input_shape`` on the instance the same way): do not share one
+    instance across interleaved transform/inv_transform sequences or
+    threads — construct one per pipeline.
+    """
+
     def __init__(self, size: Optional[Tuple[int, int]] = None,
                  scale_factor: Optional[float] = None):
         self.size = size

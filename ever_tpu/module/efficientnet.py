@@ -85,6 +85,7 @@ class MBConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     se_ratio: float = 0.25
+    drop_connect_rate: float = 0.0
     bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
@@ -118,6 +119,14 @@ class MBConv(nn.Module):
         h = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
                  eps=BN_EPS, name='project_bn')(h, train)
         if self.stride == 1 and cin == self.features:
+            # drop-connect (stochastic depth): drop the whole residual
+            # branch per sample with 1/(1-p) rescale, training only
+            # (parity: the package's drop_connect, applied per block with a
+            # linearly scaled rate — ever/module/efficientnet.py:24-27)
+            if self.drop_connect_rate:
+                h = nn.Dropout(self.drop_connect_rate,
+                               broadcast_dims=(1, 2, 3))(
+                    h, deterministic=not train)
             h = h + identity
         return h
 
@@ -129,6 +138,7 @@ class EfficientNet(nn.Module):
 
     model_name: str = 'efficientnet-b0'
     output_stride: int = 32
+    drop_connect_rate: float = 0.2   # package default; linearly scaled/block
     bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
@@ -145,6 +155,9 @@ class EfficientNet(nn.Module):
         feats = []
         current_stride = 2
         dilation = 1
+        total_blocks = sum(_round_repeats(layers, dm)
+                           for (_, _, layers, _, _) in _B0_STAGES)
+        block_idx = 0
         for si, (expand, c, layers, stride, kernel) in enumerate(_B0_STAGES):
             features = _round_filters(c, wm)
             repeats = _round_repeats(layers, dm)
@@ -163,9 +176,12 @@ class EfficientNet(nn.Module):
                 x = MBConv(features, expand, kernel,
                            stride=stride if li == 0 else 1,
                            dilation=first_dil if li == 0 else dilation,
+                           drop_connect_rate=(self.drop_connect_rate
+                                              * block_idx / total_blocks),
                            bn_frozen=self.bn_frozen,
                            dtype=self.dtype,
                            name=f'stage{si}_block{li}')(x, train)
+                block_idx += 1
         feats.append(x)
         return feats
 

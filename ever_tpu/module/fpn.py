@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ever_tpu.core import registry
-from ever_tpu.module.ops import ConvBlock, SeparableConvBlock, max_pool, resize
+from ever_tpu.module.ops import (ConvBlock, Norm, SeparableConvBlock,
+                                 max_pool, resize)
 
 __all__ = ['FPN', 'LastLevelMaxPool', 'LastLevelP6P7', 'AssymetricDecoder',
            'Fusion', 'BiFPN']
@@ -237,7 +238,12 @@ class BiFPN(nn.Module):
                                  dtype=self.dtype,
                                  name=f'down{idx}')(x_bottom, train)
             else:
+                # reference applies BN+ReLU after the pool too
+                # (ever/module/fpn.py:270-275)
                 down = max_pool(x_bottom, 3, 2, padding=((1, 1), (1, 1)))
+                down = Norm('bn', dtype=self.dtype,
+                            name=f'down{idx}_bn')(down, train)
+                down = nn.relu(down)
             fused = _FusedConv3x3(3, self.in_channels, self.normalized_fusion,
                                   dtype=self.dtype,
                                   name=f'tri_fusion{idx}')(

@@ -67,9 +67,12 @@ def _resize_align_corners(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
 
     def interp_matrix(in_size, out_size):
-        if out_size == 1 or in_size == 1:
-            return jnp.ones((out_size, in_size), jnp.float32) / in_size if in_size > 1 \
-                else jnp.ones((out_size, in_size), jnp.float32)
+        if in_size == 1:
+            return jnp.ones((out_size, in_size), jnp.float32)
+        if out_size == 1:
+            # torch align_corners: scale = (in-1)*0/(out-1 -> 0) = index 0,
+            # NOT an average of all input pixels
+            return jnp.zeros((1, in_size), jnp.float32).at[0, 0].set(1.0)
         pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
         lo = jnp.floor(pos).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, in_size - 1)
@@ -265,7 +268,10 @@ def _max_pool_32_p_fwd(x):
 def _max_pool_32_p_bwd(res, g):
     from ever_tpu.ops.pool import max_pool_32_pallas
     x, out = res
-    interpret = jax.devices()[0].platform != 'tpu'
+    dev = jax.devices()[0]
+    # tunneled TPU plugins report platform 'axon' (CLAUDE.md gotcha; same
+    # check as ops/attention.py)
+    interpret = not (dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower())
     return (max_pool_32_pallas(x, out, g, interpret=interpret),)
 
 

@@ -566,7 +566,12 @@ class ResNet(nn.Module):
             # stem='s2d' uses the exact space-to-depth fold of the 7x7/2 conv
             # (same param path/shape, same outputs) — it lifts the stem conv
             # off the MXU's C_in=3 starvation (1.38 -> 0.43 ms measured).
-            if (self.stem.startswith('s2d')
+            # The even-H/W guard only applies to ON-DEVICE fold modes: in
+            # 's2d_input' mode x is ALREADY folded by the loader (its dims
+            # halved, possibly odd) and a fallback 7x7/2 conv over the
+            # folded layout would be geometrically wrong
+            if self.stem == 's2d_input' or (
+                    self.stem.startswith('s2d')
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
                 x = S2DStemConv(64, dtype=self.dtype, mode=self.stem,
                                 name='conv1')(x)
@@ -651,7 +656,7 @@ class ResNetEncoder(ERModule):
     @property
     def out_channels(self) -> Sequence[int]:
         block, _, _, _, _ = RESNET_SPECS[self.config.resnet_type]
-        base = (64, 128, 256, 512) if not self.config.include_conv5 else (64, 128, 256, 512)
+        base = (64, 128, 256, 512)
         n = 4 if self.config.include_conv5 else 3
         return [f * block.expansion for f in base[:n]]
 

@@ -39,9 +39,15 @@ class SEBlock(nn.Module):
 
 @registry.OP.register()
 class SCSEModule(nn.Module):
-    """Concurrent spatial & channel SE (max of the two gated paths)."""
+    """Concurrent spatial & channel SE.
+
+    ``mode``: ``'concat'`` (reference default — output has 2C channels,
+    ``ever/module/se_block.py:29-61``), ``'maxout'`` (elementwise max of the
+    two gated paths), or ``'add'``.
+    """
 
     inv_ratio: int = 16
+    mode: str = 'concat'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -54,8 +60,13 @@ class SCSEModule(nn.Module):
         s = nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype)(s))
         cse = x * s
         # spatial SE
-        q = nn.sigmoid(nn.Conv(1, (1, 1), dtype=self.dtype)(x))
+        q = nn.sigmoid(nn.Conv(1, (1, 1), use_bias=False,
+                               dtype=self.dtype)(x))
         sse = x * q
+        if self.mode == 'concat':
+            return jnp.concatenate([cse, sse], axis=-1)
+        if self.mode == 'maxout':
+            return jnp.maximum(cse, sse)
         return cse + sse
 
 

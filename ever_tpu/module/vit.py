@@ -561,6 +561,11 @@ class ViTEncoder(ERModule):
             return taps
         from ever_tpu.module.ops import resize
         scales = (4.0, 2.0, 1.0, 0.5)  # os16 grid → os4/os8/os16/os32
+        if len(taps) != len(scales):
+            raise ValueError(
+                f'pyramid=True expects exactly {len(scales)} out_indices '
+                f'(os4/os8/os16/os32 levels), got {len(taps)} '
+                f'({out_indices}); set pyramid=False for a flat tap list')
         return [resize(t, scale=s, method='bilinear') if s != 1.0 else t
                 for t, s in zip(taps, scales)]
 

@@ -100,6 +100,16 @@ def extract_tiles(scene: np.ndarray, boxes: np.ndarray,
     n = len(boxes)
     if out is None:
         out = np.empty((n, th, tw, C), np.uint8)
+    else:
+        # the native kernel writes n*th*tw*C raw bytes at out's base pointer
+        # — a wrong-shape/dtype/non-contiguous buffer would be heap
+        # corruption, not an error
+        if (out.shape != (n, th, tw, C) or out.dtype != np.uint8
+                or not out.flags['C_CONTIGUOUS'] or not out.flags.writeable):
+            raise ValueError(
+                f'extract_tiles: out must be a writable C-contiguous uint8 '
+                f'array of shape {(n, th, tw, C)}; got shape={out.shape} '
+                f'dtype={out.dtype}')
     lib = _load()
     if lib is not None:
         codes_arr = (np.ascontiguousarray(codes, dtype=np.int32)

@@ -23,12 +23,20 @@ def needs_build() -> bool:
 
 
 def build(verbose: bool = False) -> str:
+    # per-process tmp name: concurrent first-use builders (e.g. the
+    # 2-process trainer validation) must not interleave writes into one tmp
+    # file; each compiles privately, then the os.replace is atomic
+    tmp = f'{LIB}.tmp.{os.getpid()}'
     cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
-           '-o', LIB + '.tmp', SRC]
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-    if proc.returncode != 0:
-        raise RuntimeError(f'tilekit build failed:\n{proc.stderr}')
-    os.replace(LIB + '.tmp', LIB)  # atomic: parallel builders race safely
+           '-o', tmp, SRC]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if proc.returncode != 0:
+            raise RuntimeError(f'tilekit build failed:\n{proc.stderr}')
+        os.replace(tmp, LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     if verbose:
         print(f'built {LIB}')
     return LIB

@@ -48,10 +48,15 @@ void parallel_for(int64_t n, F&& body) {
   for (auto& th : ts) th.join();
 }
 
-// round-to-nearest-even float32 -> bfloat16 (as uint16 payload)
+// round-to-nearest-even float32 -> bfloat16 (as uint16 payload).
+// NaN must short-circuit: the rounding increment can carry a low-mantissa
+// NaN (e.g. 0x7F800001) into the infinity encoding, silently laundering
+// nodata sentinels into +/-Inf (numpy's astype preserves a quiet NaN).
 inline uint16_t f32_to_bf16(float f) {
   uint32_t u;
   std::memcpy(&u, &f, 4);
+  if ((u & 0x7FFFFFFFu) > 0x7F800000u)          // NaN (any payload)
+    return static_cast<uint16_t>((u >> 16) | 0x0040u);  // quiet-NaN payload
   u += 0x7FFFu + ((u >> 16) & 1u);
   return static_cast<uint16_t>(u >> 16);
 }

@@ -77,6 +77,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         on_tpu = dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
         impl = 'flash' if (on_tpu and n >= FLASH_TOKEN_THRESHOLD) else 'xla'
     if impl == 'flash':
+        dev = jax.devices()[0]
+        on_tpu = dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
+        if on_tpu:
+            # on real hardware a flash failure is a real bug — do NOT
+            # silently downgrade to the O(N^2) path this kernel exists
+            # to avoid
+            return _flash(q, k, v)
         try:
             return _flash(q, k, v)
         except Exception:

@@ -17,16 +17,19 @@ CPU/test fallback: kernels run under ``interpret=True`` off-TPU.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ['quantize_int8', 'int8_matmul', 'QuantDense', 'quantize_params']
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform == 'tpu'
+    # tunneled TPU plugins report platform 'axon' with a 'TPU ...'
+    # device_kind (same check as ops/attention.py:77, core/to.py:59)
+    dev = jax.devices()[0]
+    return dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
 
 
 def _quant_kernel(seed_ref, x_ref, values_ref, scale_ref):
@@ -94,8 +97,16 @@ def _matmul_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref):
 
 def int8_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
                 w_q: jnp.ndarray, w_scale: jnp.ndarray,
-                interpret: Optional[bool] = None) -> jnp.ndarray:
-    """``(x_q · w_q) * (x_scale * w_scale)`` with int32 MXU accumulation."""
+                interpret: Optional[bool] = None,
+                block_m: int = 256, block_n: int = 256) -> jnp.ndarray:
+    """``(x_q · w_q) * (x_scale * w_scale)`` with int32 MXU accumulation.
+
+    Tiled over an (M/bm, N/bn) grid with the full K contraction per tile
+    (bm·K + K·bn int8 operand blocks + a bm·bn fp32 accumulator fit VMEM for
+    any realistic dense layer) — a single whole-operand block would exceed
+    VMEM for large token batches.  Indivisible M/N are zero-padded (zero
+    rows/cols contribute nothing) and the output cropped.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,16 +115,26 @@ def int8_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     m, k = x_q.shape
     k2, n = w_q.shape
     assert k == k2
-    return pl.pallas_call(
+    bm, bn = min(block_m, m), min(block_n, n)
+    pm, pn = (-m) % bm, (-n) % bn
+    if pm:
+        x_q = jnp.pad(x_q, ((0, pm), (0, 0)))
+    if pn:
+        w_q = jnp.pad(w_q, ((0, 0), (0, pn)))
+    out = pl.pallas_call(
         _matmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=((m + pm) // bm, (n + pn) // bn),
+        out_shape=jax.ShapeDtypeStruct((m + pm, n + pn), jnp.float32),
+        in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+                  pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+                  pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         interpret=interpret,
     )(x_q, w_q, x_scale, w_scale)
+    return out[:m, :n] if (pm or pn) else out
 
 
 def quantize_params(kernel: jnp.ndarray, seed: int = 0):

@@ -65,9 +65,19 @@ def find_recorded_grad_norm(opt_state) -> Optional[jnp.ndarray]:
         if isinstance(node, ClipByGlobalNormState):
             found.append(node.grad_norm)
             return
+        # optax nests states in tuples/NamedTuples AND dicts (e.g.
+        # multi_transform's PartitionState.inner_states, used by the
+        # freeze_at/frozen_prefixes build path) — recurse both
         if isinstance(node, tuple):
             for child in node:
                 visit(child)
+        elif isinstance(node, dict):
+            for child in node.values():
+                visit(child)
+        elif hasattr(node, 'inner_state'):
+            visit(node.inner_state)
+        elif hasattr(node, 'inner_states'):
+            visit(node.inner_states)
 
     visit(opt_state)
     return found[0] if found else None

@@ -22,6 +22,43 @@ __all__ = ['Compose', 'CustomOp', 'ToArray', 'RandomHorizontalFlip',
            'FixedPad', 'MeanStdNormalize', 'ChannelFirstToLast']
 
 
+
+class _ForkSafeRNG:
+    """``np.random.Generator`` facade that reseeds itself in forked children.
+
+    Transforms are constructed in the parent process; a fork-based loader
+    worker would otherwise inherit the parent's generator STATE and every
+    worker would replay the identical augmentation stream.  In the creating
+    process this is exactly ``default_rng(seed)``; a forked child draws from
+    a deterministic per-(seed, pid) stream.
+    """
+
+    def __init__(self, seed=None):
+        import os
+        self._seed = seed
+        self._pid = os.getpid()
+        self._gen = np.random.default_rng(seed)
+
+    def __getattr__(self, name):
+        import os
+        pid = os.getpid()
+        if pid != self._pid:
+            self._pid = pid
+            self._gen = np.random.default_rng(
+                np.random.SeedSequence(entropy=self._seed, spawn_key=(pid,)))
+        return getattr(self._gen, name)
+
+
+def _map_mask(mask, fn):
+    """Apply ``fn`` to a single HW mask or each mask in a list/tuple
+    (multi-task labels accepted by ``ToArray``)."""
+    if mask is None:
+        return None
+    if isinstance(mask, (list, tuple)):
+        return type(mask)(fn(m) for m in mask)
+    return fn(mask)
+
+
 class Compose:
     """Sequential pipeline (parity: ``preprocess/comm.py:4-20``)."""
 
@@ -63,15 +100,14 @@ class ToArray:
 class _RandomP:
     def __init__(self, p: float = 0.5, seed: Optional[int] = None):
         self.p = p
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ForkSafeRNG(seed)
 
 
 class RandomHorizontalFlip(_RandomP):
     def __call__(self, image, mask=None):
         if self.rng.random() < self.p:
             image = np.ascontiguousarray(image[:, ::-1])
-            if mask is not None:
-                mask = np.ascontiguousarray(mask[:, ::-1])
+            mask = _map_mask(mask, lambda m: np.ascontiguousarray(m[:, ::-1]))
         return image, mask
 
 
@@ -79,8 +115,7 @@ class RandomVerticalFlip(_RandomP):
     def __call__(self, image, mask=None):
         if self.rng.random() < self.p:
             image = np.ascontiguousarray(image[::-1])
-            if mask is not None:
-                mask = np.ascontiguousarray(mask[::-1])
+            mask = _map_mask(mask, lambda m: np.ascontiguousarray(m[::-1]))
         return image, mask
 
 
@@ -88,8 +123,8 @@ class RandomTranspose(_RandomP):
     def __call__(self, image, mask=None):
         if self.rng.random() < self.p:
             image = np.ascontiguousarray(np.swapaxes(image, 0, 1))
-            if mask is not None:
-                mask = np.ascontiguousarray(np.swapaxes(mask, 0, 1))
+            mask = _map_mask(mask,
+                             lambda m: np.ascontiguousarray(np.swapaxes(m, 0, 1)))
         return image, mask
 
 
@@ -100,8 +135,8 @@ class RandomRotate90K(_RandomP):
         if self.rng.random() < self.p:
             k = int(self.rng.integers(1, 4))
             image = np.ascontiguousarray(np.rot90(image, k, axes=(0, 1)))
-            if mask is not None:
-                mask = np.ascontiguousarray(np.rot90(mask, k, axes=(0, 1)))
+            mask = _map_mask(
+                mask, lambda m: np.ascontiguousarray(np.rot90(m, k, axes=(0, 1))))
         return image, mask
 
 
@@ -141,7 +176,7 @@ class RandomScale:
                  seed: Optional[int] = None):
         self.scale_range = scale_range
         self.size_divisor = size_divisor
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ForkSafeRNG(seed)
 
     def _target(self, h, w, s):
         nh, nw = int(round(h * s)), int(round(w * s))
@@ -154,8 +189,7 @@ class RandomScale:
         s = float(self.rng.uniform(*self.scale_range))
         nh, nw = self._target(image.shape[0], image.shape[1], s)
         image = _resize_bilinear(image, (nh, nw))
-        if mask is not None:
-            mask = _resize_nearest(mask, (nh, nw))
+        mask = _map_mask(mask, lambda m: _resize_nearest(m, (nh, nw)))
         return image, mask
 
 
@@ -174,8 +208,7 @@ class RandomDiscreteScale(RandomScale):
         s = float(self.rng.choice(self.scales))
         nh, nw = self._target(image.shape[0], image.shape[1], s)
         image = _resize_bilinear(image, (nh, nw))
-        if mask is not None:
-            mask = _resize_nearest(mask, (nh, nw))
+        mask = _map_mask(mask, lambda m: _resize_nearest(m, (nh, nw)))
         return image, mask
 
 
@@ -188,7 +221,7 @@ class RandomCrop:
         self.size = (size, size) if isinstance(size, int) else tuple(size)
         self.image_pad_value = image_pad_value
         self.mask_pad_value = mask_pad_value
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ForkSafeRNG(seed)
 
     def __call__(self, image, mask=None):
         th, tw = self.size
@@ -197,15 +230,13 @@ class RandomCrop:
             ph, pw = max(th - h, 0), max(tw - w, 0)
             image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
                            constant_values=self.image_pad_value)
-            if mask is not None:
-                mask = np.pad(mask, ((0, ph), (0, pw)),
-                              constant_values=self.mask_pad_value)
+            mask = _map_mask(mask, lambda m: np.pad(
+                m, ((0, ph), (0, pw)), constant_values=self.mask_pad_value))
             h, w = image.shape[:2]
         y = int(self.rng.integers(0, h - th + 1))
         x = int(self.rng.integers(0, w - tw + 1))
         image = image[y:y + th, x:x + tw]
-        if mask is not None:
-            mask = mask[y:y + th, x:x + tw]
+        mask = _map_mask(mask, lambda m: m[y:y + th, x:x + tw])
         return image, mask
 
 
@@ -224,9 +255,8 @@ class DivisiblePad:
         nw = math.ceil(w / self.size_divisor) * self.size_divisor
         image = np.pad(image, ((0, nh - h), (0, nw - w), (0, 0)),
                        constant_values=self.image_pad_value)
-        if mask is not None:
-            mask = np.pad(mask, ((0, nh - h), (0, nw - w)),
-                          constant_values=self.mask_pad_value)
+        mask = _map_mask(mask, lambda m: np.pad(
+            m, ((0, nh - h), (0, nw - w)), constant_values=self.mask_pad_value))
         return image, mask
 
 
@@ -245,9 +275,8 @@ class FixedPad:
         ph, pw = max(self.size[0] - h, 0), max(self.size[1] - w, 0)
         image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
                        constant_values=self.image_pad_value)
-        if mask is not None:
-            mask = np.pad(mask, ((0, ph), (0, pw)),
-                          constant_values=self.mask_pad_value)
+        mask = _map_mask(mask, lambda m: np.pad(
+            m, ((0, ph), (0, pw)), constant_values=self.mask_pad_value))
         return image, mask
 
 

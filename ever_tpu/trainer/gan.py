@@ -134,6 +134,11 @@ class GANLauncher(Launcher):
     def init_state(self, sample_batch) -> None:
         if self._state is not None:
             return
+        # the GAN contract passes the batch WHOLE to d_loss/g_loss; unwrap
+        # the 1-tuple the generic Trainer.evaluate wraps non-tuple batches
+        # in for the base create_train_state's *args contract
+        if isinstance(sample_batch, (tuple, list)) and len(sample_batch) == 1:
+            sample_batch = sample_batch[0]
         rng = jax.random.key(self._seed)
         variables = self._model.init({'params': rng, 'dropout': jax.random.key(1)},
                                      sample_batch, train=True,
@@ -142,6 +147,8 @@ class GANLauncher(Launcher):
         batch_stats = variables.get('batch_stats', {})
         if self._init_params is not None:
             params = self._init_params
+        if self._init_batch_stats is not None:
+            batch_stats = self._init_batch_stats
         opt_state = {role: tx.init(params[role]) for role, tx in self._txs.items()}
         state = GANState(step=jnp.zeros((), jnp.int32), params=params,
                          batch_stats=batch_stats, opt_state=opt_state)
@@ -151,9 +158,13 @@ class GANLauncher(Launcher):
 
     def restore_state(self, params, batch_stats, opt_state, global_step: int) -> None:
         import numpy as np
+        if self._state is None:
+            raise RuntimeError('init_state must run before restore_state')
         self._state = self._state.replace(
             step=np.int32(global_step), params=params,
             batch_stats=batch_stats, opt_state=opt_state)
+        if self._mesh is not None:
+            self._state = jax.device_put(self._state, replicated(self._mesh))
 
     def _ensure_train_step(self, forward_times: int) -> None:
         if forward_times != 1:
@@ -163,6 +174,12 @@ class GANLauncher(Launcher):
             self._train_step = build_gan_train_step(
                 self._model, self._txs, self._schedules, mesh=self._mesh,
                 rng_seed=self._seed)
+
+    def _train_loop_k(self, *args, **kwargs):
+        raise NotImplementedError(
+            'GAN training does not support train.steps_per_loop > 1 yet — '
+            'the K-step loop would build a non-GAN step over the dict-of-'
+            'optimizers state; set steps_per_loop=1')
 
 
 class GANSPMDTrainer(SPMDTrainer):

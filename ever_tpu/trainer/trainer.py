@@ -113,20 +113,30 @@ class Trainer:
             if pg is not None:
                 param_groups = pg
         frozen = None
-        # freeze_at / frozen_stages: collect prefixes from the model and its
-        # direct encoder submodule (parity: ``resnet.py:162-173``)
-        for owner, prefix in ((model, ''),):
-            fn = getattr(owner, 'frozen_param_prefixes', None)
-            if callable(fn):
-                got = tuple(fn())
-                if got:
-                    frozen = got
+        # freeze_at / frozen_stages: the model's frozen_param_prefixes hook
+        # is authoritative (parity: ``resnet.py:162-173``)
+        fn = getattr(model, 'frozen_param_prefixes', None)
+        if callable(fn):
+            got = tuple(fn())
+            if got:
+                frozen = got
         if frozen is None and hasattr(model, 'config'):
+            # fallback for models without the hook: a RESNET encoder config
+            # under 'encoder' is the one shape we can probe generically
             enc_cfg = model.config.get('encoder', None)
             if enc_cfg and int(enc_cfg.get('freeze_at', 0) or 0) >= 1:
-                from ever_tpu.module.resnet import ResNetEncoder
-                probe = ResNetEncoder(dict(enc_cfg))
-                frozen = tuple('encoder/' + p for p in probe.frozen_param_prefixes())
+                if enc_cfg.get('resnet_type'):
+                    from ever_tpu.module.resnet import ResNetEncoder
+                    probe = ResNetEncoder(dict(enc_cfg))
+                    frozen = tuple('encoder/' + p
+                                   for p in probe.frozen_param_prefixes())
+                else:
+                    import logging
+                    logging.getLogger('ever_tpu').warning(
+                        'encoder.freeze_at=%s set but the model exposes no '
+                        'frozen_param_prefixes hook and the encoder is not '
+                        'a resnet config — nothing will be frozen',
+                        enc_cfg.get('freeze_at'))
         tx = factory.build(schedule, grad_clip=grad_clip,
                            param_groups=param_groups, frozen_prefixes=frozen)
         return schedule, tx

@@ -1,7 +1,8 @@
 """Exploratory data-analysis helpers for remote-sensing imagery.
 
-Parity: ``ever/util/eda.py`` (thumbnail + multi-binary-mask rendering).
-PIL/tifffile are imported lazily; tifffile falls back to PIL for non-tiff.
+Behavior parity: ``ever/util/eda.py`` (thumbnail + multi-binary-mask
+rendering).  PIL/tifffile are imported lazily; tifffile falls back to PIL
+for non-tiff sources.
 """
 
 from __future__ import annotations
@@ -12,9 +13,11 @@ __all__ = ['thumbnail', 'render_multi_binary_mask']
 
 
 def thumbnail(image_path: str, sample_ratio: float = 0.1):
+    """Downscale an image on disk to ``sample_ratio`` of its size."""
     from PIL import Image
     img = Image.open(image_path)
-    img.thumbnail((int(img.width * sample_ratio), int(img.height * sample_ratio)))
+    target = (int(img.width * sample_ratio), int(img.height * sample_ratio))
+    img.thumbnail(target)
     return img
 
 
@@ -28,13 +31,23 @@ def _imread(fp: str) -> np.ndarray:
 
 
 def render_multi_binary_mask(file_paths, indexes, palette):
-    """Overlay binary masks into one indexed-color image
-    (parity: ``eda.py:13-23``: first-hit-wins ordering)."""
+    """Merge per-class binary mask files into one palettized index image.
+
+    Each file is a 0/255 binary mask; pixel values are integer-divided by
+    255 so a mask contributes its class ``index`` where it fires and 0
+    elsewhere.  Earlier files win overlaps (a pixel already labeled is
+    never overwritten).  Behavior parity: ``ever/util/eda.py:13-23``.
+    """
     from PIL import Image
-    imgs = [_imread(fp) for fp in file_paths]
-    ret = np.zeros_like(imgs[0]).astype(np.uint8, copy=False)
-    for img, index in zip(imgs, indexes):
-        ret = np.where(ret == 0, index * (img / 255).astype(np.uint8, copy=False), ret)
-    out = Image.fromarray(ret)
-    out.putpalette(palette)
-    return out
+    canvas = None
+    for fp, index in zip(file_paths, indexes):
+        binary = _imread(fp)
+        # integer division: 255 -> 1, anything below stays 0 (uint8 trunc)
+        hit = (binary / 255).astype(np.uint8, copy=False) * index
+        if canvas is None:
+            canvas = np.zeros(binary.shape, np.uint8)
+        unlabeled = canvas == 0
+        canvas[unlabeled] = hit[unlabeled]
+    indexed = Image.fromarray(canvas)
+    indexed.putpalette(palette)
+    return indexed

@@ -688,15 +688,23 @@ def _read_file(path: str) -> Dict[str, np.ndarray]:
 
 def _find_subtree_offset(src_keys, dst_keys) -> Optional[str]:
     """Find a prefix to prepend to source keys so they land inside the target
-    tree (e.g. encoder weights loading into ``encoder/resnet/...``)."""
+    tree (e.g. encoder weights loading into ``encoder/resnet/...``).
+
+    The candidate that lands the MOST source keys wins — judging from a
+    single sample key silently chose no offset (loading zero tensors)
+    whenever that one key happened to be absent from the model (filtered by
+    ``excepts``, dropped cls token, renamed layer, ...)."""
+    dst_keys = set(dst_keys)
+    split = [k.split('/', 1) for k in src_keys]
+    best, best_hits = None, 0
     for cand in ('', 'resnet/', 'encoder/resnet/', 'densenet/', 'hrnet/',
                  'net/', 'encoder/densenet/', 'encoder/hrnet/', 'encoder/net/',
                  'head/', 'vit/', 'encoder/vit/'):
-        sample = next(iter(src_keys))
-        coll, rest = sample.split('/', 1)
-        if f'{coll}/{cand}{rest}' in dst_keys:
-            return cand
-    return None
+        hits = sum(1 for coll, rest in split
+                   if f'{coll}/{cand}{rest}' in dst_keys)
+        if hits > best_hits:
+            best, best_hits = cand, hits
+    return best
 
 
 def load_weights(path: str, params, batch_stats=None,

@@ -125,3 +125,23 @@ def test_gan_d_and_g_params_update_independently():
         before = jax.tree.leaves(state.params[role])
         after = jax.tree.leaves(new_state.params[role])
         assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_gan_steps_per_loop_raises(tmp_path):
+    """steps_per_loop>1 would run the non-GAN K-loop over the dict-of-
+    optimizers state — must raise an actionable error instead."""
+    import pytest
+    from ever_tpu.trainer.gan import GANLauncher
+    tl = GANLauncher(str(tmp_path), TinyGAN({}), optimizers={},
+                     lr_schedules={})
+    with pytest.raises(NotImplementedError, match='steps_per_loop'):
+        tl._train_loop_k(None, 2, 2, False, 1, None)
+
+
+def test_gan_restore_before_init_raises(tmp_path):
+    import pytest
+    from ever_tpu.trainer.gan import GANLauncher
+    tl = GANLauncher(str(tmp_path), TinyGAN({}), optimizers={},
+                     lr_schedules={})
+    with pytest.raises(RuntimeError, match='init_state'):
+        tl.restore_state({}, {}, {}, 3)

@@ -97,3 +97,21 @@ def test_gathered_cm_exact_past_2_24():
     pm._total[1, 1] = 7.0
     dense = pm._gathered_cm()
     assert dense[0, 0] == big and dense[1, 1] == 7.0
+
+
+def test_score_tracker_ragged_keys():
+    """Evals reporting different score keys must keep columns rectangular
+    (a ragged column misattributed best scores and crashed to_csv)."""
+    import tempfile, os
+    from ever_tpu.metric.utils import ScoreTracker
+    st = ScoreTracker()
+    st.append({'miou': 0.5}, step=0)
+    st.append({'miou': 0.6, 'oa': 0.9}, step=1)
+    st.append({'oa': 0.8}, step=2)
+    best_oa = st.highest_score('oa')
+    assert best_oa['step'] == 1 and best_oa['oa'] == 0.9
+    assert st.highest_score('miou')['step'] == 1
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 's.csv')
+        st.to_csv(p)   # must not raise
+        assert os.path.exists(p)

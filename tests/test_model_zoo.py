@@ -459,3 +459,66 @@ def test_hrnet_pack_branches_matches_default_layout():
     for a, b in zip(oa, ob):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_s2d_input_stem_accepts_odd_folded_dims():
+    """stem='s2d_input' receives an ALREADY-FOLDED batch; the even-H/W guard
+    (which only applies to on-device fold modes) must not silently swap in a
+    7x7/2 conv over the folded layout when the folded dims are odd."""
+    from ever_tpu.module.resnet import ResNet
+    m = ResNet(resnet_type='resnet18', stem='s2d_input')
+    x = jnp.zeros((1, 17, 17, 12), jnp.float32)  # odd folded dims, 4*3 ch
+    variables = m.init(jax.random.key(0), x)
+    # the s2d stem holds the ORIGINAL [7,7,3,64] kernel
+    assert variables['params']['conv1']['kernel'].shape == (7, 7, 3, 64)
+
+
+def test_scse_modes_match_reference_semantics():
+    """SCSE: reference default mode='concat' outputs 2C channels; maxout and
+    add are the alternatives (ever/module/se_block.py:29-61)."""
+    from ever_tpu.module.se_block import SCSEModule
+    x = jnp.ones((1, 8, 8, 16), jnp.float32)
+    for mode, ch in (('concat', 32), ('maxout', 16), ('add', 16)):
+        m = SCSEModule(mode=mode)
+        y, _ = m.init_with_output(jax.random.key(0), x)
+        assert y.shape == (1, 8, 8, ch), (mode, y.shape)
+
+
+def test_bifpn_maxpool_downsample_has_bn():
+    """BiFPN downsample_op='maxpool' must carry the BN(+ReLU) the reference
+    puts after the pool (ever/module/fpn.py:270-275)."""
+    from ever_tpu.module.fpn import BiFPN
+    feats = [jnp.ones((1, 32 // (2 ** i), 32 // (2 ** i), 8), jnp.float32)
+             for i in range(3)]
+    m = BiFPN(in_channels=8, feature_strides=(8, 16, 32),
+              downsample_op='maxpool')
+    variables = m.init(jax.random.key(0), feats)
+    names = list(variables['params'].keys()) + list(
+        variables.get('batch_stats', {}).keys())
+    assert any('down0_bn' in n for n in names), names
+
+
+def test_efficientnet_drop_connect():
+    """Stochastic depth engages in train mode (package parity: linearly
+    scaled drop_connect, default 0.2) and is inert at eval."""
+    from ever_tpu.module.efficientnet import EfficientNet
+    m = EfficientNet(model_name='efficientnet-b0')
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    e1 = m.apply(variables, x, train=False)
+    e2 = m.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(e1[-1]), np.asarray(e2[-1]))
+    t1, _ = m.apply(variables, x, train=True, mutable=['batch_stats'],
+                    rngs={'dropout': jax.random.key(1)})
+    t2, _ = m.apply(variables, x, train=True, mutable=['batch_stats'],
+                    rngs={'dropout': jax.random.key(2)})
+    assert not np.allclose(np.asarray(t1[-1]), np.asarray(t2[-1]))
+
+
+def test_vit_encoder_pyramid_out_indices_mismatch_raises():
+    from ever_tpu.module.vit import ViTEncoder
+    enc = ViTEncoder(dict(vit_type='vit_small', pyramid=True,
+                          out_indices=[1, 3, 5, 7, 9, 11]))
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match='pyramid'):
+        enc.init(jax.random.key(0), x)

@@ -85,3 +85,34 @@ def test_extract_tiles_s2d_matches_fold():
     from ever_tpu.module.resnet import space_to_depth
     jref = np.asarray(space_to_depth(jnp.asarray(plain.astype(np.float32)), 2))
     np.testing.assert_array_equal(got.astype(np.float32), jref)
+
+
+def test_extract_tiles_rejects_bad_out_buffer():
+    """A caller-supplied out buffer must be validated before the native
+    kernel writes n*th*tw*C raw bytes into it (heap corruption otherwise)."""
+    import pytest
+    from ever_tpu.native import extract_tiles
+    scene = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[0, 0]], np.int64)
+    with pytest.raises(ValueError, match='out'):
+        extract_tiles(scene, boxes, tile_hw=(32, 32),
+                      out=np.empty((1, 16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match='out'):
+        extract_tiles(scene, boxes, tile_hw=(32, 32),
+                      out=np.empty((1, 32, 32, 3), np.float32))
+    ok = extract_tiles(scene, boxes, tile_hw=(32, 32),
+                       out=np.empty((1, 32, 32, 3), np.uint8))
+    assert ok.shape == (1, 32, 32, 3)
+
+
+def test_to_bf16_preserves_nan():
+    """Low-mantissa NaNs must not round into +/-Inf on the native path
+    (numpy's astype keeps a quiet NaN — the two paths must agree)."""
+    from ever_tpu.native import to_bf16
+    import ml_dtypes
+    raw = np.array([0x7F800001, 0xFF800001, 0x7FC00000], np.uint32)
+    x = raw.view(np.float32)
+    got = np.asarray(to_bf16(x)).astype(np.float32)
+    assert np.all(np.isnan(got)), got
+    ref = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    assert np.all(np.isnan(ref))

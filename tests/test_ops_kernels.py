@@ -164,3 +164,42 @@ def test_flash_block_picker():
     for n in (384, 1536, 4608, 16896):
         b = _pick_block(n, 1024)
         assert n % b == 0
+
+
+def test_resize_align_corners_out_size_one_matches_torch():
+    """align_corners=True collapsing a dim to 1 must sample index 0 (torch
+    semantics: scale=0 when out==1), not average the whole axis."""
+    import torch
+    import torch.nn.functional as F
+    from ever_tpu.module.ops import resize
+    x = np.random.RandomState(0).rand(1, 5, 7, 2).astype(np.float32)
+    got = np.asarray(resize(jnp.asarray(x), shape=(1, 3), method='bilinear',
+                            align_corners=True))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(1, 3),
+                        mode='bilinear', align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_matmul_tiled_grid_matches_reference():
+    """The (M, N)-tiled int8 matmul (incl. zero-padded indivisible shapes)
+    must equal the plain int32 contraction."""
+    from ever_tpu.ops.quant import int8_matmul
+    rng = np.random.RandomState(0)
+    for m, k, n in ((300, 128, 130), (64, 256, 64), (512, 128, 512)):
+        x_q = rng.randint(-128, 128, (m, k)).astype(np.int8)
+        w_q = rng.randint(-128, 128, (k, n)).astype(np.int8)
+        xs = np.full((1, 1), 0.02, np.float32)
+        ws = np.full((1, 1), 0.01, np.float32)
+        got = np.asarray(int8_matmul(jnp.asarray(x_q), jnp.asarray(xs),
+                                     jnp.asarray(w_q), jnp.asarray(ws),
+                                     block_m=128, block_n=128))
+        want = (x_q.astype(np.int32) @ w_q.astype(np.int32)
+                ).astype(np.float32) * 0.0002
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_ops_package_exports_attention_function():
+    from ever_tpu import ops
+    assert callable(ops.attention)
+    assert ops.attention_fn is ops.attention

@@ -91,3 +91,52 @@ def test_batch_augment_fused():
     assert out_img.shape == (4, 8, 8, 3)
     assert out_mask.shape == (4, 8, 8)
     assert out_img.dtype == jnp.float32
+
+
+def test_joint_transforms_accept_mask_lists():
+    """ToArray advertises multi-task label lists — every joint transform must
+    apply the same spatial op to each mask in the list."""
+    from ever_tpu.preprocess.segm import (Compose, DivisiblePad, FixedPad,
+                                          RandomCrop, RandomHorizontalFlip,
+                                          RandomRotate90K, RandomScale,
+                                          RandomTranspose, RandomVerticalFlip,
+                                          ToArray)
+    img = np.arange(24 * 20 * 3, dtype=np.uint8).reshape(24, 20, 3)
+    masks = [np.arange(24 * 20, dtype=np.int64).reshape(24, 20),
+             np.ones((24, 20), np.int64)]
+    pipe = Compose([ToArray(),
+                    RandomHorizontalFlip(p=1.0, seed=0),
+                    RandomVerticalFlip(p=1.0, seed=0),
+                    RandomTranspose(p=1.0, seed=0),
+                    RandomRotate90K(p=1.0, seed=0),
+                    RandomScale((1.0, 1.0), seed=0),
+                    RandomCrop((16, 16), seed=0),
+                    DivisiblePad(32),
+                    FixedPad((40, 40))])
+    out_img, out_masks = pipe(img, masks)
+    assert isinstance(out_masks, list) and len(out_masks) == 2
+    for m in out_masks:
+        assert m.shape == out_img.shape[:2] == (40, 40)
+    # both masks saw the SAME spatial ops: mask1 is constant 1 where valid
+    assert set(np.unique(out_masks[1])) <= {1, 255}
+
+
+def test_transform_rng_reseeds_after_fork(monkeypatch):
+    """A forked loader worker must not replay the parent's augmentation
+    stream (the inherited Generator state made every worker identical)."""
+    import os
+    from ever_tpu.preprocess.segm import RandomHorizontalFlip
+    t = RandomHorizontalFlip(p=0.5, seed=42)
+    parent_draws = [float(t.rng.random()) for _ in range(4)]
+    t2 = RandomHorizontalFlip(p=0.5, seed=42)
+    real_pid = os.getpid()
+    monkeypatch.setattr(os, 'getpid', lambda: real_pid + 1)  # "child"
+    child_draws = [float(t2.rng.random()) for _ in range(4)]
+    assert parent_draws != child_draws
+    # deterministic per (seed, pid): a parent-constructed transform forked
+    # into the same child pid draws the same stream
+    monkeypatch.setattr(os, 'getpid', lambda: real_pid)
+    t3 = RandomHorizontalFlip(p=0.5, seed=42)
+    monkeypatch.setattr(os, 'getpid', lambda: real_pid + 1)
+    child2 = [float(t3.rng.random()) for _ in range(4)]
+    assert child_draws == child2

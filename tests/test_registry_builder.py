@@ -127,3 +127,25 @@ def test_register_file_dotted_dirnames_do_not_alias(tmp_path):
     registry.register_file(str(d1 / 'x.py'))
     registry.register_file(str(d2 / 'x.py'))
     assert '_t_dot1' in registry.MODEL and '_t_dot2' in registry.MODEL
+
+
+def test_grad_norm_recorded_through_multi_transform():
+    """freeze_at wraps the clip in optax.multi_transform; the recorded
+    pre-clip norm must still be findable through its dict-valued state."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.opt.optimizer import find_recorded_grad_norm
+    factory, opt_cfg = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9),
+         'grad_clip': dict(max_norm=1.0)})
+    schedule = builder.make_learningrate(
+        {'type': 'constant', 'params': dict(base_lr=0.1)})
+    tx = factory.build(schedule, grad_clip=opt_cfg.get('grad_clip'),
+                       frozen_prefixes=('frozen',))
+    params = {'frozen': jnp.ones(3), 'live': jnp.ones(3)}
+    state = tx.init(params)
+    grads = {'frozen': jnp.ones(3), 'live': jnp.full(3, 2.0)}
+    _, new_state = tx.update(grads, state, params)
+    gn = find_recorded_grad_norm(new_state)
+    assert gn is not None and float(gn) > 0

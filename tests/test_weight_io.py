@@ -119,3 +119,30 @@ def test_excepts_regex_drops_keys(tmp_path):
     assert not np.allclose(
         np.asarray(flat_new['resnet/layer1/block0/conv1/kernel']),
         np.asarray(flat_orig['resnet/layer1/block0/conv1/kernel']))
+
+
+def test_subtree_offset_majority_vote(tmp_path):
+    """The load offset must be chosen by how many source keys land, not by
+    a single sample key — one filtered/renamed first key used to make the
+    loader silently apply zero tensors."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.module.resnet import ResNetEncoder
+    from ever_tpu.util.weight_io import flatten_tree, load_weights
+    enc = ResNetEncoder(dict(resnet_type='resnet18'))
+    variables = enc.init(jax.random.key(0),
+                         jnp.zeros((1, 32, 32, 3), jnp.float32))
+    flat = {f'params/{k}': np.asarray(v)
+            for k, v in flatten_tree(variables['params']).items()}
+    # weights are keyed WITHOUT the 'resnet/' wrapper (an encoder-only dump)
+    src = {k.replace('params/resnet/', 'params/'): v for k, v in flat.items()}
+    # poison the (sorted-)first key so a single-sample probe finds no offset
+    src = {'params/___not_in_model/kernel': np.zeros(3, np.float32), **src}
+    path = str(tmp_path / 'w.npz')
+    np.savez(path, **src)
+    new_params, _ = load_weights(path, variables['params'])
+    got = flatten_tree(new_params)
+    want = flatten_tree(variables['params'])
+    # every real tensor landed (identical since src came from the model)
+    assert all(np.allclose(np.asarray(got[k]), np.asarray(want[k]))
+               for k in want)
