@@ -97,17 +97,22 @@ class CheckPoint:
                                                 backend=self.backend)
         filepath = os.path.join(self._launcher.model_dir, filename)
         if self.backend.startswith('orbax'):
+            # orbax saves are multi-host collectives — EVERY process must
+            # reach this call (SaveCheckpointCallback reports only_master
+            # False for orbax backends so run_callbacks doesn't gate it)
             self._save_orbax(filepath, state)
-        else:
+        elif is_main_process():
+            # build the host copy only where it is written: a whole-state
+            # device_get on non-main hosts would be discarded (and on the
+            # tunneled backend serialize running compute)
             ckpt = {
                 MODEL: dict(params=_to_host(state.params),
                             batch_stats=_to_host(state.batch_stats)),
                 OPTIMIZER: _to_host(state.opt_state),
                 GLOBALSTEP: self.global_step,
             }
-            if is_main_process():
-                with open(filepath, 'wb') as f:
-                    f.write(serialization.to_bytes(ckpt))
+            with open(filepath, 'wb') as f:
+                f.write(serialization.to_bytes(ckpt))
         if self.backend == 'orbax_async':
             # do NOT record the step as resumable until the background write
             # finalizes — a crash mid-write would otherwise leave the JSON
@@ -240,6 +245,13 @@ def load_model_state_from_ckpt(filepath: str) -> dict:
 def remove_optimizer_in_ckpt(fp: str, new_fp: Optional[str] = None) -> None:
     ckpt = CheckPoint.load(fp)
     ckpt.pop(OPTIMIZER, None)
+    if os.path.isdir(fp):
+        # orbax checkpoint directory: rewrite in the same format (opening a
+        # directory for binary write would raise IsADirectoryError)
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(os.path.abspath(new_fp or fp), ckpt,
+                                      force=True)
+        return
     with open(new_fp or fp, 'wb') as f:
         f.write(serialization.msgpack_serialize(ckpt))
 

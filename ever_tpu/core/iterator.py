@@ -24,7 +24,9 @@ def run_callbacks(callbacks, current_epoch: int, is_master: bool) -> None:
     for f in callbacks:
         if not isinstance(f, Callback):
             raise TypeError('callbacks must be ever_tpu Callback objects')
-        if f.interval < 0:
+        if f.interval <= 0:
+            # <= 0 means "never on an epoch boundary" (0 would otherwise
+            # ZeroDivisionError below; before/after_train flags still apply)
             continue
         if (current_epoch - 1) % f.interval != 0 or current_epoch == 1:
             continue
@@ -47,7 +49,12 @@ class Iterator:
         self._ds_epoch = None
 
     def epoch(self, forward_times: int) -> int:
-        return forward_times * self._step // max(len(self._data_loader), 1) + 1
+        # include the resume offset: the callback clock must track the same
+        # dataset epochs ds_epoch does, or post-resume save/eval callbacks
+        # fire mid-epoch forever (len(loader) local steps after resume rather
+        # than at true epoch boundaries)
+        return (forward_times * (self._start_step + self._step)
+                // max(len(self._data_loader), 1) + 1)
 
     def _get_one(self):
         try:
@@ -76,7 +83,12 @@ class Iterator:
                 ds.set_epoch(ds_ep)
                 self._ds_epoch = ds_ep
         if ep not in self._look_up:
-            run_callbacks(call_backs, ep, is_master)
+            # mark-but-don't-fire on a RESUMED run's first draw: its first ep
+            # is generally mid-epoch, and saving/evaluating immediately after
+            # restore would duplicate the checkpoint it just resumed from.
+            # Fresh runs keep the fire-on-first-step-of-new-epoch semantics.
+            if self._step > 1 or self._start_step == 0:
+                run_callbacks(call_backs, ep, is_master)
             self._look_up[ep] = True
         return [self._get_one() for _ in range(forward_times)]
 

@@ -184,6 +184,11 @@ class Launcher:
         return self._evaluate_fn(data_loader, config)
 
     def evaluate_last_ckpt(self, data_loader, config=None):
+        # resume needs a live state to restore into; bootstrap from the
+        # loader's element spec (no training has run when this is the entry)
+        if self._state is None:
+            self._bootstrap_state(data_loader)
+            self._maybe_load_init_weights()
         self.init()
         return self.evaluate(data_loader, config)
 
@@ -453,7 +458,9 @@ class Launcher:
             if pending is not None and (pending[0] % log_interval_step == 0
                                         or steps_per_loop > log_interval_step):
                 self._log_step(pending, num_iters)
-            pending = (step, metrics, data_time, time.time() - t0)
+            # the dispatch spans k optimizer steps — log PER-STEP times or the
+            # smoothed time/step and ETA read k× too large
+            pending = (step, metrics, data_time / k, (time.time() - t0) / k)
         if pending is not None:
             self._log_step(pending, num_iters)
 

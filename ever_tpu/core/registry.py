@@ -112,8 +112,14 @@ def register_file(py_file: str) -> None:
     spec = importlib.util.spec_from_file_location(mod_name, py_file)
     module = importlib.util.module_from_spec(spec)
     sys.modules[mod_name] = module
+    # mark registered only AFTER the import succeeds — a failed import must
+    # be retryable (and must not leave a half-initialized module importable)
+    try:
+        spec.loader.exec_module(module)  # type: ignore[union-attr]
+    except BaseException:
+        sys.modules.pop(mod_name, None)
+        raise
     _REGISTERED_FILES[py_file] = mod_name
-    spec.loader.exec_module(module)  # type: ignore[union-attr]
 
 
 def register_dir(dir_path: str, recursive: bool = False) -> None:

@@ -106,6 +106,7 @@ class GeoTileDataset(ERDataset):
             layout='hwc',        # 'hwc' | 's2d' (stem='s2d_input' encoders)
             image_dtype='float32',   # 'uint8' keeps raw bytes for the
                                      # fused native normalize downstream
+            mask_dtype='int32',
         ))
 
     def __init__(self, config=None):
@@ -129,6 +130,13 @@ class GeoTileDataset(ERDataset):
         k, s = int(cfg.patch_size), int(cfg.stride)
         for si, (img_path, _) in enumerate(self.scene_pairs):
             h, w = self._scene_size(img_path)
+            if h < k or w < k:
+                # sliding_window would clamp the kernel and the fetch paths
+                # would then return short patches (np.stack ValueError /
+                # native bounds error mid-epoch) — reject up front instead
+                raise ValueError(
+                    f'scene {img_path!r} is {h}x{w}, smaller than '
+                    f'patch_size={k}; pad the scene or lower patch_size')
             boxes = sliding_window((h, w), k, s)
             seen = set()
             for x0, y0, _, _ in boxes:
@@ -142,6 +150,16 @@ class GeoTileDataset(ERDataset):
         if path.endswith('.npy'):
             arr = np.load(path, mmap_mode='r')
             return arr.shape[0], arr.shape[1]
+        if path.endswith(('.tif', '.tiff')):
+            # match read_raster's tifffile-first decode: PIL cannot even open
+            # >4-band TIFFs that the fetch path fully supports
+            try:
+                import tifffile
+                with tifffile.TiffFile(path) as tf:
+                    shape = tf.pages[0].shape
+                return int(shape[0]), int(shape[1])
+            except ImportError:
+                pass
         from PIL import Image
         Image.MAX_IMAGE_PIXELS = None
         with Image.open(path) as im:
@@ -206,7 +224,8 @@ class GeoTileDataset(ERDataset):
             img_out = img_out.astype(np.float32)
         if masks is None:
             return img_out
-        return img_out, masks[..., 0].astype(np.int32)
+        return img_out, masks[..., 0].astype(
+            np.dtype(self.config.get('mask_dtype', 'int32')))
 
     def __getitem__(self, idx: int):
         si, x0, y0 = self._index[int(idx)]
@@ -221,7 +240,8 @@ class GeoTileDataset(ERDataset):
         mask = None
         if mask_path is not None:
             mask = np.asarray(self._cache.get(mask_path)[y0:y0 + k, x0:x0 + k],
-                              dtype=np.int32)
+                              dtype=np.dtype(self.config.get('mask_dtype',
+                                                             'int32')))
         transforms = self.config.get('transforms', None)
         if transforms:
             for t in transforms:

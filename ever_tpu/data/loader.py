@@ -110,9 +110,13 @@ class DataLoader:
 
         pool = self._get_pool()
         batches = self._index_batches()
+        # torch semantics: num_workers * prefetch_factor batches in flight —
+        # each in-flight batch occupies ONE pool thread here, so capping at
+        # prefetch_factor alone would leave most workers permanently idle
+        depth = self.num_workers * self.prefetch_factor
         in_flight = [
             pool.submit(self._fetch, b)
-            for b in itertools.islice(batches, self.prefetch_factor)
+            for b in itertools.islice(batches, depth)
         ]
         try:
             while in_flight:

@@ -16,7 +16,10 @@ barren, forest, agricultural) — matching the ``classes=7`` /
 Each 1024² scene is one sample; training crops to ``crop_size`` with a
 seeded per-(epoch, index) RNG and applies optional hflip — further
 augmentation composes via ``transforms`` or the fused on-device
-``preprocess.device.batch_augment``.
+``preprocess.device.batch_augment``.  Val/test splits return the FULL
+scene by default (the official LoveDA protocol scores whole 1024² masks);
+set ``eval_crop=True`` to deterministically center-crop eval samples to
+``crop_size`` instead.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ class LoveDA(ERDataset):
             domains=('Urban', 'Rural'),
             crop_size=512,
             random_crop=None,     # default: split == 'train'
+            eval_crop=False,      # True: center-crop non-train splits too
             hflip=True,
             seed=0,
             transforms=None,
@@ -90,8 +94,13 @@ class LoveDA(ERDataset):
         do_crop = cfg.random_crop
         if do_crop is None:
             do_crop = str(cfg.split).lower() == 'train'
-        k = int(cfg.crop_size)
-        if k and image.shape[0] >= k and image.shape[1] >= k:
+        k = int(cfg.crop_size or 0)
+        # cropping applies to training (random) — eval keeps the FULL scene
+        # (official protocol) unless eval_crop explicitly opts into the
+        # deterministic center crop.  Silently scoring mIoU on the center
+        # quarter of every scene was a protocol divergence.
+        crop_here = do_crop or bool(cfg.get('eval_crop', False))
+        if crop_here and k and image.shape[0] >= k and image.shape[1] >= k:
             if do_crop:
                 rng = np.random.default_rng(
                     (int(cfg.seed) * 1_000_003 + self._epoch) * 1_000_003 + idx)

@@ -85,6 +85,20 @@ class Callback:
         self._launcher.save_model(filename)
 
 
+def _collective_save_backend(launcher) -> bool:
+    """True when checkpoint.save() is a multi-host collective (orbax) that
+    EVERY process must enter — gating it behind only_master would leave rank 0
+    blocked in orbax's internal cross-host barrier while the other ranks skip
+    straight past, deadlocking the pod.  msgpack saves gate their own writes
+    on ``is_main_process`` internally, so running them everywhere is safe but
+    unnecessary."""
+    if launcher is None:
+        return False
+    from ever_tpu.core.dist import get_world_size
+    return (launcher.checkpoint.backend.startswith('orbax')
+            and get_world_size() > 1)
+
+
 class SaveCheckpointCallback(Callback):
     """Save a checkpoint every N epochs and after training
     (parity: ``callback.py:78-90``; prior=0 → runs first)."""
@@ -92,6 +106,10 @@ class SaveCheckpointCallback(Callback):
     def __init__(self, epoch_interval: int):
         super().__init__(epoch_interval=epoch_interval, only_master=True, prior=0,
                          before_train=False, after_train=True)
+
+    @property
+    def only_master(self) -> bool:
+        return not _collective_save_backend(self._launcher)
 
     def func(self):
         self.launcher.checkpoint.save()
@@ -119,6 +137,14 @@ class BestCheckpointCallback(Callback):
         self._mode = mode
         self._best: Optional[float] = None
         self._config = config
+
+    @property
+    def only_master(self) -> bool:
+        # the best-checkpoint save is collective under orbax (see
+        # _collective_save_backend): all processes must evaluate and save
+        if _collective_save_backend(self._launcher):
+            return False
+        return self._only_master
 
     def func(self):
         self.launcher.evaluate(self._dataloader, config=self._config)

@@ -73,6 +73,11 @@ class Scale(Transform):
 
     def __init__(self, size: Optional[Tuple[int, int]] = None,
                  scale_factor: Optional[float] = None):
+        if (size is None) == (scale_factor is None):
+            # fail here, not as a TypeError deep inside resize()
+            raise ValueError('Scale needs exactly one of size or '
+                             f'scale_factor (got size={size!r}, '
+                             f'scale_factor={scale_factor!r})')
         self.size = size
         self.scale_factor = scale_factor
         self.input_shape = None

@@ -93,6 +93,12 @@ def tiled_inference(predict_fn: Callable,
 
     Returns ``[H, W, num_classes]``.
     """
+    if stride > kernel_size:
+        # gaps between tiles would have cnt == 0 and the overlap-average's
+        # max(cnt, 1) guard would silently emit all-zero logits there
+        raise ValueError(f'stride ({stride}) must be <= kernel_size '
+                         f'({kernel_size}) or the tiling leaves uncovered '
+                         f'pixels')
     if tta is not None:
         if tta != 'd4':
             raise ValueError(f"tta must be None or 'd4', got {tta!r}")

@@ -40,6 +40,9 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     Boundary strips get zero padding (same semantics as conv SAME padding at
     the true image border).  Must run inside ``shard_map`` over ``axis_name``.
     """
+    if halo == 0:
+        # `x[:, -0:]` below would slice the WHOLE strip, not zero rows
+        return x
     k = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     top = x[:, :halo]
@@ -65,9 +68,10 @@ def halo_exchange_exact(x: jnp.ndarray, halo: int, axis_name: str):
     otherwise).  Requires ``2 * halo <= h_local``.
     """
     k = jax.lax.axis_size(axis_name)
-    if k == 1:
-        # single strip IS the whole image: no halo, no wrap — the ring
-        # ppermute below would feed the strip its own rows as a halo
+    if k == 1 or halo == 0:
+        # single strip IS the whole image (no halo, no wrap — the ring
+        # ppermute below would feed the strip its own rows as a halo); and
+        # halo == 0 would make `x[:, -0:]` slice the whole strip
         return x, 0
     idx = jax.lax.axis_index(axis_name)
     top2 = x[:, :2 * halo]

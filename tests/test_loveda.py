@@ -24,8 +24,17 @@ def _make_loveda(tmp_path, n=3, size=64):
 
 def test_loveda_layout_and_mask_encoding(tmp_path):
     root = _make_loveda(tmp_path)
-    ds = registry.DATASET['loveda'](dict(root=root, split='val', crop_size=32))
-    assert len(ds) == 6          # 2 domains x 3
+    # official protocol: val/test return the FULL scene (no silent center
+    # crop — scoring mIoU on the center quarter diverged from the benchmark)
+    ds_full = registry.DATASET['loveda'](dict(root=root, split='val',
+                                              crop_size=32))
+    assert len(ds_full) == 6     # 2 domains x 3
+    img_f, mask_f = ds_full[0]
+    assert img_f.shape == (64, 64, 3) and mask_f.shape == (64, 64)
+
+    # eval_crop=True opts into the deterministic center crop
+    ds = registry.DATASET['loveda'](dict(root=root, split='val', crop_size=32,
+                                         eval_crop=True))
     img, mask = ds[0]
     assert img.shape == (32, 32, 3) and img.dtype == np.float32
     assert mask.shape == (32, 32) and mask.dtype == np.int32
@@ -33,10 +42,12 @@ def test_loveda_layout_and_mask_encoding(tmp_path):
     vals = set(np.unique(mask).tolist())
     assert vals <= set(range(7)) | {255}
 
-    # val split center-crops deterministically
+    # center crop is deterministic
     a, _ = ds[1]
     b, _ = ds[1]
     np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(img),
+                                  np.asarray(img_f)[16:48, 16:48])
 
 
 def test_loveda_train_crop_reseeds_per_epoch(tmp_path):

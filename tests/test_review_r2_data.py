@@ -1,0 +1,110 @@
+"""Regression tests for the round-2 data/magic/api review findings."""
+
+import numpy as np
+import pytest
+
+import ever_tpu  # noqa: F401 — registrations
+from ever_tpu.core import registry
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr).save(path)
+
+
+def test_geotile_rejects_scene_smaller_than_patch(tmp_path):
+    """A scene smaller than patch_size must fail at CONSTRUCTION with an
+    actionable message, not mid-epoch with a stack/bounds error."""
+    rng = np.random.default_rng(0)
+    _write_png(tmp_path / 'small.png',
+               rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match='smaller than'):
+        registry.DATASET['geotile'](dict(
+            image_glob=str(tmp_path / '*.png'), patch_size=64, stride=64))
+
+
+def test_geotile_scene_size_multiband_tiff(tmp_path):
+    """_scene_size must use the same tifffile-first decode as read_raster:
+    PIL cannot open >4-band TIFFs the fetch path fully supports."""
+    tifffile = pytest.importorskip('tifffile')
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 255, size=(32, 48, 6), dtype=np.uint8)
+    tifffile.imwrite(str(tmp_path / 'scene.tif'), scene)
+    ds = registry.DATASET['geotile'](dict(
+        image_glob=str(tmp_path / '*.tif'), patch_size=16, stride=16))
+    assert len(ds) == 6  # 2x3 grid of 16x16 patches over 32x48
+    img = ds[0]
+    assert img.shape == (16, 16, 6)
+
+
+def test_geotile_mask_dtype_config(tmp_path):
+    """The documented mask_dtype key must actually take effect (config keys
+    that silently do nothing have masked real bugs before)."""
+    rng = np.random.default_rng(0)
+    _write_png(tmp_path / 'img.png',
+               rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8))
+    _write_png(tmp_path / 'msk.png',
+               rng.integers(0, 7, size=(32, 32), dtype=np.uint8))
+    ds = registry.DATASET['geotile'](dict(
+        scene_pairs=[(str(tmp_path / 'img.png'), str(tmp_path / 'msk.png'))],
+        patch_size=16, stride=16, mask_dtype='uint8'))
+    _, mask = ds[0]
+    assert mask.dtype == np.uint8
+    # the native batched fast path honors it too
+    out = ds.read_batch([0, 1])
+    if out is not NotImplemented:
+        assert out[1].dtype == np.uint8
+
+
+def test_tiled_inference_rejects_gapped_stride():
+    import jax.numpy as jnp
+    from ever_tpu.magic.tiled import tiled_inference
+
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match='stride'):
+        tiled_inference(lambda t: t, img, kernel_size=16, stride=24,
+                        num_classes=3)
+
+
+def test_scale_transform_arg_validation():
+    from ever_tpu.magic.transform import Scale
+
+    with pytest.raises(ValueError, match='exactly one'):
+        Scale()
+    with pytest.raises(ValueError, match='exactly one'):
+        Scale(size=(16, 16), scale_factor=0.5)
+    s = Scale(scale_factor=0.5)   # valid spellings still construct
+    t = Scale(size=(16, 16))
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    assert np.asarray(s.transform(x)).shape == (1, 16, 16, 3)
+    assert np.asarray(t.transform(x)).shape == (1, 16, 16, 3)
+
+
+def test_loader_in_flight_scales_with_num_workers():
+    """torch semantics: num_workers * prefetch_factor batches in flight —
+    the loader must actually occupy its workers, not cap at prefetch_factor."""
+    import threading
+    import time
+    from ever_tpu.data.loader import DataLoader
+
+    peak = [0]
+    active = [0]
+    lock = threading.Lock()
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            time.sleep(0.02)
+            with lock:
+                active[0] -= 1
+            return np.zeros(2, np.float32)
+
+    dl = DataLoader(DS(), batch_size=1, num_workers=8, prefetch_factor=2)
+    for _ in dl:
+        pass
+    assert peak[0] >= 4, f'only {peak[0]} concurrent fetches with 8 workers'
