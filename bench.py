@@ -26,7 +26,56 @@ def _peak_for(device) -> float:
     return 197.0 * 1e12
 
 
+def _wait_for_backend(max_wait: float, probe_timeout: float = 240.0) -> str:
+    """Probe ``jax.devices()`` in a SUBPROCESS until the backend answers.
+
+    Returns '' once a probe succeeds, else the last probe error after
+    ``max_wait`` seconds.
+
+    The tunneled axon plugin hangs indefinitely in-process when the TPU
+    tunnel is down (observed: 30+ min of failed probes), which would hang
+    the whole benchmark run.  A subprocess probe is killable; retry within
+    ``max_wait`` seconds (the tunnel does come back) and report failure
+    instead of hanging.  A healthy tunnel answers in ~60-70 s (process
+    startup), hence the generous per-probe timeout.
+    """
+    import os
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait
+    last_err = ''
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=probe_timeout, capture_output=True,
+                env=dict(os.environ, EVER_COMPILE_CACHE='0'))
+            if proc.returncode == 0:
+                return ''
+            last_err = proc.stderr.decode(errors='replace').strip()[-300:]
+        except subprocess.TimeoutExpired:
+            last_err = f'probe timed out after {probe_timeout:.0f}s'
+        if time.time() >= deadline:
+            return last_err or 'backend probe failed'
+        time.sleep(30)
+
+
 def main():
+    # Bound backend acquisition BEFORE touching jax in this process
+    # (EVER_BENCH_WAIT seconds, default 30 min; 0 skips the probe).
+    import os
+    max_wait = float(os.environ.get('EVER_BENCH_WAIT', '1800'))
+    err = _wait_for_backend(max_wait) if max_wait > 0 else ''
+    if err:
+        print(json.dumps({
+            'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
+            'value': 0.0, 'unit': 'tiles/sec/chip', 'vs_baseline': 0.0,
+            'error': f'jax backend unreachable after {max_wait:.0f}s '
+                     f'(TPU tunnel down?); no measurement taken: {err}',
+        }))
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
