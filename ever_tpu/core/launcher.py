@@ -179,9 +179,32 @@ class Launcher:
 
     def evaluate(self, data_loader, config=None):
         if self._evaluate_fn is None:
-            self.info('no evaluate fn injected (override_evaluate); skipping eval')
-            return None
+            fn = self._default_evaluate_fn()
+            if fn is None:
+                self.info('no evaluate fn injected (override_evaluate); '
+                          'skipping eval')
+                return None
+            self.override_evaluate(fn)
         return self._evaluate_fn(data_loader, config)
+
+    def _default_evaluate_fn(self):
+        """Standard pixel-metric eval when the model declares a class count.
+
+        The torch reference raises NotImplementedError until the user wires
+        ``evaluate_pixel_prediction_task`` through ``override_evaluate``
+        (``launcher.py:422-426``); for the common segmentation workflow the
+        class count is already in the model config, so ``eval_after_train``
+        works out of the box.  Custom tasks still override."""
+        cfg = getattr(self._model, 'config', None)
+        if cfg is None:
+            return None
+        classes = cfg.get('classes', None) or cfg.get('num_classes', None)
+        if not classes:
+            return None
+        from ever_tpu.metric.evaluate_fn import evaluate_pixel_prediction_task
+        self.info(f'auto-injecting pixel-prediction eval (classes={classes}); '
+                  'use override_evaluate for custom evaluation')
+        return evaluate_pixel_prediction_task(int(classes))
 
     def evaluate_last_ckpt(self, data_loader, config=None):
         # resume needs a live state to restore into; bootstrap from the

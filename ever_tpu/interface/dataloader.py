@@ -67,7 +67,13 @@ class ERDataset(ConfigurableMixin):
             num_workers=0,
             prefetch_factor=2,
             persistent_workers=False,
-            drop_last=False,
+            # None = auto: drop the ragged tail batch for training samplers.
+            # SPMD training shards every batch over the device mesh, so a
+            # short last batch (len(dataset) % batch_size) cannot be laid
+            # out and would fail mid-epoch; the torch reference tolerates
+            # ragged tails because DDP batches are per-process.  Explicit
+            # True/False is honored as given.
+            drop_last=None,
             sampler_type='StepDistributedSampler',
         ))
         base.update(self._config)
@@ -91,13 +97,27 @@ class ERDataset(ConfigurableMixin):
                     f'divisible by the number of host processes ({world})')
             self.config.batch_size = self.config.total_batch_size // world
 
+        bs = batch_size or self.config.batch_size
+        drop_last = self.config.drop_last
+        if drop_last is None:
+            # auto: uniform batches are a hard requirement for SPMD training
+            # (see the config comment); eval's SequentialSampler keeps the
+            # tail — the distributed eval path pads it to the mesh itself
+            drop_last = self.config.sampler_type in (
+                'StepDistributedSampler', 'DistributedInfiniteSampler',
+                'RandomSampler')
+        if drop_last and len(self) < bs:
+            raise ValueError(
+                f'dataset has {len(self)} samples, fewer than one '
+                f'batch ({bs}); every training batch would be dropped — '
+                'lower batch_size or grow the dataset')
         return DataLoader(
             dataset=self,
             sampler=sampler,
-            batch_size=batch_size or self.config.batch_size,
+            batch_size=bs,
             num_workers=num_workers if num_workers is not None else self.config.num_workers,
             prefetch_factor=prefetch_factor or self.config.prefetch_factor,
             persistent_workers=(persistent_workers if persistent_workers is not None
                                 else self.config.persistent_workers),
-            drop_last=self.config.drop_last,
+            drop_last=drop_last,
         )

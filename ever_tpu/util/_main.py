@@ -33,11 +33,36 @@ if __name__ == '__main__':
 '''
 
 
+def _template_dir() -> str | None:
+    """Locate the shipped ``project_template/`` (repo checkout: sibling of
+    the ``ever_tpu`` package).  None when only the package is installed."""
+    import ever_tpu
+    cand = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(ever_tpu.__file__))), 'project_template')
+    return cand if os.path.isdir(cand) else None
+
+
 def create_project(path: str) -> None:
-    for d in ('configs', 'module', 'data'):
-        os.makedirs(os.path.join(path, d), exist_ok=True)
-    with open(os.path.join(path, 'train.py'), 'w') as f:
-        f.write(TRAIN_SCRIPT)
-    with open(os.path.join(path, 'infer.py'), 'w') as f:
-        f.write(INFER_SCRIPT)
+    """Scaffold a user project.
+
+    When the full ``project_template/`` tree is available it is copied
+    whole — train/infer entry points plus the five benchmark configs
+    (farseg_r50_loveda, factseg_r50_isaid, changestar/changemask_levircd,
+    changeos_r50_xview2).  Otherwise fall back to minimal scaffolding with
+    the same layout (parity: ``ever/util/_main.py:4-23``).
+    """
+    tpl = _template_dir()
+    if tpl is not None:
+        import shutil
+        shutil.copytree(tpl, path, dirs_exist_ok=True,
+                        ignore=shutil.ignore_patterns('__pycache__', '.gitkeep'))
+        for d in ('configs', 'module', 'data'):
+            os.makedirs(os.path.join(path, d), exist_ok=True)
+    else:
+        for d in ('configs', 'module', 'data'):
+            os.makedirs(os.path.join(path, d), exist_ok=True)
+        with open(os.path.join(path, 'train.py'), 'w') as f:
+            f.write(TRAIN_SCRIPT)
+        with open(os.path.join(path, 'infer.py'), 'w') as f:
+            f.write(INFER_SCRIPT)
     print(f'created project in {path}')

@@ -298,3 +298,48 @@ def test_halo_exchange_halo0_identity():
     out2 = jax.jit(shard_map(g, mesh=mesh, in_specs=P('data'),
                              out_specs=P('data')))(x)
     np.testing.assert_array_equal(np.asarray(out2), x)
+
+
+def test_evaluate_auto_injects_pixel_eval(tmp_path):
+    """eval_after_train must work out of the box for segmentation models:
+    when no evaluate fn was injected and the model config declares a class
+    count, the standard pixel-prediction eval is auto-wired (the torch
+    reference raises NotImplementedError until the user wires it)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.interface import ERModule
+
+    class Seg(ERModule):
+        def set_default_config(self):
+            self.config.update(dict(classes=4))
+
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            logits = nn.Conv(self.config.classes, (1, 1))(x)
+            if train:
+                onehot = jax.nn.one_hot(y, self.config.classes)
+                return {'cls_loss': -jnp.mean(
+                    jax.nn.log_softmax(logits) * onehot)}
+            return logits
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return (rng.normal(size=(16, 16, 3)).astype(np.float32),
+                    rng.integers(0, 4, size=(16, 16)).astype(np.int32))
+
+    dl = DataLoader(DS(), batch_size=2)
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), Seg(), factory.build(0.01), None)
+    tl.init_state(next(iter(dl)))
+    acc = tl.evaluate(dl)
+    assert acc is not None  # full metric table came back
+    mean_iou = float(np.mean(acc.iou()))
+    assert 0.0 <= mean_iou <= 1.0

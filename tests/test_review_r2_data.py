@@ -108,3 +108,48 @@ def test_loader_in_flight_scales_with_num_workers():
     for _ in dl:
         pass
     assert peak[0] >= 4, f'only {peak[0]} concurrent fetches with 8 workers'
+
+
+def test_create_project_ships_template_tree(tmp_path):
+    """`ever_tpu create` must copy the full project_template (train/infer
+    entry points AND the benchmark configs), not bare scaffolding."""
+    from ever_tpu.util._main import create_project
+
+    dest = tmp_path / 'proj'
+    create_project(str(dest))
+    assert (dest / 'train.py').exists() and (dest / 'infer.py').exists()
+    for d in ('configs', 'module', 'data'):
+        assert (dest / d).is_dir()
+    cfgs = {p.name for p in (dest / 'configs').glob('*.py')}
+    assert 'farseg_r50_loveda.py' in cfgs and len(cfgs) >= 5
+
+
+def test_erdataset_auto_drops_ragged_training_tail():
+    """SPMD shards every training batch over the mesh: a ragged last batch
+    (len % batch_size) cannot be laid out and used to crash mid-epoch.
+    drop_last=None (auto) drops it for training samplers, keeps eval tails,
+    and honors an explicit False."""
+    from ever_tpu.interface.dataloader import ERDataset
+
+    class DS(ERDataset):
+        def set_default_config(self):
+            pass
+
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.zeros(2, np.float32)
+
+    dl = DS(dict(batch_size=8)).to_dataloader()
+    batches = list(dl)
+    assert len(batches) == 1 and batches[0].shape[0] == 8
+
+    dl = DS(dict(batch_size=8, sampler_type='SequentialSampler')).to_dataloader()
+    assert [b.shape[0] for b in dl] == [8, 4]  # eval keeps the tail
+
+    dl = DS(dict(batch_size=8, drop_last=False)).to_dataloader()
+    assert [b.shape[0] for b in dl] == [8, 4]  # explicit False honored
+
+    with pytest.raises(ValueError, match='fewer than one'):
+        DS(dict(batch_size=16)).to_dataloader()
