@@ -93,10 +93,19 @@ class AttrDict(OrderedDict):
         if len(opts) % 2 != 0:
             raise ValueError(f'override list must have even length, got {len(opts)}: {opts}')
         for dotted, raw in zip(opts[0::2], opts[1::2]):
-            try:
-                value = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                value = raw
+            low = raw.lower() if isinstance(raw, str) else raw
+            if low in ('true', 'false'):
+                # 'false' is not a Python literal: literal_eval would leave
+                # the TRUTHY string 'false' in the config — a silent no-op
+                # for every boolean flag typed in lowercase
+                value = (low == 'true')
+            elif low in ('null', 'none'):
+                value = None
+            else:
+                try:
+                    value = ast.literal_eval(raw)
+                except (ValueError, SyntaxError):
+                    value = raw
             node = self
             keys = dotted.split('.')
             for k in keys[:-1]:

@@ -202,9 +202,31 @@ class Launcher:
         if not classes:
             return None
         from ever_tpu.metric.evaluate_fn import evaluate_pixel_prediction_task
-        self.info(f'auto-injecting pixel-prediction eval (classes={classes}); '
-                  'use override_evaluate for custom evaluation')
-        return evaluate_pixel_prediction_task(int(classes))
+
+        def _auto_eval(slf, loader, config=None):
+            # only plain (x, mask) batches fit the pixel-prediction task:
+            # structured labels (change detection's {'masks','change'},
+            # damage assessment's {'loc','damage'}) need a task-specific
+            # parse the user must wire via override_evaluate
+            first = next(iter(loader), None)
+            if first is None:
+                slf.info('empty eval dataloader; skipping eval')
+                return None
+            y = (first[1] if isinstance(first, (tuple, list))
+                 and len(first) > 1 else None)
+            if not hasattr(y, 'shape'):
+                slf.info(
+                    f'eval labels are {type(y).__name__}, not a plain mask '
+                    'array; auto pixel eval does not apply — wire a custom '
+                    'fn via override_evaluate. Skipping eval.')
+                return None
+            slf.info(f'auto-injecting pixel-prediction eval '
+                     f'(classes={classes}); use override_evaluate for '
+                     'custom evaluation')
+            return evaluate_pixel_prediction_task(int(classes))(
+                slf, loader, config)
+
+        return _auto_eval
 
     def evaluate_last_ckpt(self, data_loader, config=None):
         # resume needs a live state to restore into; bootstrap from the

@@ -1,8 +1,9 @@
 # ChangeOS building damage assessment on xView2 (BASELINE.json config 5):
 # localization + damage branches; whole-scene deployment composes with
 # er.magic.tiled_inference over the pre/post-event scene pair.
-# Register an 'xview2' DATASET yielding (x [H,W,6] pre‖post,
-# {'loc': [H,W] binary buildings, 'damage': [H,W] 0..4}).
+# The built-in 'xview2' DATASET (ever_tpu.data.benchmarks) reads a standard
+# xBD checkout: {root}/{split}/images/{id}_{pre,post}_disaster.png +
+# targets/*_target.png; set data.*.params.root below (or via CLI opts).
 config = dict(
     model=dict(type='ChangeOS', params=dict(
         encoder=dict(resnet_type='resnet50', pretrained=''),

@@ -1,6 +1,7 @@
 # ChangeStar bi-temporal change detection on LEVIR-CD (BASELINE.json config 4).
-# Register a 'levircd' DATASET yielding (x [H,W,6] t1‖t2 stacked on channels,
-# {'masks': [H,W,2] building masks, 'change': [H,W]}).
+# The built-in 'levircd' DATASET (ever_tpu.data.benchmarks) reads a standard
+# LEVIR-CD checkout: {root}/{train|val|test}/{A,B,label}/*.png; set
+# data.*.params.root below (or via CLI opts).
 config = dict(
     model=dict(type='ChangeStar', params=dict(
         encoder=dict(resnet_type='resnet18', pretrained=''),

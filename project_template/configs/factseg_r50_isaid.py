@@ -1,7 +1,8 @@
 # FactSeg-R50 small-object segmentation on iSAID (BASELINE.json config 3):
 # dual-branch foreground-activation head with collaborative probability.
-# Register an 'isaid' DATASET yielding (image HWC, mask HW) 512² patches
-# (class 0 = background, 255 = ignore).
+# The built-in 'isaid' DATASET (ever_tpu.data.benchmarks) reads a standard
+# iSAID checkout ({root}/{split}/images with *_instance_color_RGB.png masks,
+# official palette -> classes 0..15, 255 = ignore); set data.*.params.root.
 config = dict(
     model=dict(type='FactSeg', params=dict(
         encoder=dict(resnet_type='resnet50', pretrained=''),

@@ -1,6 +1,6 @@
 # Canonical FarSeg-R50 LoveDA config (BASELINE.json demo geometry: 512x512
-# crops, 7 classes). Register a 'loveda' DATASET in data/ pointing at your
-# LoveDA tiles; this config wires the benchmark model to it.
+# crops, 7 classes). The built-in 'loveda' DATASET (ever_tpu.data.loveda)
+# reads a standard LoveDA checkout; set data.*.params.root (or via CLI opts).
 config = dict(
     model=dict(type='FarSeg', params=dict(
         encoder=dict(

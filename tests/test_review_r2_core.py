@@ -343,3 +343,60 @@ def test_evaluate_auto_injects_pixel_eval(tmp_path):
     assert acc is not None  # full metric table came back
     mean_iou = float(np.mean(acc.iou()))
     assert 0.0 <= mean_iou <= 1.0
+
+
+def test_update_from_list_lowercase_bools():
+    """'false' is not a Python literal: literal_eval left the TRUTHY string
+    'false' in the config, silently ignoring every lowercase boolean
+    override typed on the CLI."""
+    from ever_tpu.core.config import AttrDict
+
+    cfg = AttrDict(dict(train=dict(eval_after_train=True, thing=1)))
+    cfg.update_from_list(['train.eval_after_train', 'false',
+                          'train.flag', 'TRUE',
+                          'train.opt', 'null',
+                          'train.name', 'falsey_string_value',
+                          'train.thing', '2'])
+    assert cfg.train.eval_after_train is False
+    assert cfg.train.flag is True
+    assert cfg.train.opt is None
+    assert cfg.train.name == 'falsey_string_value'
+    assert cfg.train.thing == 2
+
+
+def test_auto_eval_skips_structured_labels(tmp_path):
+    """Auto-injected pixel eval must not crash on dict labels (change
+    detection / damage assessment) — it probes the first batch and skips
+    with an actionable message."""
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+    from ever_tpu.interface import ERModule
+
+    class CD(ERModule):
+        def set_default_config(self):
+            self.config.update(dict(classes=2))
+
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            logits = nn.Conv(2, (1, 1))(x)
+            if train:
+                return {'cls_loss': jnp.mean(logits ** 2)}
+            return logits
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return (np.zeros((8, 8, 6), np.float32),
+                    dict(masks=np.zeros((8, 8, 2), np.int32),
+                         change=np.zeros((8, 8), np.int32)))
+
+    dl = DataLoader(DS(), batch_size=2)
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), CD(), factory.build(0.01), None)
+    tl.init_state(next(iter(dl)))
+    assert tl.evaluate(dl) is None  # skipped, no crash
