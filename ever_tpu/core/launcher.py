@@ -199,32 +199,43 @@ class Launcher:
         if cfg is None:
             return None
         classes = cfg.get('classes', None) or cfg.get('num_classes', None)
-        if not classes:
+        damage_classes = cfg.get('damage_classes', None)
+        if not classes and not damage_classes:
             return None
-        from ever_tpu.metric.evaluate_fn import evaluate_pixel_prediction_task
+        from ever_tpu.metric import evaluate_fn as E
 
         def _auto_eval(slf, loader, config=None):
-            # only plain (x, mask) batches fit the pixel-prediction task:
-            # structured labels (change detection's {'masks','change'},
-            # damage assessment's {'loc','damage'}) need a task-specific
-            # parse the user must wire via override_evaluate
+            # route by the label structure of the first batch: plain mask →
+            # pixel task; {'change', ...} → binary change detection;
+            # {'loc','damage'} → damage assessment. Anything else needs a
+            # task-specific parse the user wires via override_evaluate.
             first = next(iter(loader), None)
             if first is None:
                 slf.info('empty eval dataloader; skipping eval')
                 return None
             y = (first[1] if isinstance(first, (tuple, list))
                  and len(first) > 1 else None)
-            if not hasattr(y, 'shape'):
+            if isinstance(y, dict) and 'damage' in y and damage_classes:
+                slf.info(f'auto-injecting damage-assessment eval '
+                         f'(damage_classes={damage_classes}); use '
+                         'override_evaluate for custom evaluation')
+                fn = E.evaluate_damage_assessment_task(int(damage_classes))
+            elif isinstance(y, dict) and 'change' in y:
+                slf.info('auto-injecting binary change-detection eval; use '
+                         'override_evaluate for custom evaluation')
+                fn = E.evaluate_change_detection_task()
+            elif hasattr(y, 'shape') and classes:
+                slf.info(f'auto-injecting pixel-prediction eval '
+                         f'(classes={classes}); use override_evaluate for '
+                         'custom evaluation')
+                fn = E.evaluate_pixel_prediction_task(int(classes))
+            else:
                 slf.info(
-                    f'eval labels are {type(y).__name__}, not a plain mask '
-                    'array; auto pixel eval does not apply — wire a custom '
-                    'fn via override_evaluate. Skipping eval.')
+                    f'eval labels are {type(y).__name__}; no auto eval '
+                    'applies — wire a custom fn via override_evaluate. '
+                    'Skipping eval.')
                 return None
-            slf.info(f'auto-injecting pixel-prediction eval '
-                     f'(classes={classes}); use override_evaluate for '
-                     'custom evaluation')
-            return evaluate_pixel_prediction_task(int(classes))(
-                slf, loader, config)
+            return fn(slf, loader, config)
 
         return _auto_eval
 

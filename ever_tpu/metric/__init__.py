@@ -2,6 +2,8 @@ from ever_tpu.metric import function
 from ever_tpu.metric.confusion_matrix import ConfusionMatrix
 from ever_tpu.metric.evaluate_fn import (
     distributed_evaluate_pixel_prediction_task,
+    evaluate_change_detection_task,
+    evaluate_damage_assessment_task,
     evaluate_pixel_prediction_task,
 )
 from ever_tpu.metric.function import (

@@ -19,7 +19,9 @@ from ever_tpu.data.distributed import DistributedNonOverlapSeqSampler
 from ever_tpu.metric.pixel import PixelMetric
 
 __all__ = ['evaluate_pixel_prediction_task',
-           'distributed_evaluate_pixel_prediction_task']
+           'distributed_evaluate_pixel_prediction_task',
+           'evaluate_change_detection_task',
+           'evaluate_damage_assessment_task']
 
 
 def _data_parse_fn(data):
@@ -104,6 +106,62 @@ def evaluate_pixel_prediction_task(num_classes: int,
     return _make_eval_loop(num_classes, data_parse_fn, tune_model_fn,
                            prediction_fn, desc, acc_table_based_callback,
                            distributed=False)
+
+
+def evaluate_change_detection_task(threshold: float = 0.5,
+                                   desc: str = '',
+                                   acc_table_based_callback: Optional[Callable] = None,
+                                   distributed: bool = False):
+    """Binary change-detection eval (additive — the reference ships only the
+    pixel task, ``evaluate_fn.py:22-127``; change models live in downstream
+    projects there).
+
+    Scores the CHANGE head of a bi-temporal model: labels are
+    ``batch[1]['change']`` (or the plain mask), predictions the last element
+    of the model's eval output — ``(s1, s2, change_prob)`` for
+    ChangeStar/ChangeMask (``module/change.py``) — thresholded at
+    ``threshold``.  Class 1's f1/iou row is the LEVIR-CD headline metric.
+    """
+
+    def parse(d):
+        x, y = d[0], d[1]
+        return x, (y['change'] if isinstance(y, dict) else y), {}
+
+    def pred(y_true, y_pred, data_info, model_dir, checkpoint):
+        p = y_pred[-1] if isinstance(y_pred, (tuple, list)) else y_pred
+        if p.ndim == 4:          # [N,H,W,1] probability map
+            p = p[..., -1]
+        return y_true, (p > threshold).astype('int32')
+
+    return _make_eval_loop(2, parse, _tune_model_fn, pred, desc,
+                           acc_table_based_callback, distributed=distributed)
+
+
+def evaluate_damage_assessment_task(damage_classes: int = 5,
+                                    loc_threshold: float = 0.5,
+                                    desc: str = '',
+                                    acc_table_based_callback: Optional[Callable] = None,
+                                    distributed: bool = False):
+    """Building-damage eval (additive; see evaluate_change_detection_task).
+
+    Labels are ``batch[1]['damage']``; predictions compose ChangeOS's two
+    heads the way its deployment does (``module/change.py``): per-pixel
+    damage argmax gated by the localization probability — pixels the loc
+    head rejects score background (0).
+    """
+
+    def parse(d):
+        x, y = d[0], d[1]
+        return x, (y['damage'] if isinstance(y, dict) else y), {}
+
+    def pred(y_true, y_pred, data_info, model_dir, checkpoint):
+        loc, dam = y_pred
+        lab = jnp.argmax(dam, axis=-1)
+        gate = loc[..., 0] if loc.ndim == lab.ndim + 1 else loc
+        return y_true, jnp.where(gate > loc_threshold, lab, 0).astype('int32')
+
+    return _make_eval_loop(damage_classes, parse, _tune_model_fn, pred, desc,
+                           acc_table_based_callback, distributed=distributed)
 
 
 def distributed_evaluate_pixel_prediction_task(

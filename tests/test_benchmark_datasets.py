@@ -193,3 +193,53 @@ def test_benchmark_configs_build_models():
         assert cfg.data.train.type in registry.DATASET, name
         n += 1
     assert n >= 5
+
+
+def test_changeos_auto_damage_eval(tmp_path):
+    """The launcher auto-routes {'loc','damage'} labels to the
+    damage-assessment eval: argmax(damage) gated by the loc head."""
+    from ever_tpu.core.launcher import Launcher
+
+    root = _make_xview2(tmp_path, n=2, size=32)
+    ds = registry.DATASET['xview2'](dict(root=root, split='hold',
+                                         batch_size=2,
+                                         sampler_type='SequentialSampler'))
+    dl = ds.to_dataloader()
+    model = builder.make_model({'type': 'ChangeOS', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=16),
+        decoder=dict(in_channels=16, out_channels=16,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        damage_classes=5, loss=dict(ignore_index=255))})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), model, factory.build(0.01), None)
+    tl.init_state(next(iter(dl)))
+    acc = tl.evaluate(dl)
+    assert acc is not None
+    assert 0.0 <= float(np.mean(acc.iou())) <= 1.0
+
+
+def test_levircd_change_detection_eval(tmp_path):
+    """{'change'} labels auto-route to the binary change-detection eval."""
+    from ever_tpu.core.launcher import Launcher
+
+    root = _make_levircd(tmp_path, n=2, size=32)
+    ds = registry.DATASET['levircd'](dict(root=root, split='test',
+                                          batch_size=2,
+                                          sampler_type='SequentialSampler'))
+    dl = ds.to_dataloader()
+    model = builder.make_model({'type': 'ChangeMask', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=16),
+        decoder=dict(in_channels=16, out_channels=16,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        classes=2, loss=dict(ignore_index=255))})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), model, factory.build(0.01), None)
+    tl.init_state(next(iter(dl)))
+    acc = tl.evaluate(dl)
+    assert acc is not None
+    # two rows (no-change / change) + mean/OA/Kappa footer
+    assert len(acc.rows) >= 2

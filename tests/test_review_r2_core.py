@@ -364,10 +364,10 @@ def test_update_from_list_lowercase_bools():
     assert cfg.train.thing == 2
 
 
-def test_auto_eval_skips_structured_labels(tmp_path):
-    """Auto-injected pixel eval must not crash on dict labels (change
-    detection / damage assessment) — it probes the first batch and skips
-    with an actionable message."""
+def test_auto_eval_routes_structured_labels(tmp_path):
+    """Auto-injected eval routes by label structure: dict labels with
+    'change' run the binary change-detection eval; unrecognized dict labels
+    skip with an actionable message instead of crashing."""
     import jax.numpy as jnp
     import flax.linen as nn
     from ever_tpu.core import builder
@@ -399,4 +399,19 @@ def test_auto_eval_skips_structured_labels(tmp_path):
     factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
     tl = Launcher(str(tmp_path / 'run'), CD(), factory.build(0.01), None)
     tl.init_state(next(iter(dl)))
-    assert tl.evaluate(dl) is None  # skipped, no crash
+    acc = tl.evaluate(dl)           # change-detection eval auto-routes
+    assert acc is not None
+    assert 0.0 <= float(np.mean(acc.iou())) <= 1.0
+
+    class Odd:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return (np.zeros((8, 8, 6), np.float32),
+                    dict(masks=np.zeros((8, 8, 2), np.int32)))
+
+    tl2 = Launcher(str(tmp_path / 'run2'), CD(), factory.build(0.01), None)
+    dl2 = DataLoader(Odd(), batch_size=2)
+    tl2.init_state(next(iter(dl2)))
+    assert tl2.evaluate(dl2) is None  # unrecognized dict: skip, no crash
