@@ -153,3 +153,98 @@ def test_erdataset_auto_drops_ragged_training_tail():
 
     with pytest.raises(ValueError, match='fewer than one'):
         DS(dict(batch_size=16)).to_dataloader()
+
+
+def test_generated_project_auto_registers_and_honors_trainer_flag(tmp_path, monkeypatch):
+    """train.py from `ever_tpu create` must import the project's module/ and
+    data/ registrations and defer to the --trainer CLI flag (it used to
+    hardcode 'th_ddp', silently ignoring --trainer gan_th_ddp)."""
+    import runpy
+    import sys
+    from ever_tpu.util._main import create_project
+
+    proj = tmp_path / 'proj'
+    create_project(str(proj))
+    (proj / 'module' / 'm.py').write_text('''
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from ever_tpu.core import registry
+from ever_tpu.interface import ERModule
+from ever_tpu.module import loss as L
+
+
+class _G(nn.Module):
+    @nn.compact
+    def __call__(self, z):
+        return nn.Dense(8)(nn.relu(nn.Dense(16)(z)))
+
+
+class _D(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(1)(nn.relu(nn.Dense(16)(x)))
+
+
+@registry.MODEL.register('tpl_test_gan')
+class TplGAN(ERModule):
+    def set_default_config(self):
+        self.config.update(dict())
+
+    def setup(self):
+        self.G = _G()
+        self.D = _D()
+
+    def __call__(self, z, train=False):
+        return self.G(z)
+
+    def d_loss(self, batch, train=False):
+        z, real = batch
+        fake = jax.lax.stop_gradient(self.G(z))
+        rl, fl = self.D(real), self.D(fake)
+        return dict(d_loss=L.sigmoid_focal_loss(rl, jnp.ones_like(rl), alpha=-1, gamma=0.0)
+                    + L.sigmoid_focal_loss(fl, jnp.zeros_like(fl), alpha=-1, gamma=0.0))
+
+    def g_loss(self, batch, train=False):
+        z, real = batch
+        fl = self.D(self.G(z))
+        return dict(g_loss=L.sigmoid_focal_loss(fl, jnp.ones_like(fl), alpha=-1, gamma=0.0))
+''')
+    (proj / 'data' / 'd.py').write_text('''
+import numpy as np
+from ever_tpu.core import registry
+from ever_tpu.interface import ERDataset
+
+
+@registry.DATASET.register('tpl_test_gan_data')
+class TplGanData(ERDataset):
+    def set_default_config(self):
+        self._config.update(dict(n=8))
+
+    def __len__(self):
+        return int(self.config.n)
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(int(i))
+        return (rng.normal(size=(4,)).astype(np.float32),
+                rng.normal(size=(8,)).astype(np.float32) + 3.0)
+''')
+    (proj / 'configs' / 'g.py').write_text('''
+config = dict(
+    model=dict(type='tpl_test_gan', params=dict()),
+    data=dict(train=dict(type='tpl_test_gan_data', params=dict(batch_size=8))),
+    learning_rate=dict(G=dict(type='constant', params=dict(base_lr=1e-3)),
+                       D=dict(type='constant', params=dict(base_lr=2e-3))),
+    optimizer=dict(G=dict(type='adam', params=dict()),
+                   D=dict(type='adam', params=dict())),
+    train=dict(num_iters=2, log_interval_step=1, save_ckpt_interval_epoch=-1),
+)
+''')
+    monkeypatch.setattr(sys, 'argv', [
+        'train.py', '--config_path', str(proj / 'configs' / 'g.py'),
+        '--model_dir', str(proj / 'run'), '--trainer', 'gan_th_ddp'])
+    runpy.run_path(str(proj / 'train.py'), run_name='__main__')
+    assert (proj / 'run' / 'config.pkl').exists()
+    from ever_tpu.core import registry
+    del registry.MODEL['tpl_test_gan']
+    del registry.DATASET['tpl_test_gan_data']
