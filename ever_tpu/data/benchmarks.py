@@ -119,8 +119,11 @@ class LEVIRCD(_CroppedSceneDataset):
         a = sorted(_glob.glob(os.path.join(cfg.root, split, 'A', '*.png')))
         self.triples: List[Tuple[str, str, Optional[str]]] = []
         for ap in a:
-            bp = ap.replace(os.sep + 'A' + os.sep, os.sep + 'B' + os.sep)
-            lp = ap.replace(os.sep + 'A' + os.sep, os.sep + 'label' + os.sep)
+            # build siblings from the split dir, NOT str.replace('/A/','/B/')
+            # — a root path containing '/A/' anywhere would corrupt them
+            name = os.path.basename(ap)
+            bp = os.path.join(cfg.root, split, 'B', name)
+            lp = os.path.join(cfg.root, split, 'label', name)
             if os.path.exists(bp):
                 self.triples.append((ap, bp, lp if os.path.exists(lp) else None))
         if not self.triples and cfg.root:
@@ -206,6 +209,13 @@ class XView2(_CroppedSceneDataset):
         if dt is not None:
             damage = np.asarray(_read_png(dt)).astype(np.int32)
             damage = np.where(damage == 5, ig, damage).astype(np.int32)
+        if self.config.get('transforms', None):
+            # a geometric transform applied to (image, mask) pairs cannot
+            # keep x/loc/damage in sync — fail loudly instead of silently
+            # ignoring the key (config keys that do nothing mask real bugs)
+            raise ValueError(
+                'xview2 yields dict labels; per-pair transforms do not '
+                'apply — use the dataset crop/hflip config or wrap samples')
         p = self._crop_params(idx, pre_img.shape[0], pre_img.shape[1])
         pre_img, post_img = self._apply(pre_img, p), self._apply(post_img, p)
         loc, damage = self._apply(loc, p), self._apply(damage, p)
