@@ -99,7 +99,11 @@ class AttrDict(OrderedDict):
                 # the TRUTHY string 'false' in the config — a silent no-op
                 # for every boolean flag typed in lowercase
                 value = (low == 'true')
-            elif low in ('null', 'none'):
+            elif low == 'null':
+                # JSON spelling for None. Deliberately NOT 'none': that is a
+                # common literal string enum value (e.g. loss reduction)
+                # that must survive as a string ('None' parses via
+                # literal_eval for the Python spelling).
                 value = None
             else:
                 try:

@@ -179,22 +179,26 @@ class Launcher:
 
     def evaluate(self, data_loader, config=None):
         if self._evaluate_fn is None:
-            fn = self._default_evaluate_fn()
+            fn = self._default_evaluate_fn(data_loader)
             if fn is None:
                 self.info('no evaluate fn injected (override_evaluate); '
                           'skipping eval')
                 return None
-            self.override_evaluate(fn)
+            self.override_evaluate(fn)   # route once, cache the closure
         return self._evaluate_fn(data_loader, config)
 
-    def _default_evaluate_fn(self):
-        """Standard pixel-metric eval when the model declares a class count.
+    def _default_evaluate_fn(self, data_loader):
+        """Standard eval auto-wiring when the model declares a class count.
 
         The torch reference raises NotImplementedError until the user wires
         ``evaluate_pixel_prediction_task`` through ``override_evaluate``
-        (``launcher.py:422-426``); for the common segmentation workflow the
-        class count is already in the model config, so ``eval_after_train``
-        works out of the box.  Custom tasks still override."""
+        (``launcher.py:422-426``); for the common workflows the class count
+        is already in the model config and the task is identifiable from
+        the label structure of ONE dataset sample, so ``eval_after_train``
+        works out of the box: plain mask → pixel task, ``{'change', ...}``
+        → binary change detection, ``{'loc','damage'}`` → damage
+        assessment.  Routed once and cached via ``override_evaluate``;
+        custom tasks still override."""
         cfg = getattr(self._model, 'config', None)
         if cfg is None:
             return None
@@ -202,42 +206,50 @@ class Launcher:
         damage_classes = cfg.get('damage_classes', None)
         if not classes and not damage_classes:
             return None
+        import jax
+        if jax.process_count() > 1:
+            # the auto closures run a global-mesh jitted eval step, but the
+            # eval callback gates on the master process — injecting here
+            # would leave rank 0 alone inside a collective (the same hazard
+            # _collective_save_backend documents for orbax saves). Wire
+            # distributed_evaluate_pixel_prediction_task explicitly with
+            # train.distributed_evaluate=True on pods.
+            self.info('multi-host run: auto eval is disabled — wire a '
+                      'distributed evaluate fn via override_evaluate')
+            return None
+        # probe ONE dataset sample (not a collated batch; nothing consumed)
+        ds = getattr(data_loader, 'dataset', None)
+        sample = None
+        try:
+            if ds is not None and len(ds) > 0:
+                sample = ds[0]
+        except TypeError:
+            pass
+        if sample is None:
+            self.info('cannot inspect eval labels (loader exposes no sized '
+                      'dataset); wire a fn via override_evaluate')
+            return None
+        y = (sample[1] if isinstance(sample, (tuple, list))
+             and len(sample) > 1 else None)
         from ever_tpu.metric import evaluate_fn as E
-
-        def _auto_eval(slf, loader, config=None):
-            # route by the label structure of the first batch: plain mask →
-            # pixel task; {'change', ...} → binary change detection;
-            # {'loc','damage'} → damage assessment. Anything else needs a
-            # task-specific parse the user wires via override_evaluate.
-            first = next(iter(loader), None)
-            if first is None:
-                slf.info('empty eval dataloader; skipping eval')
-                return None
-            y = (first[1] if isinstance(first, (tuple, list))
-                 and len(first) > 1 else None)
-            if isinstance(y, dict) and 'damage' in y and damage_classes:
-                slf.info(f'auto-injecting damage-assessment eval '
-                         f'(damage_classes={damage_classes}); use '
-                         'override_evaluate for custom evaluation')
-                fn = E.evaluate_damage_assessment_task(int(damage_classes))
-            elif isinstance(y, dict) and 'change' in y:
-                slf.info('auto-injecting binary change-detection eval; use '
-                         'override_evaluate for custom evaluation')
-                fn = E.evaluate_change_detection_task()
-            elif hasattr(y, 'shape') and classes:
-                slf.info(f'auto-injecting pixel-prediction eval '
-                         f'(classes={classes}); use override_evaluate for '
-                         'custom evaluation')
-                fn = E.evaluate_pixel_prediction_task(int(classes))
-            else:
-                slf.info(
-                    f'eval labels are {type(y).__name__}; no auto eval '
-                    'applies — wire a custom fn via override_evaluate. '
-                    'Skipping eval.')
-                return None
-            return fn(slf, loader, config)
-
-        return _auto_eval
+        if isinstance(y, dict) and 'damage' in y and damage_classes:
+            self.info(f'auto-injecting damage-assessment eval '
+                      f'(damage_classes={damage_classes}); use '
+                      'override_evaluate for custom evaluation')
+            return E.evaluate_damage_assessment_task(int(damage_classes))
+        if isinstance(y, dict) and 'change' in y:
+            self.info('auto-injecting binary change-detection eval; use '
+                      'override_evaluate for custom evaluation')
+            return E.evaluate_change_detection_task()
+        if hasattr(y, 'shape') and classes:
+            self.info(f'auto-injecting pixel-prediction eval '
+                      f'(classes={classes}); use override_evaluate for '
+                      'custom evaluation')
+            return E.evaluate_pixel_prediction_task(int(classes))
+        self.info(f'eval labels are {type(y).__name__}; no auto eval '
+                  'applies — wire a custom fn via override_evaluate. '
+                  'Skipping eval.')
+        return None
 
     def evaluate_last_ckpt(self, data_loader, config=None):
         # resume needs a live state to restore into; bootstrap from the

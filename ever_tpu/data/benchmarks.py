@@ -40,7 +40,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ever_tpu.core import registry
-from ever_tpu.interface.dataloader import ERDataset
+from ever_tpu.data._scene import CroppedSceneDataset
 
 __all__ = ['LEVIRCD', 'XView2', 'ISAID', 'ISAID_PALETTE']
 
@@ -51,61 +51,8 @@ def _read_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path))
 
 
-class _CroppedSceneDataset(ERDataset):
-    """Shared seeded-crop/flip plumbing (mirrors ``data/loveda.py``)."""
-
-    def set_default_config(self):
-        self._config.update(dict(
-            root='',
-            split='train',
-            crop_size=512,
-            random_crop=None,      # default: split == 'train'
-            eval_crop=False,       # True: center-crop non-train splits too
-            hflip=True,
-            seed=0,
-            transforms=None,
-        ))
-
-    def __init__(self, config=None):
-        super().__init__(config)
-        self._epoch = 0
-
-    def set_epoch(self, epoch: int) -> None:    # called by the iterator
-        self._epoch = int(epoch)
-
-    def _crop_params(self, idx: int, h: int, w: int):
-        """(y0, x0, k, flip) or None when no crop applies."""
-        cfg = self.config
-        do_crop = cfg.random_crop
-        if do_crop is None:
-            do_crop = str(cfg.split).lower() == 'train'
-        k = int(cfg.crop_size or 0)
-        crop_here = do_crop or bool(cfg.get('eval_crop', False))
-        if not (crop_here and k and h >= k and w >= k):
-            return None
-        if do_crop:
-            rng = np.random.default_rng(
-                (int(cfg.seed) * 1_000_003 + self._epoch) * 1_000_003 + idx)
-            y0 = int(rng.integers(0, h - k + 1))
-            x0 = int(rng.integers(0, w - k + 1))
-            flip = bool(cfg.hflip) and bool(rng.integers(0, 2))
-        else:
-            y0, x0, flip = (h - k) // 2, (w - k) // 2, False
-        return y0, x0, k, flip
-
-    @staticmethod
-    def _apply(arr: Optional[np.ndarray], p) -> Optional[np.ndarray]:
-        if arr is None or p is None:
-            return arr
-        y0, x0, k, flip = p
-        arr = arr[y0:y0 + k, x0:x0 + k]
-        if flip:
-            arr = arr[:, ::-1]
-        return np.ascontiguousarray(arr)
-
-
 @registry.DATASET.register('levircd')
-class LEVIRCD(_CroppedSceneDataset):
+class LEVIRCD(CroppedSceneDataset):
     """LEVIR-CD (Chen & Shi 2020), ``{root}/{split}/{A,B,label}/*.png``."""
 
     def set_default_config(self):
@@ -130,6 +77,8 @@ class LEVIRCD(_CroppedSceneDataset):
             raise FileNotFoundError(
                 f'no LEVIR-CD pairs under {cfg.root}/{split} '
                 '(expected .../A/*.png with matching B/ and label/)')
+        _require_all_or_none(
+            [(ap, lp) for ap, _, lp in self.triples], 'label')
 
     def __len__(self) -> int:
         return len(self.triples)
@@ -144,6 +93,9 @@ class LEVIRCD(_CroppedSceneDataset):
             if change.ndim == 3:
                 change = change[..., 0]
             change = change.astype(np.int32)
+        ig = int(self.config.ignore_index)
+        t1, t2 = self._pad_min(t1, 0), self._pad_min(t2, 0)
+        change = self._pad_min(change, ig)
         p = self._crop_params(idx, t1.shape[0], t1.shape[1])
         t1, t2 = self._apply(t1, p), self._apply(t2, p)
         change = self._apply(change, p)
@@ -153,13 +105,12 @@ class LEVIRCD(_CroppedSceneDataset):
                 x, change = t(x, change)
         if change is None:
             return x
-        ig = int(self.config.ignore_index)
         masks = np.full(change.shape + (2,), ig, np.int32)  # see module doc
         return x, dict(masks=masks, change=change)
 
 
 @registry.DATASET.register('xview2')
-class XView2(_CroppedSceneDataset):
+class XView2(CroppedSceneDataset):
     """xView2/xBD (Gupta et al. 2019), images/ + targets/ per split.
 
     Damage target encoding: 0 background, 1 no-damage, 2 minor, 3 major,
@@ -194,6 +145,17 @@ class XView2(_CroppedSceneDataset):
                 f'no xView2 scenes under {cfg.root}/{split} '
                 '(expected images/*_pre_disaster.png with _post_disaster '
                 'twins; optional targets/*_target.png)')
+        _require_all_or_none([(pp, lt) for pp, _, lt, _ in self.pairs],
+                             'pre_disaster_target')
+        _require_all_or_none([(pp, dt) for pp, _, _, dt in self.pairs],
+                             'post_disaster_target')
+        if cfg.get('transforms', None):
+            # a geometric transform applied to (image, mask) pairs cannot
+            # keep x/loc/damage in sync — fail at construction instead of
+            # deep inside a loader worker thread after training started
+            raise ValueError(
+                'xview2 yields dict labels; per-pair transforms do not '
+                'apply — use the dataset crop/hflip config or wrap samples')
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -209,13 +171,8 @@ class XView2(_CroppedSceneDataset):
         if dt is not None:
             damage = np.asarray(_read_png(dt)).astype(np.int32)
             damage = np.where(damage == 5, ig, damage).astype(np.int32)
-        if self.config.get('transforms', None):
-            # a geometric transform applied to (image, mask) pairs cannot
-            # keep x/loc/damage in sync — fail loudly instead of silently
-            # ignoring the key (config keys that do nothing mask real bugs)
-            raise ValueError(
-                'xview2 yields dict labels; per-pair transforms do not '
-                'apply — use the dataset crop/hflip config or wrap samples')
+        pre_img, post_img = self._pad_min(pre_img, 0), self._pad_min(post_img, 0)
+        loc, damage = self._pad_min(loc, ig), self._pad_min(damage, ig)
         p = self._crop_params(idx, pre_img.shape[0], pre_img.shape[1])
         pre_img, post_img = self._apply(pre_img, p), self._apply(post_img, p)
         loc, damage = self._apply(loc, p), self._apply(damage, p)
@@ -247,14 +204,30 @@ ISAID_PALETTE = {
 }
 
 
-def _isaid_lut() -> np.ndarray:
-    """Packed-int24 RGB → class id lookup, 255 for unknown colors."""
-    lut = {(r << 16) | (g << 8) | b: c for (r, g, b), c in ISAID_PALETTE.items()}
-    return lut
+# module-level sorted packed-int24 key/value arrays: one vectorized
+# searchsorted pass decodes a whole mask (vs one equality pass per color)
+_ISAID_KEYS, _ISAID_VALS = (lambda items: (
+    np.asarray([k for k, _ in items], np.int64),
+    np.asarray([v for _, v in items], np.int32)))(
+    sorted(((r << 16) | (g << 8) | b, c)
+           for (r, g, b), c in ISAID_PALETTE.items()))
+
+
+def _require_all_or_none(pairs, what: str) -> None:
+    """Labels must be present for every sample or for none (a pure test
+    split): a partial set would mix (x, y) tuples with bare arrays in one
+    batch and fail deep inside default_collate mid-epoch."""
+    missing = [img for img, lab in pairs if lab is None]
+    if missing and len(missing) != len(pairs):
+        preview = ', '.join(os.path.basename(m) for m in missing[:5])
+        raise FileNotFoundError(
+            f'{len(missing)}/{len(pairs)} samples are missing their {what} '
+            f'file (e.g. {preview}); provide labels for all samples or '
+            'none (test split)')
 
 
 @registry.DATASET.register('isaid')
-class ISAID(_CroppedSceneDataset):
+class ISAID(CroppedSceneDataset):
     """iSAID (Waqas Zamir et al. 2019), semantic flavor.
 
     Images under ``{root}/{split}/images``; the color-coded semantic mask
@@ -290,6 +263,7 @@ class ISAID(_CroppedSceneDataset):
             raise FileNotFoundError(
                 f'no iSAID images under {img_dir} (expected *.png with '
                 f'*{self._MASK_SUFFIX} masks)')
+        _require_all_or_none(self.pairs, 'semantic mask')
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -298,13 +272,12 @@ class ISAID(_CroppedSceneDataset):
         ig = int(self.config.ignore_index)
         if raw.ndim == 2:       # already class-coded
             return raw.astype(np.int32)
-        rgb = raw[..., :3].astype(np.int32)
+        rgb = raw[..., :3].astype(np.int64)
         packed = (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
-        lut = _isaid_lut()
-        out = np.full(packed.shape, ig, np.int32)
-        for key, cls in lut.items():
-            out[packed == key] = cls
-        return out
+        pos = np.searchsorted(_ISAID_KEYS, packed)
+        pos_c = np.clip(pos, 0, len(_ISAID_KEYS) - 1)
+        hit = _ISAID_KEYS[pos_c] == packed
+        return np.where(hit, _ISAID_VALS[pos_c], ig).astype(np.int32)
 
     def __getitem__(self, idx: int):
         ip, mp = self.pairs[int(idx)]
@@ -314,6 +287,8 @@ class ISAID(_CroppedSceneDataset):
         if image.shape[-1] == 1:
             image = np.repeat(image, 3, axis=-1)
         mask = self._decode_mask(np.asarray(_read_png(mp))) if mp else None
+        image = self._pad_min(image, 0)
+        mask = self._pad_min(mask, int(self.config.ignore_index))
         p = self._crop_params(idx, image.shape[0], image.shape[1])
         image, mask = self._apply(image, p), self._apply(mask, p)
         image = image.astype(np.float32)

@@ -31,7 +31,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ever_tpu.core import registry
-from ever_tpu.interface.dataloader import ERDataset
+from ever_tpu.data._scene import CroppedSceneDataset
 
 __all__ = ['LoveDA']
 
@@ -39,18 +39,11 @@ _SPLIT_DIR = {'train': 'Train', 'val': 'Val', 'test': 'Test'}
 
 
 @registry.DATASET.register('loveda')
-class LoveDA(ERDataset):
+class LoveDA(CroppedSceneDataset):
     def set_default_config(self):
+        super().set_default_config()
         self._config.update(dict(
-            root='',
-            split='train',
             domains=('Urban', 'Rural'),
-            crop_size=512,
-            random_crop=None,     # default: split == 'train'
-            eval_crop=False,      # True: center-crop non-train splits too
-            hflip=True,
-            seed=0,
-            transforms=None,
             layout='hwc',         # 'hwc' | 's2d' (stem='s2d_input')
         ))
 
@@ -70,10 +63,6 @@ class LoveDA(ERDataset):
                 f'no LoveDA images under {cfg.root}/{split} '
                 f'(expected .../{{domain}}/images_png/*.png)')
         self.pairs = pairs
-        self._epoch = 0
-
-    def set_epoch(self, epoch: int) -> None:   # called by the iterator
-        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -91,33 +80,13 @@ class LoveDA(ERDataset):
             mask = np.where(raw == 0, 255, raw - 1).astype(np.int32)
 
         cfg = self.config
-        do_crop = cfg.random_crop
-        if do_crop is None:
-            do_crop = str(cfg.split).lower() == 'train'
-        k = int(cfg.crop_size or 0)
         # cropping applies to training (random) — eval keeps the FULL scene
         # (official protocol) unless eval_crop explicitly opts into the
-        # deterministic center crop.  Silently scoring mIoU on the center
-        # quarter of every scene was a protocol divergence.
-        crop_here = do_crop or bool(cfg.get('eval_crop', False))
-        if crop_here and k and image.shape[0] >= k and image.shape[1] >= k:
-            if do_crop:
-                rng = np.random.default_rng(
-                    (int(cfg.seed) * 1_000_003 + self._epoch) * 1_000_003 + idx)
-                y0 = int(rng.integers(0, image.shape[0] - k + 1))
-                x0 = int(rng.integers(0, image.shape[1] - k + 1))
-                flip = bool(cfg.hflip) and bool(rng.integers(0, 2))
-            else:
-                y0 = (image.shape[0] - k) // 2
-                x0 = (image.shape[1] - k) // 2
-                flip = False
-            image = image[y0:y0 + k, x0:x0 + k]
-            if mask is not None:
-                mask = mask[y0:y0 + k, x0:x0 + k]
-            if flip:
-                image = image[:, ::-1]
-                if mask is not None:
-                    mask = mask[:, ::-1]
+        # deterministic center crop (shared crop/pad plumbing: _scene.py)
+        image = self._pad_min(image, 0)
+        mask = self._pad_min(mask, 255)
+        p = self._crop_params(idx, image.shape[0], image.shape[1])
+        image, mask = self._apply(image, p), self._apply(mask, p)
 
         image = np.ascontiguousarray(image).astype(np.float32)
         if mask is not None:

@@ -106,11 +106,18 @@ class ERDataset(ConfigurableMixin):
             drop_last = self.config.sampler_type in (
                 'StepDistributedSampler', 'DistributedInfiniteSampler',
                 'RandomSampler')
-        if drop_last and len(self) < bs:
+        # the PER-PROCESS epoch length is what drop_last truncates — with a
+        # distributed sampler, len(dataset) can exceed the batch while
+        # ceil(len/world) is still shorter than it (silent empty epochs)
+        try:
+            n_local = len(sampler)
+        except TypeError:
+            n_local = len(self)
+        if drop_last and n_local < bs:
             raise ValueError(
-                f'dataset has {len(self)} samples, fewer than one '
-                f'batch ({bs}); every training batch would be dropped — '
-                'lower batch_size or grow the dataset')
+                f'{n_local} samples per process ({len(self)} total), fewer '
+                f'than one batch ({bs}); every training batch would be '
+                'dropped — lower batch_size or grow the dataset')
         return DataLoader(
             dataset=self,
             sampler=sampler,

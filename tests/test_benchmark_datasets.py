@@ -243,3 +243,42 @@ def test_levircd_change_detection_eval(tmp_path):
     assert acc is not None
     # two rows (no-change / change) + mean/OA/Kappa footer
     assert len(acc.rows) >= 2
+
+
+def test_scene_smaller_than_crop_is_padded(tmp_path):
+    """Training scenes smaller than crop_size pad (image 0, label ignore)
+    instead of silently skipping the crop and crashing np.stack on the
+    mixed-size batch."""
+    root = _make_levircd(tmp_path, n=2, size=24)   # 24 < crop 32
+    ds = registry.DATASET['levircd'](dict(root=root, split='train',
+                                          crop_size=32))
+    x, y = ds[0]
+    assert x.shape == (32, 32, 6)
+    assert y['change'].shape == (32, 32)
+    # the pad region (32² − 24² = 448 px) is ignore-labeled and zero-imaged;
+    # the random hflip may mirror it, so count rather than index
+    assert int((y['change'] == 255).sum()) == 448
+    assert int((x == 0).all(axis=-1).sum()) >= 448
+
+    iroot = _make_isaid(tmp_path, n=2, size=24)
+    img, mask = registry.DATASET['isaid'](dict(root=iroot, split='train',
+                                               crop_size=32))[0]
+    assert img.shape == (32, 32, 3) and mask.shape == (32, 32)
+    assert int((mask == 255).sum()) == 448
+
+
+def test_partial_labels_fail_at_construction(tmp_path):
+    """A split with SOME labels missing must fail at construction (mixed
+    tuple/bare samples would crash default_collate mid-epoch)."""
+    root = _make_levircd(tmp_path, n=3, size=24)
+    import os
+    os.remove(os.path.join(root, 'train', 'label', '0001.png'))
+    with pytest.raises(FileNotFoundError, match='missing their label'):
+        registry.DATASET['levircd'](dict(root=root, split='train'))
+
+    # ALL labels missing is a valid (test) split
+    for f in list((tmp_path / 'levircd' / 'test' / 'label').glob('*.png')):
+        f.unlink()
+    ds = registry.DATASET['levircd'](dict(root=root, split='test'))
+    x = ds[0]
+    assert not isinstance(x, tuple) and x.shape == (24, 24, 6)

@@ -355,11 +355,15 @@ def test_update_from_list_lowercase_bools():
     cfg.update_from_list(['train.eval_after_train', 'false',
                           'train.flag', 'TRUE',
                           'train.opt', 'null',
+                          'train.reduction', 'none',
                           'train.name', 'falsey_string_value',
                           'train.thing', '2'])
     assert cfg.train.eval_after_train is False
     assert cfg.train.flag is True
     assert cfg.train.opt is None
+    # 'none' is a common literal string enum value (loss reduction) and
+    # must SURVIVE as a string; None spells 'null' or Python 'None'
+    assert cfg.train.reduction == 'none'
     assert cfg.train.name == 'falsey_string_value'
     assert cfg.train.thing == 2
 
