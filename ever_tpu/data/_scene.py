@@ -14,7 +14,21 @@ import numpy as np
 
 from ever_tpu.interface.dataloader import ERDataset
 
-__all__ = ['CroppedSceneDataset']
+__all__ = ['CroppedSceneDataset', 'require_all_or_none']
+
+
+def require_all_or_none(pairs, what: str) -> None:
+    """Labels must be present for every sample or for none (a pure test
+    split): a partial set would mix (x, y) tuples with bare arrays in one
+    batch and fail deep inside default_collate mid-epoch."""
+    import os
+    missing = [img for img, lab in pairs if lab is None]
+    if missing and len(missing) != len(pairs):
+        preview = ', '.join(os.path.basename(m) for m in missing[:5])
+        raise FileNotFoundError(
+            f'{len(missing)}/{len(pairs)} samples are missing their {what} '
+            f'file (e.g. {preview}); provide labels for all samples or '
+            'none (test split)')
 
 
 class CroppedSceneDataset(ERDataset):

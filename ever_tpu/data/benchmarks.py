@@ -40,7 +40,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ever_tpu.core import registry
-from ever_tpu.data._scene import CroppedSceneDataset
+from ever_tpu.data._scene import CroppedSceneDataset, require_all_or_none
 
 __all__ = ['LEVIRCD', 'XView2', 'ISAID', 'ISAID_PALETTE']
 
@@ -49,6 +49,12 @@ def _read_png(path: str) -> np.ndarray:
     from PIL import Image
     Image.MAX_IMAGE_PIXELS = None
     return np.asarray(Image.open(path))
+
+
+def _hwc(img: np.ndarray) -> np.ndarray:
+    """Ensure a channel dim: a 2D grayscale frame concatenated on axis=-1
+    would silently produce (H, 2W) instead of (H, W, 2C)."""
+    return img[..., None] if img.ndim == 2 else img
 
 
 @registry.DATASET.register('levircd')
@@ -77,7 +83,7 @@ class LEVIRCD(CroppedSceneDataset):
             raise FileNotFoundError(
                 f'no LEVIR-CD pairs under {cfg.root}/{split} '
                 '(expected .../A/*.png with matching B/ and label/)')
-        _require_all_or_none(
+        require_all_or_none(
             [(ap, lp) for ap, _, lp in self.triples], 'label')
 
     def __len__(self) -> int:
@@ -85,8 +91,8 @@ class LEVIRCD(CroppedSceneDataset):
 
     def __getitem__(self, idx: int):
         ap, bp, lp = self.triples[int(idx)]
-        t1 = _read_png(ap).astype(np.uint8)
-        t2 = _read_png(bp).astype(np.uint8)
+        t1 = _hwc(_read_png(ap).astype(np.uint8))
+        t2 = _hwc(_read_png(bp).astype(np.uint8))
         change = None
         if lp is not None:
             change = (np.asarray(_read_png(lp)) > 127)
@@ -145,9 +151,9 @@ class XView2(CroppedSceneDataset):
                 f'no xView2 scenes under {cfg.root}/{split} '
                 '(expected images/*_pre_disaster.png with _post_disaster '
                 'twins; optional targets/*_target.png)')
-        _require_all_or_none([(pp, lt) for pp, _, lt, _ in self.pairs],
+        require_all_or_none([(pp, lt) for pp, _, lt, _ in self.pairs],
                              'pre_disaster_target')
-        _require_all_or_none([(pp, dt) for pp, _, _, dt in self.pairs],
+        require_all_or_none([(pp, dt) for pp, _, _, dt in self.pairs],
                              'post_disaster_target')
         if cfg.get('transforms', None):
             # a geometric transform applied to (image, mask) pairs cannot
@@ -162,8 +168,8 @@ class XView2(CroppedSceneDataset):
 
     def __getitem__(self, idx: int):
         pp, post, lt, dt = self.pairs[int(idx)]
-        pre_img = _read_png(pp).astype(np.uint8)
-        post_img = _read_png(post).astype(np.uint8)
+        pre_img = _hwc(_read_png(pp).astype(np.uint8))
+        post_img = _hwc(_read_png(post).astype(np.uint8))
         ig = int(self.config.ignore_index)
         loc = damage = None
         if lt is not None:
@@ -213,19 +219,6 @@ _ISAID_KEYS, _ISAID_VALS = (lambda items: (
            for (r, g, b), c in ISAID_PALETTE.items()))
 
 
-def _require_all_or_none(pairs, what: str) -> None:
-    """Labels must be present for every sample or for none (a pure test
-    split): a partial set would mix (x, y) tuples with bare arrays in one
-    batch and fail deep inside default_collate mid-epoch."""
-    missing = [img for img, lab in pairs if lab is None]
-    if missing and len(missing) != len(pairs):
-        preview = ', '.join(os.path.basename(m) for m in missing[:5])
-        raise FileNotFoundError(
-            f'{len(missing)}/{len(pairs)} samples are missing their {what} '
-            f'file (e.g. {preview}); provide labels for all samples or '
-            'none (test split)')
-
-
 @registry.DATASET.register('isaid')
 class ISAID(CroppedSceneDataset):
     """iSAID (Waqas Zamir et al. 2019), semantic flavor.
@@ -263,7 +256,7 @@ class ISAID(CroppedSceneDataset):
             raise FileNotFoundError(
                 f'no iSAID images under {img_dir} (expected *.png with '
                 f'*{self._MASK_SUFFIX} masks)')
-        _require_all_or_none(self.pairs, 'semantic mask')
+        require_all_or_none(self.pairs, 'semantic mask')
 
     def __len__(self) -> int:
         return len(self.pairs)

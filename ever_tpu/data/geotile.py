@@ -205,12 +205,29 @@ class GeoTileDataset(ERDataset):
                         and mask_scene.dtype == np.uint8
                         and mask_scene.flags['C_CONTIGUOUS']):
                     return NotImplemented
+            c_this = scene.shape[2] if scene.ndim == 3 else 1
             if img_out is None:
-                c = scene.shape[2] if scene.ndim == 3 else 1
+                c = c_this
                 ishape = (n, k // 2, k // 2, 4 * c) if s2d else (n, k, k, c)
                 img_out = np.empty(ishape, np.uint8)
-                if mask_path is not None:
-                    masks = np.empty((n, k, k, 1), np.uint8)
+            elif c_this != c:
+                # numpy would silently BROADCAST a narrower scene into the
+                # wider buffer (fabricating replicated channels) — a batch
+                # spanning scenes with different channel counts is a broken
+                # dataset; say which scene
+                raise ValueError(
+                    f'scene {img_path!r} has {c_this} channels; batch buffer '
+                    f'was allocated for {c} — all scenes in a GeoTileDataset '
+                    'must share a channel count')
+            if mask_scene is not None and masks is None:
+                mc = mask_scene.shape[2] if mask_scene.ndim == 3 else 1
+                masks = np.empty((n, k, k, mc), np.uint8)
+            if mask_scene is not None:
+                mc_this = mask_scene.shape[2] if mask_scene.ndim == 3 else 1
+                if mc_this != masks.shape[-1]:
+                    raise ValueError(
+                        f'mask scene {mask_path!r} has {mc_this} channels; '
+                        f'batch buffer was allocated for {masks.shape[-1]}')
             boxes = np.asarray([(y0, x0) for _, x0, y0 in entries], np.int64)
             pos = [p for p, _, _ in entries]
             if s2d:
@@ -224,7 +241,11 @@ class GeoTileDataset(ERDataset):
             img_out = img_out.astype(np.float32)
         if masks is None:
             return img_out
-        return img_out, masks[..., 0].astype(
+        # match the per-item path: single-channel masks squeeze to [n,k,k],
+        # multi-channel (e.g. color-coded) masks keep their channels
+        if masks.shape[-1] == 1:
+            masks = masks[..., 0]
+        return img_out, masks.astype(
             np.dtype(self.config.get('mask_dtype', 'int32')))
 
     def __getitem__(self, idx: int):

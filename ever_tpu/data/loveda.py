@@ -31,7 +31,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ever_tpu.core import registry
-from ever_tpu.data._scene import CroppedSceneDataset
+from ever_tpu.data._scene import CroppedSceneDataset, require_all_or_none
 
 __all__ = ['LoveDA']
 
@@ -56,12 +56,16 @@ class LoveDA(CroppedSceneDataset):
             imgs = sorted(_glob.glob(
                 os.path.join(cfg.root, split, dom, 'images_png', '*.png')))
             for ip in imgs:
-                mp = ip.replace('images_png', 'masks_png')
+                # sibling dir built from components, not str.replace over the
+                # whole path (a root containing 'images_png' would corrupt it)
+                mp = os.path.join(cfg.root, split, dom, 'masks_png',
+                                  os.path.basename(ip))
                 pairs.append((ip, mp if os.path.exists(mp) else None))
         if not pairs and cfg.root:
             raise FileNotFoundError(
                 f'no LoveDA images under {cfg.root}/{split} '
                 f'(expected .../{{domain}}/images_png/*.png)')
+        require_all_or_none(pairs, 'mask')
         self.pairs = pairs
 
     def __len__(self) -> int:

@@ -248,3 +248,37 @@ config = dict(
     from ever_tpu.core import registry
     del registry.MODEL['tpl_test_gan']
     del registry.DATASET['tpl_test_gan_data']
+
+
+def test_loveda_partial_masks_fail_at_construction(tmp_path):
+    """LoveDA gets the same all-or-none mask guard as the other scene
+    datasets (a partial split mixed tuples with bare arrays mid-epoch)."""
+    from tests.test_loveda import _make_loveda
+
+    root = _make_loveda(tmp_path)   # root IS tmp_path in this helper
+    import os
+    victims = sorted((tmp_path / 'Train' / 'Urban' / 'masks_png').glob('*.png'))
+    os.remove(victims[0])
+    with pytest.raises(FileNotFoundError, match='missing their mask'):
+        registry.DATASET['loveda'](dict(root=root, split='train'))
+
+
+def test_geotile_read_batch_multichannel_mask(tmp_path):
+    """The batched fast path must carry C-channel masks like the per-item
+    path (it hardcoded a 1-channel buffer and crashed on color masks)."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    msk = rng.integers(0, 7, (32, 48, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / 'img.png')
+    Image.fromarray(msk).save(tmp_path / 'msk.png')
+    ds = registry.DATASET['geotile'](dict(
+        scene_pairs=[(str(tmp_path / 'img.png'), str(tmp_path / 'msk.png'))],
+        patch_size=16, stride=16, mask_dtype='uint8'))
+    out = ds.read_batch([0, 1])
+    if out is NotImplemented:
+        pytest.skip('native fast path unavailable for this scene type')
+    xb, mb = out
+    assert mb.shape == (2, 16, 16, 3)
+    x0, m0 = ds[0]
+    np.testing.assert_array_equal(mb[0], m0)
