@@ -140,8 +140,14 @@ class ChangeStar(ERModule):
             lcfg = self.config.loss
             ignore = int(lcfg.get('ignore_index', 255))
             masks = y['masks'] if isinstance(y, dict) else y
-            m1 = masks[..., 0]
-            m2 = masks[..., 1] if masks.ndim == 4 and masks.shape[-1] > 1 else None
+            if masks.ndim == 4:
+                m1 = masks[..., 0]
+                m2 = masks[..., 1] if masks.shape[-1] > 1 else None
+            else:
+                # [N,H,W]: single-temporal mask (ChangeStar's original
+                # single-temporal supervision) — slicing [..., 0] here would
+                # cut the WIDTH axis
+                m1, m2 = masks, None
             out = {}
             out['seg_loss'] = L.binary_cross_entropy_with_logits(
                 s1[..., 0], m1.astype(jnp.float32), ignore_index=ignore)

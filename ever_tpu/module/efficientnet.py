@@ -198,14 +198,19 @@ class EFNetEncoder(ERModule):
     def set_default_config(self):
         self.config.update(dict(
             efficientnet_type='efficientnet-b0',
-            output_stride=32,
+            ef_name='',         # reference spelling (efficientnet.py:45);
+            output_stride=32,   # wins over efficientnet_type when set
             bn_frozen=False,
             dtype='float32',
         ))
 
+    @property
+    def _model_name(self) -> str:
+        return self.config.get('ef_name') or self.config.efficientnet_type
+
     def setup(self):
         self.net = EfficientNet(
-            model_name=self.config.efficientnet_type,
+            model_name=self._model_name,
             output_stride=self.config.output_stride,
             bn_frozen=self.config.bn_frozen,
             dtype=jnp.dtype(self.config.dtype),
@@ -227,7 +232,7 @@ class EFNetEncoder(ERModule):
             'efficientnet-b6': (32, 40, 72, 200, 576),
             'efficientnet-b7': (32, 48, 80, 224, 640),
         }
-        return table[self.config.efficientnet_type]
+        return table[self._model_name]
 
 
 def nostride_dilate(encoder, dilate):

@@ -43,21 +43,25 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         act = nn.relu if self.conv_act else None
-        # kaiming-uniform(a=1) init parity for the conv blocks
+        # reference conv factory parity (``fpn.py:23-37``): EVERY fpn conv —
+        # 1x1 inner and 3x3 layer, with or without bn — is kaiming-uniform
+        # (a=1) initialized and bias-FREE
         kinit = nn.initializers.variance_scaling(1.0, 'fan_in', 'uniform')
 
         def block(k, name):
             return ConvBlock(self.out_channels, k, norm=self.conv_norm, act=act,
-                             use_bias=self.conv_norm is None, dtype=self.dtype,
-                             name=name)
+                             use_bias=False, kernel_init=kinit,
+                             dtype=self.dtype, name=name)
 
         n = len(feats)
         last_inner = nn.Conv(self.out_channels, (1, 1), kernel_init=kinit,
+                             use_bias=False,
                              dtype=self.dtype, name=f'fpn_inner{n}')(feats[-1]) \
             if self.conv_norm is None else block(1, f'fpn_inner{n}')(feats[-1], train)
         results = [block(3, f'fpn_layer{n}')(last_inner, train)]
         for idx in range(n - 2, -1, -1):
             lateral = (nn.Conv(self.out_channels, (1, 1), kernel_init=kinit,
+                               use_bias=False,
                                dtype=self.dtype, name=f'fpn_inner{idx + 1}')(feats[idx])
                        if self.conv_norm is None
                        else block(1, f'fpn_inner{idx + 1}')(feats[idx], train))
@@ -90,11 +94,14 @@ class LastLevelP6P7(nn.Module):
 
     @nn.compact
     def __call__(self, c5, p5):
+        # reference init (``fpn.py:130-134``): kaiming-uniform(a=1) weights,
+        # zero bias
+        kinit = nn.initializers.variance_scaling(1.0, 'fan_in', 'uniform')
         x = c5 if self.use_c5 else p5
         p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding='SAME',
-                     dtype=self.dtype, name='p6')(x)
+                     kernel_init=kinit, dtype=self.dtype, name='p6')(x)
         p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding='SAME',
-                     dtype=self.dtype, name='p7')(nn.relu(p6))
+                     kernel_init=kinit, dtype=self.dtype, name='p7')(nn.relu(p6))
         return [p6, p7]
 
 
@@ -213,12 +220,22 @@ class BiFPN(nn.Module):
         assert len(features) == n
         feats = list(features)
 
-        # top-down: finest-last list; walk from coarsest to finest
+        # top-down: finest-last list; walk from coarsest to finest.
+        # Reference (fpn.py:264-268): when the paired level has the SAME
+        # stride as the coarsest (duplicate-stride configs), the resample is
+        # a learned 1x1 conv-bn-relu adapter, not an (identity) resize
+        cs = max(self.feature_strides)
         inner = []
         for idx in range(n - 1):
             x_top = feats.pop()
             x_down = feats.pop()
-            up = resize(x_top, shape=x_down.shape[1:3], method='nearest')
+            fs_up = list(self.feature_strides)[::-1][1:][idx]
+            if cs / fs_up > 1:
+                up = resize(x_top, shape=x_down.shape[1:3], method='nearest')
+            else:
+                up = ConvBlock(self.in_channels, 1, norm='bn',
+                               dtype=self.dtype, name=f'up{idx}_adapter')(
+                    x_top, train)
             fused = _FusedConv3x3(2, self.in_channels, self.normalized_fusion,
                                   dtype=self.dtype,
                                   name=f'bin_fusion{idx}')(
@@ -233,7 +250,13 @@ class BiFPN(nn.Module):
         for idx in range(n - 1):
             x_bottom = inner.pop(0)
             x_up = inner.pop(0)
-            if self.downsample_op == 'conv':
+            fs_dn = list(self.feature_strides)[idx]
+            if cs / fs_dn <= 1:
+                # duplicate-stride level: learned adapter (fpn.py:276-278)
+                down = ConvBlock(self.in_channels, 1, norm='bn',
+                                 dtype=self.dtype,
+                                 name=f'down{idx}_adapter')(x_bottom, train)
+            elif self.downsample_op == 'conv':
                 down = ConvBlock(self.in_channels, 3, stride=2, norm='bn',
                                  dtype=self.dtype,
                                  name=f'down{idx}')(x_bottom, train)

@@ -112,7 +112,10 @@ class FSRelationV2(nn.Module):
             y = ConvBlock(self.out_channels, 1, norm='bn', dtype=self.dtype,
                           name=f'{name}_conv')(x, train)
             if self.dropout_rate > 0:
-                y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+                # reference nn.Dropout2d (fs_relation.py:102,119): channel
+                # dropout, not per-element
+                y = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                               deterministic=not train)(y)
             return y
 
         if self.scale_aware_proj:

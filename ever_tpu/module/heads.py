@@ -65,6 +65,7 @@ class ASPPHead(ERModule):
             aspp=dict(in_channels=2048, out_channels=256, atrous_rates=[6, 12, 18]),
             num_classes=3,
             upsample_scale=8.0,
+            align_corners=True,   # reference: nn.UpsamplingBilinear2d
             dtype='float32',
         ))
 
@@ -75,7 +76,10 @@ class ASPPHead(ERModule):
                                      **self.config.aspp.to_dict())(x, train)
         y = nn.Conv(self.config.num_classes, (1, 1), dtype=dtype,
                     name='classifier')(y)
-        return resize(y, scale=float(self.config.upsample_scale), method='bilinear')
+        return resize(y, scale=float(self.config.upsample_scale),
+                      method='bilinear',
+                      align_corners=bool(self.config.get('align_corners',
+                                                         True)))
 
 
 @registry.OP.register()
@@ -88,6 +92,7 @@ class PyramidPoolModule(nn.Module):
     bins: Sequence[int] = (1, 2, 3, 6)
     bottleneck_conv: str = '3x3'
     dropout_rate: float = 0.0
+    dropout: float = 0.0          # reference kwarg spelling (ppm.py:15)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,8 +108,11 @@ class PyramidPoolModule(nn.Module):
         elif self.bottleneck_conv == '1x1':
             y = ConvBlock(self.out_channels, 1, norm='bn', dtype=self.dtype,
                           name='bottleneck')(y, train)
-        if self.dropout_rate > 0:
-            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        rate = self.dropout_rate or self.dropout
+        if rate > 0:
+            # reference nn.Dropout2d: whole-CHANNEL dropout, not per-element
+            y = nn.Dropout(rate, broadcast_dims=(1, 2),
+                           deterministic=not train)(y)
         return y
 
 
@@ -118,6 +126,7 @@ class PPMHead(ERModule):
                      bins=(1, 2, 3, 6)),
             num_classes=3,
             upsample_scale=8.0,
+            align_corners=True,   # reference: nn.UpsamplingBilinear2d
             dtype='float32',
         ))
 
@@ -128,7 +137,10 @@ class PPMHead(ERModule):
                               **self.config.ppm.to_dict())(x, train)
         y = nn.Conv(self.config.num_classes, (1, 1), dtype=dtype,
                     name='classifier')(y)
-        return resize(y, scale=float(self.config.upsample_scale), method='bilinear')
+        return resize(y, scale=float(self.config.upsample_scale),
+                      method='bilinear',
+                      align_corners=bool(self.config.get('align_corners',
+                                                         True)))
 
 
 @registry.OP.register()
@@ -144,6 +156,7 @@ class Deeplabv3pDecoder(nn.Module):
     out_channels: int = 256
     num_3x3_convs: int = 2
     scale_factor: float = 4.0
+    align_corners: bool = True    # reference: nn.UpsamplingBilinear2d
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +169,8 @@ class Deeplabv3pDecoder(nn.Module):
             dtype=self.dtype, name='aspp')(os16_feat, train)
         high = ConvBlock(self.aspp_channels, 3, norm='bn', dtype=self.dtype,
                          name='os16_transform')(high, train)
-        high = resize(high, scale=float(self.scale_factor), method='bilinear')
+        high = resize(high, scale=float(self.scale_factor), method='bilinear',
+                      align_corners=self.align_corners)
         y = channel_concat([low, high])
         for i in range(self.num_3x3_convs):
             y = SeparableConvBlock(self.out_channels, 3, norm='bn',
@@ -183,6 +197,7 @@ class Deeplabv3pHead(ERModule):
             ),
             num_classes=3,
             upsample_scale=4.0,
+            align_corners=True,   # reference: nn.UpsamplingBilinear2d
             dtype='float32',
         ))
 
@@ -194,7 +209,10 @@ class Deeplabv3pHead(ERModule):
             feat_list, train)
         y = nn.Conv(self.config.num_classes, (1, 1), dtype=dtype,
                     name='classifier')(y)
-        return resize(y, scale=float(self.config.upsample_scale), method='bilinear')
+        return resize(y, scale=float(self.config.upsample_scale),
+                      method='bilinear',
+                      align_corners=bool(self.config.get('align_corners',
+                                                         True)))
 
 
 @registry.OP.register()
@@ -203,12 +221,14 @@ class SimpleFusion(nn.Module):
     (parity: ``hrnet_head.py:8-25``)."""
 
     in_channels: int = 480
+    align_corners: bool = True    # reference: interpolate(align_corners=True)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat_list, train: bool = False):
         target = feat_list[0].shape[1:3]
-        ups = [feat_list[0]] + [resize(f, shape=target, method='bilinear')
+        ups = [feat_list[0]] + [resize(f, shape=target, method='bilinear',
+                                       align_corners=self.align_corners)
                                 for f in feat_list[1:]]
         y = channel_concat(ups)
         return ConvBlock(self.in_channels, 1, norm='bn', dtype=self.dtype,
@@ -224,6 +244,7 @@ class HRNetHead(ERModule):
             hrnet_decoder=dict(in_channels=480),
             num_classes=3,
             upsample_scale=4.0,
+            align_corners=True,   # reference: nn.UpsamplingBilinear2d
             dtype='float32',
         ))
 
@@ -234,4 +255,7 @@ class HRNetHead(ERModule):
                          **self.config.hrnet_decoder.to_dict())(feat_list, train)
         y = nn.Conv(self.config.num_classes, (1, 1), dtype=dtype,
                     name='classifier')(y)
-        return resize(y, scale=float(self.config.upsample_scale), method='bilinear')
+        return resize(y, scale=float(self.config.upsample_scale),
+                      method='bilinear',
+                      align_corners=bool(self.config.get('align_corners',
+                                                         True)))

@@ -471,7 +471,9 @@ class ResidualBlock(nn.Module):
         identity = x
         y = ConvBlock(self.features, 3, norm=self.norm, dtype=self.dtype)(x, train)
         y = ConvBlock(self.features, 3, norm=self.norm, act=None, dtype=self.dtype)(y, train)
-        return nn.relu(y + identity)
+        # NO post-add activation: the reference ResidualBlock returns
+        # seq(x) + identity bare (``ops.py:103-112``)
+        return y + identity
 
 
 class ConvUpsampling(nn.Module):
@@ -481,13 +483,16 @@ class ConvUpsampling(nn.Module):
     scale: int = 2
     kernel_size: int = 3
     method: str = 'bilinear'
+    align_corners: bool = True    # reference: nn.UpsamplingBilinear2d
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBlock(self.features, self.kernel_size, norm=None, act=None,
                       use_bias=True, dtype=self.dtype)(x, train)
-        return resize(x, scale=self.scale, method=self.method)
+        return resize(x, scale=self.scale, method=self.method,
+                      align_corners=(self.align_corners
+                                     and self.method == 'bilinear'))
 
 
 # -- reference module spellings (ops.py:114-190) ------------------------------

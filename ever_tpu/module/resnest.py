@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -63,7 +64,13 @@ class SplAtConv2d(nn.Module):
         a = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='bn1')(a, train)
         a = nn.relu(a)
         a = nn.Conv(self.features * r, (1, 1), dtype=self.dtype, name='fc2')(a)
-        att = nn.softmax(a.reshape(n, 1, 1, r, self.features), axis=3)
+        if r == 1:
+            # resnest package rSoftMax: radix==1 uses a SIGMOID channel gate
+            # (softmax over a singleton axis would be constant 1.0 — dead
+            # attention params)
+            att = jax.nn.sigmoid(a.reshape(n, 1, 1, r, self.features))
+        else:
+            att = nn.softmax(a.reshape(n, 1, 1, r, self.features), axis=3)
         return jnp.sum(att * splits, axis=3)
 
 
@@ -122,8 +129,10 @@ class ResNeSt(nn.Module):
     def __call__(self, x, train: bool = False):
         sizes = RESNEST_SPECS[self.resnest_type]
         geom = _stage_geometry(self.output_stride)
-        # deep stem 3x3x3
-        for i, (c, s) in enumerate(((32, 2), (32, 1), (64, 1))):
+        # deep stem 3x3x3; stem_width is 32 ONLY for resnest50 — 101/200/269
+        # use 64 (reference: resnest.py:44-46, mirroring the package)
+        sw = 32 if self.resnest_type == 'resnest50' else 64
+        for i, (c, s) in enumerate(((sw, 2), (sw, 1), (2 * sw, 1))):
             x = _conv(c, 3, s, name=f'stem_conv{i + 1}', dtype=self.dtype)(x)
             x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen,
                      name=f'stem_bn{i + 1}')(x, train)
@@ -162,7 +171,8 @@ class ResNeStEncoder(ERModule):
     def set_default_config(self):
         self.config.update(dict(
             resnest_type='resnest50',
-            output_stride=32,
+            name='',            # reference spelling (resnest.py:84); wins
+            output_stride=32,   # over resnest_type when set
             radix=2,
             bn_frozen=False,
             dtype='float32',
@@ -170,7 +180,7 @@ class ResNeStEncoder(ERModule):
 
     def setup(self):
         self.net = ResNeSt(
-            resnest_type=self.config.resnest_type,
+            resnest_type=self.config.get('name') or self.config.resnest_type,
             output_stride=self.config.output_stride,
             radix=self.config.radix,
             bn_frozen=self.config.bn_frozen,

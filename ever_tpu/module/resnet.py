@@ -570,7 +570,7 @@ class ResNet(nn.Module):
             # 's2d_input' mode x is ALREADY folded by the loader (its dims
             # halved, possibly odd) and a fallback 7x7/2 conv over the
             # folded layout would be geometrically wrong
-            if self.stem == 's2d_input' or (
+            if self.stem.startswith('s2d_input') or (
                     self.stem.startswith('s2d')
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
                 x = S2DStemConv(64, dtype=self.dtype, mode=self.stem,
