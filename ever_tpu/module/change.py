@@ -140,7 +140,17 @@ class ChangeStar(ERModule):
             lcfg = self.config.loss
             ignore = int(lcfg.get('ignore_index', 255))
             masks = y['masks'] if isinstance(y, dict) else y
-            if masks.ndim == 4:
+            if isinstance(masks, (tuple, list)):
+                # the documented tuple form (module docstring):
+                # (semantic_t1[, semantic_t2], change)
+                parts = list(masks)
+                change_t = parts.pop() if len(parts) > 1 else None
+                m1 = parts[0]
+                m2 = parts[1] if len(parts) > 1 else None
+                if change_t is not None and not isinstance(y, dict):
+                    y = dict(masks=None, change=change_t)
+                masks = None
+            elif masks.ndim == 4:
                 m1 = masks[..., 0]
                 m2 = masks[..., 1] if masks.shape[-1] > 1 else None
             else:

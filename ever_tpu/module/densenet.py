@@ -61,7 +61,8 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         growth, blocks, init_feats = DENSENET_SPECS[self.densenet_type]
-        layer_cls = nn.remat(DenseLayer) if self.memory_efficient else DenseLayer
+        layer_cls = (nn.remat(DenseLayer, static_argnums=(2,))
+                     if self.memory_efficient else DenseLayer)
 
         x = _conv(init_feats, 7, 2, name='conv0', dtype=self.dtype)(x)
         x = Norm('bn', dtype=self.dtype, frozen=self.bn_frozen, name='norm0')(x, train)

@@ -105,7 +105,9 @@ class FactSeg(ERModule):
             if lcfg.get('fa') is not None:
                 out['fa_loss'] = L.binary_cross_entropy_with_logits(
                     fa[..., 0], binary_y.astype(jnp.float32), ignore_index=ignore)
-            if lcfg.get('dice'):
+            if lcfg.get('dice') is not None:
+                # `is not None` like the fa gate: dice=dict() means
+                # "use dice defaults", not "disable dice"
                 out['dice_loss'] = L.dice_loss_with_logits(
                     fa, binary_y, ignore_index=ignore, **dict(lcfg.dice))
             return out

@@ -208,7 +208,7 @@ class HRNetEncoder(ERModule):
             pack_branches=self.config.get('pack_branches', False),
             dtype=jnp.dtype(self.config.dtype),
         )
-        self.hrnet = (nn.remat(HRNet)(**kw) if self.config.with_cp
+        self.hrnet = (nn.remat(HRNet, static_argnums=(2,))(**kw) if self.config.with_cp
                       else HRNet(**kw))
 
     def __call__(self, x, train: bool = False):

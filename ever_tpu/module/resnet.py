@@ -590,7 +590,8 @@ class ResNet(nn.Module):
         n_stages = 4 if self.include_conv5 else 3
         for i in range(n_stages):
             stride, dil, first_dil = geom[i]
-            stage_cls = nn.remat(ResNetStage) if self.with_cp[i] else ResNetStage
+            stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
+                         if self.with_cp[i] else ResNetStage)
             x = stage_cls(block, filters[i], sizes[i], stride=stride, dilation=dil,
                           first_dilation=first_dil, groups=groups, width_per_group=wpg,
                           bn_frozen=self.bn_frozen, se_ratio=self.se_ratio,

@@ -120,9 +120,10 @@ class RopePositionEmbedding(nn.Module):
 # -- norms / ffn / misc layers ----------------------------------------------
 
 class RMSNorm(nn.Module):
-    """Root-mean-square norm (parity: ``layers/rms_norm.py:10-24``)."""
+    """Root-mean-square norm (parity: ``layers/rms_norm.py:10-24``;
+    the reference default eps is 1e-5)."""
 
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -244,7 +245,9 @@ class SelfAttentionBlock(nn.Module):
     num_heads: int
     ffn_ratio: float = 4.0
     qkv_bias: bool = False
-    layerscale_init: Optional[float] = 1e-5
+    # None = no LayerScale (the reference constructor default; SAT/dinov3
+    # checkpoint factories pass 1e-5 explicitly)
+    layerscale_init: Optional[float] = None
     drop_path_rate: float = 0.0
     ffn_layer: str = 'mlp'            # 'mlp' | 'swiglu' | 'swiglu{32,64,128}'
     norm: str = 'ln'                  # 'ln' | 'rms'
@@ -326,11 +329,12 @@ class DinoVisionTransformer(nn.Module):
     vit_type: str = 'vit_large'
     patch_size: int = 16
     n_storage_tokens: int = 4
-    layerscale_init: Optional[float] = 1e-5
+    layerscale_init: Optional[float] = None
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
     ffn_layer: Optional[str] = None   # override VIT_SPECS (e.g. 'swiglu64')
-    norm_eps: float = 1e-6
+    # None -> per-norm reference default: 1e-6 for 'ln', 1e-5 for 'rms'
+    norm_eps: Optional[float] = None
     pos_embed_rope_base: float = 100.0
     pos_embed_rope_normalize_coords: str = 'separate'
     pos_embed_rope_shift_coords: Optional[float] = None
@@ -340,6 +344,9 @@ class DinoVisionTransformer(nn.Module):
     pos_embed_rope_max_period: Optional[float] = None
     norm: str = 'ln'
     untie_cls_and_patch_norms: bool = False
+    # training-only: a separate cls/storage norm for LOCAL crops (index >= 1
+    # of a multi-crop list forward) — reference vision_transformer.py:249-254
+    untie_global_and_local_cls_norm: bool = False
     attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
     dtype: Dtype = jnp.float32
 
@@ -364,26 +371,30 @@ class DinoVisionTransformer(nn.Module):
             shift_coords=self.pos_embed_rope_shift_coords,
             jitter_coords=self.pos_embed_rope_jitter_coords,
             rescale_coords=self.pos_embed_rope_rescale_coords)
-        dpr = [self.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+        # UNIFORM stochastic depth: the reference passes the same
+        # drop_path_rate to every block (vision_transformer.py:154-168) —
+        # no per-depth linear ramp
+        eps = self.norm_eps if self.norm_eps is not None else (
+            1e-5 if self.norm == 'rms' else 1e-6)
+        self._eps = eps
         self.blocks = [SelfAttentionBlock(
             dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
-            layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
+            layerscale_init=self.layerscale_init,
+            drop_path_rate=self.drop_path_rate,
             ffn_layer=self.ffn_layer or ffn_layer, norm=self.norm,
-            norm_eps=self.norm_eps, attn_impl=self.attn_impl, dtype=self.dtype,
+            norm_eps=eps, attn_impl=self.attn_impl, dtype=self.dtype,
             name=f'block{i}') for i in range(depth)]
-        if self.norm == 'rms':
-            self.final_norm = RMSNorm(epsilon=self.norm_eps, dtype=self.dtype,
-                                      name='norm')
-        else:
-            self.final_norm = nn.LayerNorm(epsilon=self.norm_eps,
-                                           dtype=self.dtype, name='norm')
-        if self.untie_cls_and_patch_norms:
+
+        def make_norm(name):
             if self.norm == 'rms':
-                self.cls_norm = RMSNorm(epsilon=self.norm_eps, dtype=self.dtype,
-                                        name='cls_norm')
-            else:
-                self.cls_norm = nn.LayerNorm(epsilon=self.norm_eps,
-                                             dtype=self.dtype, name='cls_norm')
+                return RMSNorm(epsilon=eps, dtype=self.dtype, name=name)
+            return nn.LayerNorm(epsilon=eps, dtype=self.dtype, name=name)
+
+        self.final_norm = make_norm('norm')
+        if self.untie_cls_and_patch_norms:
+            self.cls_norm = make_norm('cls_norm')
+        if self.untie_global_and_local_cls_norm:
+            self.local_cls_norm = make_norm('local_cls_norm')
 
     def _tokens(self, x):
         n = x.shape[0]
@@ -395,14 +406,29 @@ class DinoVisionTransformer(nn.Module):
         tokens = jnp.concatenate(prefix + [tokens], axis=1).astype(self.dtype)
         return tokens, (h, w)
 
-    def forward_features(self, x, train: bool = False):
+    def forward_features(self, x, train: bool = False, local_crop: bool = False):
         tokens, (h, w) = self._tokens(x)
-        rope = self.rope_embed(h, w, train)
+        # the reference recomputes rope INSIDE the block loop
+        # (vision_transformer.py:239-244): in training each block sees
+        # freshly-sampled shift/jitter/rescale coordinate augmentations.
+        # At eval (or with no augs configured) the embedding is
+        # deterministic — hoist it out of the loop
+        augs_on = train and any(r is not None for r in (
+            self.pos_embed_rope_shift_coords, self.pos_embed_rope_jitter_coords,
+            self.pos_embed_rope_rescale_coords))
+        rope = None if augs_on else self.rope_embed(h, w, train)
         for blk in self.blocks:
-            tokens = blk(tokens, rope, train)
+            tokens = blk(tokens, self.rope_embed(h, w, train)
+                         if augs_on else rope, train)
         n_prefix = 1 + self.n_storage_tokens
-        if self.untie_cls_and_patch_norms:
-            cls_and_storage = self.cls_norm(tokens[:, :n_prefix])
+        if (self.untie_global_and_local_cls_norm or
+                self.untie_cls_and_patch_norms):
+            if self.untie_global_and_local_cls_norm and train and local_crop:
+                cls_and_storage = self.local_cls_norm(tokens[:, :n_prefix])
+            elif self.untie_cls_and_patch_norms:
+                cls_and_storage = self.cls_norm(tokens[:, :n_prefix])
+            else:
+                cls_and_storage = self.final_norm(tokens[:, :n_prefix])
             patches = self.final_norm(tokens[:, n_prefix:])
         else:
             normed = self.final_norm(tokens)
@@ -420,19 +446,30 @@ class DinoVisionTransformer(nn.Module):
                                 norm: bool = True, train: bool = False):
         """Dense multi-level features (parity: ``vision_transformer.py:296-333``)."""
         tokens, (h, w) = self._tokens(x)
-        rope = self.rope_embed(h, w, train)
+        augs_on = train and any(r is not None for r in (
+            self.pos_embed_rope_shift_coords, self.pos_embed_rope_jitter_coords,
+            self.pos_embed_rope_rescale_coords))
+        rope = None if augs_on else self.rope_embed(h, w, train)
         idxs = (set(range(self.depth - n, self.depth)) if isinstance(n, int)
                 else set(i % self.depth for i in n))
         outs = []
         for i, blk in enumerate(self.blocks):
-            tokens = blk(tokens, rope, train)
+            tokens = blk(tokens, self.rope_embed(h, w, train)
+                         if augs_on else rope, train)
             if i in idxs:
                 outs.append(tokens)
         n_prefix = 1 + self.n_storage_tokens
         results = []
         for t in outs:
             if norm:
-                t = self.final_norm(t)
+                # untied models norm cls/storage with cls_norm
+                # (reference vision_transformer.py:310-315)
+                if self.untie_cls_and_patch_norms:
+                    t = jnp.concatenate(
+                        [self.cls_norm(t[:, :n_prefix]),
+                         self.final_norm(t[:, n_prefix:])], axis=1)
+                else:
+                    t = self.final_norm(t)
             patches = t[:, n_prefix:]
             if reshape:
                 b = patches.shape[0]
@@ -447,7 +484,11 @@ class DinoVisionTransformer(nn.Module):
         # multi-crop list forward (parity: ``vision_transformer.py:233-272``):
         # resolutions differ per crop → separate traces, shared params
         if isinstance(x, (list, tuple)):
-            return [self.forward_features(xi, train) for xi in x]
+            # reference applies local_cls_norm to index 1 EXACTLY ('assume
+            # second entry of list corresponds to local crops',
+            # vision_transformer.py:249-254)
+            return [self.forward_features(xi, train, local_crop=(i == 1))
+                    for i, xi in enumerate(x)]
         return self.forward_features(x, train)
 
 
@@ -505,9 +546,13 @@ SAT_CONFIGS = {
                            n_storage_tokens=4, layerscale_init=1e-5,
                            qkv_bias=True, norm_eps=1e-5,
                            pos_embed_rope_rescale_coords=2.0),
+    # drop_path 0.4 + the local-crop cls norm are the reference 7b factory
+    # defaults (vision_transformer.py:454-476)
     'vit7b16_sat493m': dict(vit_type='vit_7b', patch_size=16,
                             n_storage_tokens=4, layerscale_init=1e-5,
                             qkv_bias=False, ffn_layer='swiglu64', norm_eps=1e-5,
+                            drop_path_rate=0.4,
+                            untie_global_and_local_cls_norm=True,
                             pos_embed_rope_rescale_coords=2.0),
 }
 

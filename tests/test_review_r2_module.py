@@ -193,3 +193,121 @@ def test_head_align_corners_default_matches_reference():
         torch.from_numpy(src.transpose(0, 3, 1, 2))).numpy().transpose(
         0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+def test_remat_flags_work():
+    """with_cp / memory_efficient crashed with TracerBoolConversionError
+    (nn.remat traced the python `train` bool; needs static_argnums)."""
+    from ever_tpu.module.resnet import ResNet
+    from ever_tpu.module.densenet import DenseNet
+
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    v = ResNet(resnet_type='resnet18', with_cp=(True,) * 4).init(
+        {'params': jax.random.PRNGKey(0)}, x, True)
+    assert 'block0' in v['params']['layer1']
+    v = DenseNet(densenet_type='densenet121', memory_efficient=True).init(
+        {'params': jax.random.PRNGKey(0)}, x, True)
+    m = builder.make_model({'type': 'HRNetEncoder', 'params': dict(
+        hrnet_type='hrnetv2_w18', with_cp=True)})
+    m.init({'params': jax.random.PRNGKey(0)}, x, True)
+
+
+def test_vit_reference_defaults():
+    """Ladder factories follow the reference constructor defaults: NO
+    LayerScale unless layerscale_init is passed, UNIFORM drop path (no
+    per-depth ramp), rms eps 1e-5."""
+    from ever_tpu.module.vit import DinoVisionTransformer
+
+    m = DinoVisionTransformer(vit_type='vit_small')
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    params = m.init({'params': jax.random.PRNGKey(0)}, x)['params']
+    assert 'ls1' not in params['block0'], 'default must not create LayerScale'
+    m2 = DinoVisionTransformer(vit_type='vit_small', layerscale_init=1e-5)
+    p2 = m2.init({'params': jax.random.PRNGKey(0)}, x)['params']
+    assert 'ls1' in p2['block0'] and 'ls2' in p2['block0']
+    # uniform drop path: every block gets the SAME rate attribute
+    m3 = DinoVisionTransformer(vit_type='vit_small', drop_path_rate=0.3)
+    m3 = m3.bind({'params': p2})
+    rates = {blk.drop_path_rate for blk in m3.blocks}
+    assert rates == {0.3}
+
+
+def test_vit_untie_global_local_cls_norm():
+    """Multi-crop training applies local_cls_norm to list index 1 exactly
+    (reference vision_transformer.py:249-254); vit7b16_sat493m config
+    carries the reference factory defaults (drop_path 0.4, untied local)."""
+    from ever_tpu.module.vit import SAT_CONFIGS, DinoVisionTransformer
+
+    cfg = SAT_CONFIGS['vit7b16_sat493m']
+    assert cfg['drop_path_rate'] == 0.4
+    assert cfg['untie_global_and_local_cls_norm'] is True
+
+    m = DinoVisionTransformer(vit_type='vit_small',
+                              untie_cls_and_patch_norms=True,
+                              untie_global_and_local_cls_norm=True)
+    g = jnp.ones((1, 32, 32, 3), jnp.float32)
+    l = jnp.ones((1, 16, 16, 3), jnp.float32)
+    v = m.init({'params': jax.random.PRNGKey(0)}, [g, l], True)
+    assert 'local_cls_norm' in v['params']
+    outs = m.apply(v, [g, l], True, rngs={'dropout': jax.random.PRNGKey(1)})
+    assert len(outs) == 2
+    # eval path ignores the local norm (training-only)
+    outs_eval = m.apply(v, [g, l])
+    assert len(outs_eval) == 2
+
+
+def test_vit_intermediate_layers_untied_norms():
+    """get_intermediate_layers normalizes cls/storage with cls_norm on
+    untied models (reference vision_transformer.py:310-315)."""
+    from ever_tpu.module.vit import DinoVisionTransformer
+
+    m = DinoVisionTransformer(vit_type='vit_small',
+                              untie_cls_and_patch_norms=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    v = m.init({'params': jax.random.PRNGKey(0)}, x)
+    (patches, cls_tok), = m.apply(v, x, n=1, return_class_token=True,
+                                  method=m.get_intermediate_layers)
+    full = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(cls_tok),
+                               np.asarray(full['x_norm_clstoken']),
+                               atol=1e-5)
+
+
+def test_factseg_empty_dice_dict_enables_dice():
+    """loss=dict(dice=dict()) means 'dice with defaults' (the truthiness
+    gate silently disabled it)."""
+    model = builder.make_model({'type': 'FactSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        decoder=dict(in_channels=32, out_channels=32,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        classes=4,
+        loss=dict(ignore_index=255, fa=dict(), dice=dict(), sem=dict()))})
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    y = jnp.zeros((1, 32, 32), jnp.int32)
+    v = model.init({'params': jax.random.PRNGKey(0)}, x, y, train=True)
+    out = model.apply(v, x, y, train=True, mutable=['batch_stats'])[0]
+    assert 'dice_loss' in out
+
+
+def test_changestar_tuple_labels():
+    """The documented tuple label form (sem_t1, sem_t2, change) works."""
+    model = builder.make_model({'type': 'ChangeStar', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+        decoder=dict(in_channels=32, out_channels=32,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        changemixin=dict(in_channels=64, inner_channels=8, num_convs=2,
+                         scale_factor=4.0),
+        classes=1, loss=dict(ignore_index=255))})
+    x = jnp.ones((2, 32, 32, 6), jnp.float32)
+    y = (jnp.zeros((2, 32, 32), jnp.int32),
+         jnp.ones((2, 32, 32), jnp.int32),
+         jnp.ones((2, 32, 32), jnp.int32))
+    v = model.init({'params': jax.random.PRNGKey(0)}, x, y, train=True)
+    out = model.apply(v, x, y, train=True, mutable=['batch_stats'])[0]
+    assert np.isfinite(float(out['seg_loss']))
+    assert np.isfinite(float(out['change_loss']))

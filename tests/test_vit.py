@@ -64,7 +64,8 @@ def test_rmsnorm_matches_formula():
     m = RMSNorm()
     v = m.init(jax.random.key(0), x)
     y = np.asarray(m.apply(v, x))
-    expected = np.asarray(x) / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-6)
+    # reference RMSNorm default eps is 1e-5 (layers/rms_norm.py:11)
+    expected = np.asarray(x) / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-5)
     np.testing.assert_allclose(y, expected, rtol=1e-5)
 
 
