@@ -82,7 +82,21 @@ def mean_iou(cm: jnp.ndarray) -> jnp.ndarray:
 
 intersection_over_union_per_class = iou_per_class
 mean_intersection_over_union = mean_iou
-th_confusion_matrix = confusion_matrix
+
+
+def th_confusion_matrix(y_true, y_pred, num_classes=None, to_dense=True):
+    """Signature parity with ``ever/metric/function.py:4-26``: the 4th
+    positional is ``to_dense`` (a dense CM is always returned here — there
+    is no sparse detour), NOT ignore_index; counts EVERY in-range pixel
+    like the reference (no 255 filtering at this level)."""
+    del to_dense
+    y_true = jnp.asarray(y_true)
+    y_pred = jnp.asarray(y_pred)
+    if num_classes is None:
+        num_classes = int(jnp.maximum(jnp.max(y_true), jnp.max(y_pred))) + 1
+    return confusion_matrix(y_true, y_pred, int(num_classes), ignore_index=-1)
+
+
 th_overall_accuracy_score = overall_accuracy_score
 th_average_accuracy_score = average_accuracy_score
 th_cohen_kappa_score = cohen_kappa_score

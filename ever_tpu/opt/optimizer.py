@@ -36,11 +36,15 @@ class ClipByGlobalNormState(NamedTuple):
     grad_norm: jnp.ndarray
 
 
-def clip_by_global_norm_recording(max_norm: float) -> optax.GradientTransformation:
+def clip_by_global_norm_recording(
+        max_norm: Optional[float]) -> optax.GradientTransformation:
     """``optax.clip_by_global_norm`` that records the norm in its state.
 
     Clip semantics match the reference (`clip_grad`,
     ``ever/interface/module.py:96-108``): scale = min(1, max_norm / norm).
+    ``max_norm=None`` records the norm WITHOUT scaling — the grad_norm
+    metric pathway for unclipped configs (the reference clips only when
+    the config has a grad_clip key).
     """
 
     def init_fn(params):
@@ -50,8 +54,9 @@ def clip_by_global_norm_recording(max_norm: float) -> optax.GradientTransformati
     def update_fn(updates, state, params=None):
         del params
         norm = optax.global_norm(updates)
-        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
-        updates = jax.tree.map(lambda u: u * scale, updates)
+        if max_norm is not None:
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            updates = jax.tree.map(lambda u: u * scale, updates)
         return updates, ClipByGlobalNormState(jnp.asarray(norm, jnp.float32))
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -92,14 +97,15 @@ class OptimizerFactory:
 
     def build(self,
               learning_rate,
-              grad_clip: Optional[dict] = DEFAULT_GRAD_CLIP,
+              grad_clip: Optional[dict] = None,
               param_groups: Optional[Tuple[Any, Dict[str, float]]] = None,
               frozen_prefixes: Optional[Tuple[str, ...]] = None,
               ) -> optax.GradientTransformation:
         """Build the full update chain.
 
         - ``learning_rate``: float or ``step -> lr`` schedule.
-        - ``grad_clip``: ``{'max_norm': float}`` or None to disable
+        - ``grad_clip``: ``{'max_norm': float}``; None (default) trains
+          UNCLIPPED like a reference config without the key
           (parity: ``optimizer.er_config['grad_clip']`` lookup,
           ``ever/core/builder.py:15-22`` + ``interface/module.py:96-108``).
         - ``param_groups``: optional ``(labels_pytree, {label: lr_mult})`` for
@@ -112,6 +118,11 @@ class OptimizerFactory:
         if grad_clip:
             parts.append(clip_by_global_norm_recording(
                 float(grad_clip.get('max_norm', 35.0))))
+        else:
+            # reference parity: no grad_clip key -> train UNCLIPPED
+            # (ever/interface/module.py:96-108 runs only when configured);
+            # the record-only transform keeps the grad_norm metric
+            parts.append(clip_by_global_norm_recording(None))
         core = self._make_core(learning_rate)
         if param_groups is not None:
             labels, mults = param_groups

@@ -31,7 +31,14 @@ def mean_std_normalize(image: jnp.ndarray,
 def divisible_pad(image: jnp.ndarray, size_divisor: int,
                   value: float = 0.0) -> jnp.ndarray:
     """Bottom/right pad H and W to multiples of ``size_divisor``
-    (parity: ``function.py:35-64``).  Works on [..., H, W, C]."""
+    (parity: ``function.py:35-64``).  Works on [..., H, W, C] and bare
+    [H, W] masks (the reference handles dim()==2 explicitly)."""
+    if image.ndim == 2:
+        h, w = image.shape
+        nh = math.ceil(h / size_divisor) * size_divisor
+        nw = math.ceil(w / size_divisor) * size_divisor
+        return jnp.pad(image, [(0, nh - h), (0, nw - w)],
+                       constant_values=value)
     h, w = image.shape[-3], image.shape[-2]
     nh = math.ceil(h / size_divisor) * size_divisor
     nw = math.ceil(w / size_divisor) * size_divisor
@@ -41,7 +48,13 @@ def divisible_pad(image: jnp.ndarray, size_divisor: int,
 
 def pad_to_size(image: jnp.ndarray, size: Tuple[int, int],
                 value: float = 0.0) -> jnp.ndarray:
-    """Bottom/right pad to at least ``size`` (parity: ``function.py:67-83``)."""
+    """Bottom/right pad to at least ``size`` (parity: ``function.py:67-83``);
+    accepts bare [H, W] masks like :func:`divisible_pad`."""
+    if image.ndim == 2:
+        h, w = image.shape
+        nh, nw = max(size[0], h), max(size[1], w)
+        return jnp.pad(image, [(0, nh - h), (0, nw - w)],
+                       constant_values=value)
     h, w = image.shape[-3], image.shape[-2]
     nh, nw = max(size[0], h), max(size[1], w)
     pad = [(0, 0)] * (image.ndim - 3) + [(0, nh - h), (0, nw - w), (0, 0)]

@@ -60,24 +60,33 @@ def _map_mask(mask, fn):
 
 
 class Compose:
-    """Sequential pipeline (parity: ``preprocess/comm.py:4-20``)."""
+    """Sequential pipeline (parity: ``preprocess/comm.py:4-20``): with no
+    mask, transforms are called image-only and a bare image is returned."""
 
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)
 
     def __call__(self, image, mask=None):
+        if mask is None:
+            for t in self.transforms:
+                out = t(image, mask)
+                image = out[0] if isinstance(out, tuple) else out
+            return image
         for t in self.transforms:
             image, mask = t(image, mask)
         return image, mask
 
 
 class CustomOp:
-    """Wrap a plain callable (parity: ``comm.py:23-34``)."""
+    """Wrap a plain callable (parity: ``comm.py:23-34``): image-only fns
+    are called ``fn(image)`` when there is no mask."""
 
     def __init__(self, fn):
         self.fn = fn
 
     def __call__(self, image, mask=None):
+        if mask is None:
+            return self.fn(image)
         return self.fn(image, mask)
 
 
@@ -128,12 +137,26 @@ class RandomTranspose(_RandomP):
         return image, mask
 
 
-class RandomRotate90K(_RandomP):
-    """Rotate by a random k∈{1,2,3} quarter turns (parity: ``segm.py:70-82``)."""
+class RandomRotate90K:
+    """Rotate by k quarter turns with k drawn UNIFORMLY from ``k``
+    (parity: ``segm.py:70-82``; the reference default (0,1,2,3) gives the
+    identity probability 0.25).  ``p`` optionally gates applying any
+    rotation (legacy surface): k=0 with prob 1-p, else uniform over the
+    nonzero entries."""
+
+    def __init__(self, k: Sequence[int] = (0, 1, 2, 3),
+                 p: Optional[float] = None, seed: Optional[int] = None):
+        self.k = tuple(int(x) for x in k)
+        self.p = p
+        self.rng = _ForkSafeRNG(seed)
 
     def __call__(self, image, mask=None):
-        if self.rng.random() < self.p:
-            k = int(self.rng.integers(1, 4))
+        if self.p is not None:
+            ks = [x for x in self.k if x] or [1, 2, 3]
+            k = int(self.rng.choice(ks)) if self.rng.random() < self.p else 0
+        else:
+            k = int(self.rng.choice(self.k))
+        if k:
             image = np.ascontiguousarray(np.rot90(image, k, axes=(0, 1)))
             mask = _map_mask(
                 mask, lambda m: np.ascontiguousarray(np.rot90(m, k, axes=(0, 1))))
@@ -169,24 +192,36 @@ def _resize_bilinear(arr: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
 
 
 class RandomScale:
-    """Random scale in [min, max] with optional ``size_divisor`` snapping
-    (parity: ``segm.py:85-101``)."""
+    """Scale jitter (parity: ``segm.py:85-101``).
 
-    def __init__(self, scale_range=(0.5, 2.0), size_divisor: Optional[int] = None,
-                 seed: Optional[int] = None):
-        self.scale_range = scale_range
+    The reference draws from a DISCRETE ``scales`` list and floor-snaps to
+    ``size_divisor`` (``int(h*s)//d*d``).  Pass ``scales=[...]`` for that
+    exact behavior; ``scale_range=(lo, hi)`` keeps the continuous-uniform
+    variant (additive surface).  Snapped sizes are floored like the
+    reference but never below one divisor (a 0-sized image would crash)."""
+
+    def __init__(self, scales: Optional[Sequence[float]] = None,
+                 size_divisor: Optional[int] = 32,
+                 seed: Optional[int] = None,
+                 scale_range: Optional[Tuple[float, float]] = None):
+        if scales is not None and scale_range is not None:
+            raise ValueError('pass scales OR scale_range, not both')
+        self.scales = list(scales) if scales is not None else None
+        self.scale_range = scale_range or (0.5, 2.0)
         self.size_divisor = size_divisor
         self.rng = _ForkSafeRNG(seed)
 
     def _target(self, h, w, s):
-        nh, nw = int(round(h * s)), int(round(w * s))
+        nh, nw = int(h * s), int(w * s)
         if self.size_divisor:
-            nh = max(int(round(nh / self.size_divisor)) * self.size_divisor, self.size_divisor)
-            nw = max(int(round(nw / self.size_divisor)) * self.size_divisor, self.size_divisor)
+            d = self.size_divisor
+            nh = max(nh // d * d, d)
+            nw = max(nw // d * d, d)
         return nh, nw
 
     def __call__(self, image, mask=None):
-        s = float(self.rng.uniform(*self.scale_range))
+        s = (float(self.rng.choice(self.scales)) if self.scales is not None
+             else float(self.rng.uniform(*self.scale_range)))
         nh, nw = self._target(image.shape[0], image.shape[1], s)
         image = _resize_bilinear(image, (nh, nw))
         mask = _map_mask(mask, lambda m: _resize_nearest(m, (nh, nw)))
@@ -198,8 +233,8 @@ class RandomDiscreteScale(RandomScale):
 
     def __init__(self, scales: Sequence[float], p: float = 0.5,
                  size_divisor: Optional[int] = None, seed: Optional[int] = None):
-        super().__init__((min(scales), max(scales)), size_divisor, seed)
-        self.scales = list(scales)
+        super().__init__(scales=list(scales), size_divisor=size_divisor,
+                         seed=seed)
         self.p = p
 
     def __call__(self, image, mask=None):

@@ -29,7 +29,6 @@ from ever_tpu.core import builder
 from ever_tpu.core.config import AttrDict
 from ever_tpu.core.launcher import Launcher
 from ever_tpu.interface.module import sum_losses
-from ever_tpu.opt.optimizer import DEFAULT_GRAD_CLIP
 from ever_tpu.parallel.mesh import batch_sharding, replicated
 from ever_tpu.trainer.trainer import SPMDTrainer
 
@@ -200,8 +199,7 @@ class GANSPMDTrainer(SPMDTrainer):
             schedules[role] = builder.make_learningrate(lr_cfgs[role])
             factory, opt_cfg = builder.make_optimizer(opt_cfgs[role])
             txs[role] = factory.build(schedules[role],
-                                      grad_clip=opt_cfg.get('grad_clip',
-                                                            DEFAULT_GRAD_CLIP))
+                                      grad_clip=opt_cfg.get('grad_clip'))
         self._launcher = GANLauncher(
             model_dir=self._model_dir,
             model=model,

@@ -19,7 +19,6 @@ from ever_tpu.core import builder, dist
 from ever_tpu.core.config import AttrDict, import_config, save_pkl
 from ever_tpu.core.launcher import Launcher
 from ever_tpu.core.logger import Logger
-from ever_tpu.opt.optimizer import DEFAULT_GRAD_CLIP
 from ever_tpu.parallel.mesh import make_mesh
 
 __all__ = ['Trainer', 'SPMDTrainer', 'merge_dict', 'half_bn']
@@ -106,7 +105,9 @@ class Trainer:
         opt_cfg = self._config.optimizer
         schedule = builder.make_learningrate(lr_cfg)
         factory, opt_config = builder.make_optimizer(opt_cfg)
-        grad_clip = opt_config.get('grad_clip', DEFAULT_GRAD_CLIP)
+        # reference parity: clip ONLY when the config has a grad_clip key
+        # (ever/interface/module.py:96-108); absent -> unclipped training
+        grad_clip = opt_config.get('grad_clip', None)
         param_groups = None
         if hasattr(model, 'custom_param_groups'):
             pg = model.custom_param_groups(None)

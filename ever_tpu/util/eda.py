@@ -22,12 +22,18 @@ def thumbnail(image_path: str, sample_ratio: float = 0.1):
 
 
 def _imread(fp: str) -> np.ndarray:
-    try:
-        import tifffile
-        return tifffile.imread(fp)
-    except ImportError:
-        from PIL import Image
-        return np.asarray(Image.open(fp))
+    # tifffile only for tiff sources; PIL for everything else (and as the
+    # fallback when tifffile is absent) — routing PNG/JPG through
+    # tifffile.imread raises TiffFileError, not ImportError
+    if fp.lower().endswith(('.tif', '.tiff')):
+        try:
+            import tifffile
+            return tifffile.imread(fp)
+        except ImportError:
+            pass
+    from PIL import Image
+    Image.MAX_IMAGE_PIXELS = None
+    return np.asarray(Image.open(fp))
 
 
 def render_multi_binary_mask(file_paths, indexes, palette):

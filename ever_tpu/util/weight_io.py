@@ -52,12 +52,17 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> dict:
 
 
 def _strip_prefixes(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Drop DDP/compile torch prefixes (parity: ``checkpoint.py:144-161``)."""
+    """Drop DDP/compile torch prefixes (parity: ``checkpoint.py:144-161``).
+
+    ``_orig_mod.`` is removed ANYWHERE in the key (the reference does
+    ``k.replace('_orig_mod.', '')`` — torch.compile on a SUBmodule yields
+    keys like ``encoder._orig_mod.layer1...``); ``module.`` only leads."""
     out = {}
     for k, v in flat.items():
-        for pre in ('module.', '_orig_mod.'):
-            if k.startswith(pre):
-                k = k[len(pre):]
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        if '_orig_mod.' in k:
+            k = k.replace('_orig_mod.', '')
         out[k] = v
     return out
 
@@ -718,8 +723,18 @@ def load_weights(path: str, params, batch_stats=None,
     """
     src = _read_file(path)
     if excepts:
+        # anchored like the reference (pattern.match, module.py:60):
+        # excepts='head' drops keys STARTING with head, not containing it.
+        # Keys here are already converted ('params/layer4/...'), so also
+        # match with the leading collection stripped
         pat = re.compile(excepts)
-        src = {k: v for k, v in src.items() if not pat.search(k)}
+
+        def _drop(k: str) -> bool:
+            if pat.match(k):
+                return True
+            return '/' in k and bool(pat.match(k.split('/', 1)[1]))
+
+        src = {k: v for k, v in src.items() if not _drop(k)}
 
     dst_flat = {}
     dst_flat.update({f'params/{k}': v for k, v in flatten_tree(params).items()})
@@ -741,7 +756,11 @@ def load_weights(path: str, params, batch_stats=None,
             # stem conv channel mismatch → recycle channels (patch_first_conv)
             if k.endswith('conv1/kernel') and v.ndim == 4 and \
                     dst_flat[k].shape[:2] == v.shape[:2] and dst_flat[k].shape[3] == v.shape[3]:
-                v = patch_first_conv(v, dst_flat[k].shape[2])
+                # recycle from the kernel's ACTUAL in-channel count — the
+                # default of 3 crashes on 1-channel sources and mis-scales
+                # any non-RGB source
+                v = patch_first_conv(v, dst_flat[k].shape[2],
+                                     default_in_channels=v.shape[2])
             else:
                 mismatched.append((k, v.shape, dst_flat[k].shape))
                 continue

@@ -32,7 +32,7 @@ def test_host_pipeline_shapes():
         ToArray(),
         RandomHorizontalFlip(p=1.0, seed=0),
         RandomRotate90K(p=1.0, seed=0),
-        RandomScale((0.5, 2.0), size_divisor=8, seed=0),
+        RandomScale(scale_range=(0.5, 2.0), size_divisor=8, seed=0),
         RandomCrop((32, 32), seed=0),
         MeanStdNormalize(),
     ])
@@ -109,7 +109,7 @@ def test_joint_transforms_accept_mask_lists():
                     RandomVerticalFlip(p=1.0, seed=0),
                     RandomTranspose(p=1.0, seed=0),
                     RandomRotate90K(p=1.0, seed=0),
-                    RandomScale((1.0, 1.0), seed=0),
+                    RandomScale(scale_range=(1.0, 1.0), size_divisor=None, seed=0),
                     RandomCrop((16, 16), seed=0),
                     DivisiblePad(32),
                     FixedPad((40, 40))])
@@ -140,3 +140,58 @@ def test_transform_rng_reseeds_after_fork(monkeypatch):
     monkeypatch.setattr(os, 'getpid', lambda: real_pid + 1)
     child2 = [float(t3.rng.random()) for _ in range(4)]
     assert child_draws == child2
+
+
+def test_compose_customop_image_only():
+    """Reference contract (comm.py:4-34): with no mask, CustomOp calls
+    fn(image) and Compose returns a bare image."""
+    from ever_tpu.preprocess.segm import Compose, CustomOp
+
+    pipe = Compose([CustomOp(lambda img: img * 2)])
+    out = pipe(np.ones((4, 4, 3), np.float32))
+    assert not isinstance(out, tuple)
+    np.testing.assert_array_equal(out, 2 * np.ones((4, 4, 3), np.float32))
+    pipe2 = Compose([CustomOp(lambda i, m: (i + 1, m))])
+    i2, m2 = pipe2(np.zeros((2, 2, 3), np.float32), np.zeros((2, 2), np.int32))
+    np.testing.assert_array_equal(i2, 1)
+
+
+def test_divisible_pad_2d_mask():
+    """th_divisible_pad accepts bare HW masks (reference function.py:35-64)."""
+    import jax.numpy as jnp
+    from ever_tpu.preprocess.function import divisible_pad, pad_to_size
+
+    m = jnp.ones((30, 45), jnp.int32)
+    out = divisible_pad(m, 32, value=255)
+    assert out.shape == (32, 64)
+    assert int(out[31, 0]) == 255
+    out2 = pad_to_size(m, (32, 64), value=255)
+    assert out2.shape == (32, 64)
+
+
+def test_rotate90k_reference_surface():
+    """RandomRotate90K(k=(0,1,2,3)) draws k uniformly (reference
+    segm.py:70-82); k=(2,) always rotates twice."""
+    from ever_tpu.preprocess.segm import RandomRotate90K
+
+    img = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+    t = RandomRotate90K(k=(2,), seed=0)
+    out, _ = t(img, None)
+    np.testing.assert_array_equal(out, np.rot90(img, 2, axes=(0, 1)))
+    ks = set()
+    t = RandomRotate90K(seed=0)
+    for _ in range(50):
+        out, _ = t(np.ones((2, 3, 1), np.float32), None)
+        ks.add(out.shape[:2])
+    assert ks == {(2, 3), (3, 2)}   # all four k values get drawn
+
+
+def test_random_scale_discrete_reference_mode():
+    """RandomScale(scales=[...]) floor-snaps like the reference
+    (int(h*s)//d*d): 500px at scale 1.0, divisor 32 -> 480, not 512."""
+    from ever_tpu.preprocess.segm import RandomScale
+
+    t = RandomScale(scales=[1.0], size_divisor=32, seed=0)
+    img = np.ones((500, 500, 3), np.float32)
+    out, _ = t(img, None)
+    assert out.shape == (480, 480, 3)

@@ -419,3 +419,29 @@ def test_auto_eval_routes_structured_labels(tmp_path):
     dl2 = DataLoader(Odd(), batch_size=2)
     tl2.init_state(next(iter(dl2)))
     assert tl2.evaluate(dl2) is None  # unrecognized dict: skip, no crash
+
+
+def test_unclipped_config_trains_unclipped_but_records_norm():
+    """Reference parity: a config WITHOUT grad_clip trains unclipped
+    (clipping used to default to max_norm=35); the grad_norm metric is
+    still recorded via the record-only transform."""
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.opt.optimizer import find_recorded_grad_norm
+
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    params = {'w': jnp.ones((4,)) * 1.0}
+    grads = {'w': jnp.ones((4,)) * 100.0}   # global norm 200 >> 35
+
+    tx = factory.build(1.0)                 # no grad_clip -> unclipped
+    st = tx.init(params)
+    upd, st = tx.update(grads, st, params)
+    assert float(jnp.abs(upd['w'][0])) == 100.0
+    assert float(find_recorded_grad_norm(st)) == 200.0
+
+    tx = factory.build(1.0, grad_clip=dict(max_norm=35.0))
+    st = tx.init(params)
+    upd, st = tx.update(grads, st, params)
+    assert abs(float(jnp.abs(upd['w'][0])) - 100.0 * 35.0 / 200.0) < 1e-4
+    assert float(find_recorded_grad_norm(st)) == 200.0
