@@ -75,12 +75,25 @@ def build_from_model_dir(model_dir: str, checkpoint_name: Optional[str] = None):
             variables, _ = _load_variables(best)
             info(f'[Load params] from {best}')
             return model, variables, 'best'
-        fps = list(Path(model_dir).glob('checkpoint-*.ckpt'))
-        if not fps:
-            raise FileNotFoundError(f'no checkpoints in {model_dir}')
-        checkpoint_name = max(
-            fps, key=lambda p: int(p.name.replace('checkpoint-', '')
-                                   .replace('.ckpt', ''))).name
+        # the checkpoint index is authoritative (and the only way to find
+        # orbax checkpoints, which are DIRECTORIES named checkpoint-N)
+        import json
+        info_fp = os.path.join(model_dir, 'checkpoint_info.json')
+        if os.path.exists(info_fp):
+            with open(info_fp) as f:
+                last = json.load(f).get('last') or {}
+            name = last.get('name')
+            if name and os.path.exists(os.path.join(model_dir, name)):
+                checkpoint_name = name
+        if checkpoint_name is None:
+            fps = [p for p in Path(model_dir).glob('checkpoint-*')
+                   if p.name.replace('checkpoint-', ''
+                                     ).replace('.ckpt', '').isdigit()]
+            if not fps:
+                raise FileNotFoundError(f'no checkpoints in {model_dir}')
+            checkpoint_name = max(
+                fps, key=lambda p: int(p.name.replace('checkpoint-', '')
+                                       .replace('.ckpt', ''))).name
     return build_and_load_from_file(cfg_path, os.path.join(model_dir, checkpoint_name))
 
 

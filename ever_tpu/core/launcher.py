@@ -261,21 +261,15 @@ class Launcher:
         return self.evaluate(data_loader, config)
 
     # -- jitted steps --------------------------------------------------------
-    def _ensure_train_step(self, forward_times: int, steps_per_loop: int = 1) -> None:
+    def _ensure_train_step(self, forward_times: int) -> None:
+        # K-step loops are built (and cached per K) by _train_loop_k; this
+        # cache only ever holds the single-step program
         if self._train_step is None or self._forward_times != forward_times:
             self._forward_times = forward_times
-            if steps_per_loop > 1:
-                from ever_tpu.parallel.spmd import build_train_loop
-                self._train_step = build_train_loop(
-                    self._model, self._tx, self._lr_schedule,
-                    steps_per_loop=steps_per_loop,
-                    forward_times=forward_times, mesh=self._mesh,
-                    rng_seed=self._seed)
-            else:
-                self._train_step = build_train_step(
-                    self._model, self._tx, self._lr_schedule,
-                    forward_times=forward_times, mesh=self._mesh,
-                    rng_seed=self._seed)
+            self._train_step = build_train_step(
+                self._model, self._tx, self._lr_schedule,
+                forward_times=forward_times, mesh=self._mesh,
+                rng_seed=self._seed)
 
     def get_eval_step(self, local: bool = False):
         """The jitted eval step.  ``local=True`` returns a step bound to THIS
@@ -375,7 +369,9 @@ class Launcher:
         save_cb._auto_registered = True
         self.register_callback(save_cb)
         if eval_per_epoch or eval_after_train:
-            if eval_per_epoch and eval_interval_epoch < 0:
+            if eval_per_epoch and eval_interval_epoch <= 0:
+                # 0 used to pass validation and then be silently skipped by
+                # run_callbacks' interval <= 0 guard — no eval ever ran
                 raise ValueError('eval_interval_epoch must be positive when '
                                  'eval_per_epoch = True')
             if not eval_per_epoch and eval_interval_epoch > 0:
@@ -397,20 +393,32 @@ class Launcher:
         try:
             if steps_per_loop > 1:
                 self._train_loop_k(iterator, num_iters, steps_per_loop,
-                                   distributed, log_interval_step, sharding)
+                                   distributed, log_interval_step, sharding,
+                                   profile_dir, profile_steps)
             else:
                 self._train_loop(iterator, num_iters, forward_times, distributed,
                                  log_interval_step, sharding, pending,
                                  profile_dir, profile_steps)
         except (KeyboardInterrupt, Exception):
             # crash-save: make the interrupted step resumable (additive over
-            # the reference's resume-from-last-periodic-save posture)
-            if self._state is not None and self._ckpt.global_step > 0:
+            # the reference's resume-from-last-periodic-save posture).
+            # NEVER from one rank of a multi-process run with a collective
+            # (orbax) backend: only the raising rank is here, and entering
+            # the cross-host barrier alone wedges the pod (the same hazard
+            # _collective_save_backend documents for gated saves)
+            collective = (self._ckpt.backend.startswith('orbax')
+                          and jax.process_count() > 1)
+            if (self._state is not None and self._ckpt.global_step > 0
+                    and not collective):
                 try:
                     self._ckpt.save()
                     self.info(f'crash-saved checkpoint at step {self._ckpt.global_step}')
                 except Exception:
                     pass
+            elif collective:
+                self.info('skipping crash-save (collective checkpoint '
+                          'backend on a multi-process run); resume from the '
+                          'last periodic save')
             raise
         self.run_callbacks('after_train')
         self._logger.after_train()
@@ -474,7 +482,8 @@ class Launcher:
             self._log_step(pending, num_iters)
 
     def _train_loop_k(self, iterator, num_iters, steps_per_loop,
-                      distributed, log_interval_step, sharding):
+                      distributed, log_interval_step, sharding,
+                      profile_dir=None, profile_steps=(10, 20)):
         """K optimizer steps per dispatch (``train.steps_per_loop``).
 
         The host stages K batches (firing epoch callbacks / per-step sampler
@@ -488,7 +497,18 @@ class Launcher:
         if self._mesh is not None:
             sharding = batch_sharding(self._mesh, accum_leading=True)
         pending = None
+        profiling = False
         while self._ckpt.global_step < num_iters:
+            # same trace-capture window as _train_loop (start/stop at
+            # dispatch granularity — the window snaps to K multiples)
+            if profile_dir and not profiling and \
+                    self._ckpt.global_step >= profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and self._ckpt.global_step >= profile_steps[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.info(f'profile trace written to {profile_dir}')
             k = min(steps_per_loop, num_iters - self._ckpt.global_step)
             t0 = time.time()
             with jax.profiler.TraceAnnotation('load_data'):
@@ -529,6 +549,9 @@ class Launcher:
             # the dispatch spans k optimizer steps — log PER-STEP times or the
             # smoothed time/step and ETA read k× too large
             pending = (step, metrics, data_time / k, (time.time() - t0) / k)
+        if profiling:
+            jax.profiler.stop_trace()
+            self.info(f'profile trace written to {profile_dir}')
         if pending is not None:
             self._log_step(pending, num_iters)
 

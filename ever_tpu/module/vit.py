@@ -374,9 +374,7 @@ class DinoVisionTransformer(nn.Module):
         # UNIFORM stochastic depth: the reference passes the same
         # drop_path_rate to every block (vision_transformer.py:154-168) —
         # no per-depth linear ramp
-        eps = self.norm_eps if self.norm_eps is not None else (
-            1e-5 if self.norm == 'rms' else 1e-6)
-        self._eps = eps
+        eps = self.resolved_norm_eps
         self.blocks = [SelfAttentionBlock(
             dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
             layerscale_init=self.layerscale_init,
@@ -395,6 +393,15 @@ class DinoVisionTransformer(nn.Module):
             self.cls_norm = make_norm('cls_norm')
         if self.untie_global_and_local_cls_norm:
             self.local_cls_norm = make_norm('local_cls_norm')
+
+    @property
+    def resolved_norm_eps(self) -> float:
+        """norm_eps=None resolves to the per-norm reference default —
+        exposed for code that rebuilds blocks from trunk attrs
+        (``parallel/pp.py``)."""
+        if self.norm_eps is not None:
+            return self.norm_eps
+        return 1e-5 if self.norm == 'rms' else 1e-6
 
     def _tokens(self, x):
         n = x.shape[0]

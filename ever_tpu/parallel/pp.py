@@ -122,7 +122,7 @@ def pipelined_vit_apply(model, variables, mesh: Mesh, *,
         layerscale_init=model.layerscale_init,
         drop_path_rate=model.drop_path_rate,
         ffn_layer=model.ffn_layer or ffn_layer, norm=model.norm,
-        norm_eps=model.norm_eps, attn_impl=model.attn_impl,
+        norm_eps=model.resolved_norm_eps, attn_impl=model.attn_impl,
         dtype=model.dtype)
 
     def embed(x):

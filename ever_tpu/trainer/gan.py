@@ -155,16 +155,6 @@ class GANLauncher(Launcher):
             state = jax.device_put(state, replicated(self._mesh))
         self._state = state
 
-    def restore_state(self, params, batch_stats, opt_state, global_step: int) -> None:
-        import numpy as np
-        if self._state is None:
-            raise RuntimeError('init_state must run before restore_state')
-        self._state = self._state.replace(
-            step=np.int32(global_step), params=params,
-            batch_stats=batch_stats, opt_state=opt_state)
-        if self._mesh is not None:
-            self._state = jax.device_put(self._state, replicated(self._mesh))
-
     def _ensure_train_step(self, forward_times: int) -> None:
         if forward_times != 1:
             raise NotImplementedError('GAN training does not support '
@@ -200,6 +190,15 @@ class GANSPMDTrainer(SPMDTrainer):
             factory, opt_cfg = builder.make_optimizer(opt_cfgs[role])
             txs[role] = factory.build(schedules[role],
                                       grad_clip=opt_cfg.get('grad_clip'))
+        from ever_tpu.core.logger import Logger
+        logger = Logger(
+            'ever_tpu', tensorboard_logdir=self._model_dir,
+            use_tensorboard=getattr(self.args, 'use_tensorboard', False),
+            use_wandb=getattr(self.args, 'use_wandb', False),
+            wandb_config=dict(project=getattr(self.args, 'project', None),
+                              entity=getattr(self.args, 'entity', None),
+                              config=self._config.to_dict())
+            if getattr(self.args, 'use_wandb', False) else None)
         self._launcher = GANLauncher(
             model_dir=self._model_dir,
             model=model,
@@ -207,6 +206,9 @@ class GANSPMDTrainer(SPMDTrainer):
             lr_schedules=schedules,
             mixed_precision=getattr(self.args, 'mixed_precision', 'fp32'),
             mesh=self.make_mesh(),
+            logger=logger,
             seed=int(self._config.get('seed', 42)),
+            checkpoint_backend=self._config.get('checkpoint_backend',
+                                                'msgpack'),
         )
         return self._launcher

@@ -201,7 +201,15 @@ class Trainer:
                 f(tl)
         first = next(iter(test_dl))
         tl.init_state(first if isinstance(first, (tuple, list)) else (first,))
-        tl.init()
+        tl._maybe_load_init_weights()
+        resumed = tl.init()
+        if not resumed:
+            # a wrong/empty model_dir would otherwise silently score a
+            # randomly initialized model as if it were trained
+            raise FileNotFoundError(
+                f'no checkpoint found in {tl.model_dir!r}; evaluate() scores '
+                'the last checkpoint — train first or point --model_dir at '
+                'a trained run')
         return tl.evaluate(test_dl, self._config.get('train', None))
 
 

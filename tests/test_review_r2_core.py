@@ -445,3 +445,123 @@ def test_unclipped_config_trains_unclipped_but_records_norm():
     upd, st = tx.update(grads, st, params)
     assert abs(float(jnp.abs(upd['w'][0])) - 100.0 * 35.0 / 200.0) < 1e-4
     assert float(find_recorded_grad_norm(st)) == 200.0
+
+
+def test_build_from_model_dir_orbax_checkpoints(tmp_path):
+    """Orbax checkpoints are DIRECTORIES named checkpoint-N: discovery must
+    go through checkpoint_info.json (the .ckpt glob never matches them)."""
+    import jax.numpy as jnp
+    import flax.linen as nn
+    pytest.importorskip('orbax.checkpoint')
+    from ever_tpu.api import infer_tool
+    from ever_tpu.core import builder, registry
+    from ever_tpu.core.config import AttrDict, save_pkl
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+
+    @registry.MODEL.register('orbax_infer_demo')
+    class M(ever_tpu.ERModule):
+        def set_default_config(self):
+            self.config.update(dict(features=4))
+
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            out = nn.Dense(self.config.features)(x)
+            if train:
+                return {'cls_loss': jnp.mean((out - y) ** 2)}
+            return out
+
+    try:
+        class DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return (np.ones(6, np.float32), np.zeros(4, np.float32))
+
+        mdir = str(tmp_path / 'run')
+        factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+        tl = Launcher(mdir, builder.make_model(
+            {'type': 'orbax_infer_demo', 'params': {}}),
+            factory.build(0.01), None, checkpoint_backend='orbax')
+        tl.init_state(next(iter(DataLoader(DS(), batch_size=2))))
+        tl.checkpoint.set_global_step(7)
+        tl.checkpoint.save()
+        save_pkl(AttrDict(dict(model=dict(type='orbax_infer_demo',
+                                          params=dict()))),
+                 str(tmp_path / 'run' / 'config.pkl'))
+        model, variables, step = infer_tool.build_from_model_dir(mdir)
+        out = model.apply(variables, jnp.ones((1, 6)), train=False)
+        assert out.shape == (1, 4)
+    finally:
+        del registry.MODEL['orbax_infer_demo']
+
+
+def test_trainer_evaluate_requires_checkpoint(tmp_path):
+    """The eval-only entry must FAIL on an untrained model_dir instead of
+    silently scoring a randomly initialized model."""
+    import argparse
+    from ever_tpu.trainer.trainer import SPMDTrainer
+
+    cfg = tmp_path / 'cfg.py'
+    cfg.write_text("""
+config = dict(
+    model=dict(type='FarSeg', params=dict(
+        encoder=dict(resnet_type='resnet18'), classes=7,
+        dtype='float32')),
+    data=dict(
+        train=dict(type='loveda', params=dict(root='', batch_size=2)),
+        test=dict(type='loveda', params=dict(root='', batch_size=2)),
+    ),
+    learning_rate=dict(type='constant', params=dict(base_lr=0.01)),
+    optimizer=dict(type='sgd', params=dict()),
+    train=dict(num_iters=1),
+)
+""")
+    # synthesize a tiny loveda val tree so the dataloader constructs
+    from tests.test_loveda import _make_loveda
+    root = _make_loveda(tmp_path / 'data')
+    args = argparse.Namespace(config_path=str(cfg),
+                              model_dir=str(tmp_path / 'empty_run'),
+                              trainer='spmd', mixed_precision='fp32',
+                              use_wandb=False, use_tensorboard=False,
+                              project=None, entity=None,
+                              opts=['data.test.params.root', root,
+                                    'data.test.params.crop_size', '32',
+                                    'data.test.params.eval_crop', 'true'])
+    t = SPMDTrainer(args)
+    with pytest.raises(FileNotFoundError, match='no checkpoint'):
+        t.evaluate()
+
+
+def test_eval_interval_epoch_zero_rejected(tmp_path):
+    """eval_per_epoch with interval 0 used to pass validation and then be
+    silently skipped forever."""
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+    from ever_tpu.data.loader import DataLoader
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            out = nn.Dense(2)(x)
+            if train:
+                return {'cls_loss': jnp.mean(out ** 2)}
+            return out
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return (np.ones(3, np.float32), np.zeros(2, np.float32))
+
+    dl = DataLoader(DS(), batch_size=2)
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path / 'run'), M(), factory.build(0.01), None)
+    with pytest.raises(ValueError, match='eval_interval_epoch'):
+        tl.train_iters(dl, test_data_loader=dl, num_iters=2,
+                       eval_per_epoch=True, eval_interval_epoch=0,
+                       save_ckpt_interval_epoch=-1)
