@@ -530,12 +530,9 @@ class Launcher:
                 self._maybe_load_init_weights()
             if k not in loops:
                 # the final partial window compiles its own (smaller) loop;
-                # k == 1 degenerates to the plain per-step program
                 loops[k] = build_train_loop(
                     self._model, self._tx, self._lr_schedule,
                     steps_per_loop=k, mesh=self._mesh, rng_seed=self._seed)
-            if k == 1:
-                batch = jax.tree.map(lambda x: x[0], batch)
 
             with jax.profiler.StepTraceAnnotation(
                     'train', step_num=self._ckpt.global_step):

@@ -27,23 +27,61 @@ from ever_tpu.magic.sliding_window import sliding_window
 __all__ = ['tiled_inference', 'pad_crop_apply']
 
 
+
+
+# Memoization attachment: wrappers/compiled programs key on predict_fn so
+# dropping the closure frees its params.  Callables that reject attribute
+# assignment (bound methods — a FRESH object per attribute access —
+# functools.partial, __slots__ objects) fall back to a small capped
+# module-level cache keyed by a stable identity; the cached closure holds
+# predict_fn alive, so the id()-based keys stay valid while cached.
+from collections import OrderedDict as _OrderedDict
+
+_FALLBACK_CACHE: 'dict' = _OrderedDict()
+_FALLBACK_MAX = 64
+
+
+def _stable_key(predict_fn):
+    import functools
+    import inspect
+    if inspect.ismethod(predict_fn):
+        return ('method', id(predict_fn.__self__), predict_fn.__func__)
+    if isinstance(predict_fn, functools.partial):
+        return ('partial', predict_fn.func,
+                tuple(id(a) for a in predict_fn.args),
+                tuple(sorted((kk, id(v))
+                             for kk, v in predict_fn.keywords.items())))
+    return ('obj', id(predict_fn))
+
+
+def _get_attached(predict_fn, attr):
+    v = getattr(predict_fn, attr, None)
+    if v is not None:
+        return v
+    return _FALLBACK_CACHE.get((attr, _stable_key(predict_fn)))
+
+
+def _set_attached(predict_fn, attr, value):
+    try:
+        setattr(predict_fn, attr, value)
+        return
+    except AttributeError:
+        _FALLBACK_CACHE[(attr, _stable_key(predict_fn))] = value
+        while len(_FALLBACK_CACHE) > _FALLBACK_MAX:
+            _FALLBACK_CACHE.popitem(last=False)
+
 def _d4_wrapped(predict_fn: Callable) -> Callable:
     """Memoized d4-TTA wrapper so repeated ``tiled_inference(..., tta='d4')``
     calls with the SAME predict_fn reuse one (jit-static) callable instead of
-    recompiling.  The wrapper lives as an attribute on ``predict_fn`` itself —
-    a module-level cache would pin every closure (and its captured params)
-    forever."""
-    fn = getattr(predict_fn, '_ever_d4_wrapper', None)
+    recompiling (see _set_attached for where the wrapper lives)."""
+    fn = _get_attached(predict_fn, '_ever_d4_wrapper')
     if fn is None:
         from ever_tpu.magic.transform import d4_tta
 
         def fn(tiles):
             return d4_tta(predict_fn, tiles)
 
-        try:
-            predict_fn._ever_d4_wrapper = fn
-        except AttributeError:
-            pass  # non-function callable without __dict__: no memoization
+        _set_attached(predict_fn, '_ever_d4_wrapper', fn)
     return fn
 
 
@@ -194,7 +232,7 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     # compute budget in a deployment loop.  The cache lives on predict_fn
     # (like _d4_wrapped) so dropping the closure frees its params.
     cache_key = (mesh, axis, k, num_classes, tile_batch, h, w, c)
-    cache = getattr(predict_fn, '_ever_sharded_cache', None)
+    cache = _get_attached(predict_fn, '_ever_sharded_cache')
     fn = cache.get(cache_key) if cache is not None else None
     if fn is not None:
         image = jax.device_put(image, NamedSharding(mesh, P()))
@@ -243,13 +281,10 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     fn = jax.jit(shard_map(local, mesh=mesh,
                            in_specs=(P(), P(axis), P(axis), P(axis)),
                            out_specs=P()))
-    try:
-        if cache is None:
-            cache = {}
-            predict_fn._ever_sharded_cache = cache
-        cache[cache_key] = fn
-    except AttributeError:
-        pass  # non-function callable without __dict__: no memoization
+    if cache is None:
+        cache = {}
+        _set_attached(predict_fn, '_ever_sharded_cache', cache)
+    cache[cache_key] = fn
     image = jax.device_put(image, NamedSharding(mesh, P()))
     ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
     xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))

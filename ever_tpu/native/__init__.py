@@ -26,12 +26,24 @@ __all__ = ['HAS_NATIVE', 'extract_tiles', 'extract_tiles_s2d',
 _lib = None
 _tried = False
 HAS_NATIVE = False
+_load_lock = __import__('threading').Lock()
 
 
 def _load():
     global _lib, _tried, HAS_NATIVE
     if _tried:
         return _lib
+    with _load_lock:
+        # re-check under the lock: two loader threads hitting first use
+        # concurrently must not both compile (interleaved writes could
+        # install a corrupt .so with a fresh mtime — permanently wedged)
+        if _tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried, HAS_NATIVE
     _tried = True
     try:
         from ever_tpu.native import build as _build
@@ -96,7 +108,16 @@ def extract_tiles(scene: np.ndarray, boxes: np.ndarray,
         # silently truncating floats into the u8 buffer
         raise ValueError(f'extract_tiles: scene must be uint8, got {scene.dtype}')
     H, W, C = scene.shape
-    boxes = np.ascontiguousarray(boxes, dtype=np.int64).reshape(-1, 2)
+    boxes = np.ascontiguousarray(boxes, dtype=np.int64)
+    if boxes.ndim != 2 or boxes.shape[-1] != 2:
+        # a silent reshape(-1, 2) would reinterpret sliding_window's
+        # [N, 4] (xmin, ymin, xmax, ymax) boxes as 2N transposed (y0, x0)
+        # pairs and gather garbage tiles
+        raise ValueError(
+            f'boxes must be [N, 2] (y0, x0) pairs, got shape '
+            f'{boxes.shape}; sliding_window emits [N, 4] '
+            '(xmin, ymin, xmax, ymax) — convert with '
+            'boxes[:, [1, 0]]')
     n = len(boxes)
     if out is None:
         out = np.empty((n, th, tw, C), np.uint8)
@@ -147,7 +168,16 @@ def extract_tiles_s2d(scene: np.ndarray, boxes: np.ndarray,
     if scene.ndim == 2:
         scene = scene[..., None]
     H, W, C = scene.shape
-    boxes = np.ascontiguousarray(boxes, dtype=np.int64).reshape(-1, 2)
+    boxes = np.ascontiguousarray(boxes, dtype=np.int64)
+    if boxes.ndim != 2 or boxes.shape[-1] != 2:
+        # a silent reshape(-1, 2) would reinterpret sliding_window's
+        # [N, 4] (xmin, ymin, xmax, ymax) boxes as 2N transposed (y0, x0)
+        # pairs and gather garbage tiles
+        raise ValueError(
+            f'boxes must be [N, 2] (y0, x0) pairs, got shape '
+            f'{boxes.shape}; sliding_window emits [N, 4] '
+            '(xmin, ymin, xmax, ymax) — convert with '
+            'boxes[:, [1, 0]]')
     n = len(boxes)
     out = np.empty((n, th // 2, tw // 2, 4 * C), np.uint8)
     lib = _load()

@@ -11,22 +11,30 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_DIR, 'tilekit.cpp')
 LIB = os.path.join(_DIR, '_tilekit.so')
+_BUILD_LOCK = threading.Lock()
 
 
 def needs_build() -> bool:
-    return (not os.path.exists(LIB)
-            or os.path.getmtime(LIB) < os.path.getmtime(SRC))
+    if not os.path.exists(LIB):
+        return True
+    if not os.path.exists(SRC):
+        # sources pruned (e.g. a binary deployment): the prebuilt .so is
+        # authoritative — getmtime(SRC) would raise and disable it
+        return False
+    return os.path.getmtime(LIB) < os.path.getmtime(SRC)
 
 
 def build(verbose: bool = False) -> str:
-    # per-process tmp name: concurrent first-use builders (e.g. the
-    # 2-process trainer validation) must not interleave writes into one tmp
-    # file; each compiles privately, then the os.replace is atomic
-    tmp = f'{LIB}.tmp.{os.getpid()}'
+    # per-process AND per-thread tmp name: concurrent first-use builders
+    # (2-process trainer validation, thread-pool loader workers) must not
+    # interleave writes into one tmp file; each compiles privately, then
+    # the os.replace is atomic
+    tmp = f'{LIB}.tmp.{os.getpid()}.{threading.get_ident()}'
     cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
            '-o', tmp, SRC]
     try:

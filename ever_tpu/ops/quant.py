@@ -32,14 +32,21 @@ def _on_tpu() -> bool:
     return dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
 
 
-def _quant_kernel(seed_ref, x_ref, values_ref, scale_ref):
+def _quant_kernel(seed_ref, scale_ref, x_ref, values_ref):
+    """Quantize ONE (bm, bn) tile given the precomputed per-tensor scale.
+
+    The global abs-max reduction runs in plain XLA beforehand; tiling the
+    rounding kernel over an (M/bm, N/bn) grid keeps VMEM bounded at any
+    activation size (a whole-operand block failed at serving sizes — the
+    same fix int8_matmul carries)."""
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0])
-    abs_max = jnp.max(jnp.abs(x_ref[:]))
-    scale = jnp.maximum(abs_max / 127.0, 1e-8)
-    scale_ref[0, 0] = scale
-    scaled = x_ref[:] / scale
+    # unique PRNG stream per grid tile
+    pltpu.prng_seed(seed_ref[0]
+                    + pl.program_id(0) * pl.num_programs(1)
+                    + pl.program_id(1))
+    scaled = x_ref[:] / scale_ref[0]
     # stochastic round to int: floor(x + u), u ~ U[0, 1) from the hardware
     # PRNG (pltpu.stochastic_round only targets bf16/fp8 dtypes)
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
@@ -73,17 +80,30 @@ def quantize_int8(x: jnp.ndarray, seed: int = 0,
         scale = jnp.maximum(abs_max / 127.0, 1e-8).reshape(1, 1)
         values = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
         return values, scale
+    # pass 1 (XLA): the per-tensor scale — a plain reduction handles any
+    # operand size without VMEM constraints
+    abs_max = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(abs_max / 127.0, 1e-8).reshape(1, 1)
+    # pass 2 (pallas, gridded): stochastic rounding per (bm, bn) tile
+    bm, bn = 256, 1024
+    m, n = x.shape
+    pm, pn = (-m) % bm, (-n) % bn
+    xp = jnp.pad(x, ((0, pm), (0, pn))) if (pm or pn) else x
     seed_arr = jnp.asarray([seed], jnp.int32)
-    values, scale = pl.pallas_call(
+    values = pl.pallas_call(
         _quant_kernel,
-        out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.int8),
-                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        grid=(xp.shape[0] // bm, xp.shape[1] // bn),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.int8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(seed_arr, x)
+    )(seed_arr, scale.reshape(1), xp)
+    if pm or pn:
+        values = values[:m, :n]
     return values, scale
 
 

@@ -145,10 +145,22 @@ def pipelined_vit_apply(model, variables, mesh: Mesh, *,
             return cls_and_storage, patches
         return model.apply({'params': other}, tokens, method=fin)
 
+    # data-parallel composition: every mesh axis that is not the pipe axis
+    # shards the per-microbatch batch dim, so a ('data', 'pipe') mesh runs
+    # D independent pipelines on batch shards (replicating the stream over
+    # 'data' would waste (D-1)/D of the pod on identical work)
+    data_axes = tuple(a for a in mesh.axis_names if a != axis_name)
+    mb_spec = P(None, data_axes if data_axes else None)
+
     def fn(x):
         b = x.shape[0]
         if b % M != 0:
             raise ValueError(f'batch {b} not divisible by {M} microbatches')
+        d_total = int(np.prod([mesh.shape[a] for a in data_axes])) or 1
+        if (b // M) % d_total != 0:
+            raise ValueError(
+                f'microbatch size {b // M} not divisible by the '
+                f'{d_total}-way data sharding over {data_axes}')
         tokens, (h, w) = embed(x)
         sin, cos = rope_for(h, w)
         n_tok, d = tokens.shape[1], tokens.shape[2]
@@ -160,8 +172,8 @@ def pipelined_vit_apply(model, variables, mesh: Mesh, *,
         run = shard_map(
             lambda sp, xs: pipeline(layer_fn, sp, xs, axis_name=axis_name),
             mesh=mesh,
-            in_specs=(P(axis_name), P()),
-            out_specs=P(),
+            in_specs=(P(axis_name), mb_spec),
+            out_specs=mb_spec,
             check_vma=False)
         out = run(stacked, mbs).reshape(b, n_tok, d)
         cls_and_storage, patches = finalize(out)

@@ -150,6 +150,12 @@ def _make_step_fn(model, tx, lr_schedule: Optional[Callable],
 
 def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
                         extra_leading: bool = False, state_shardings=None):
+    if state_shardings is not None and mesh is None:
+        # silently dropping explicit shardings replicates the state — the
+        # exact memory blow-up ZeRO was configured to avoid, surfacing only
+        # as an HBM OOM much later
+        raise ValueError('state_shardings requires mesh= (they are '
+                         'NamedShardings over a mesh)')
     if mesh is not None:
         state_sh = state_shardings if state_shardings is not None \
             else replicated(mesh)
@@ -210,7 +216,11 @@ def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
         return state, metrics
 
     if steps_per_loop == 1:
-        return _jit_with_shardings(step_fn, mesh, forward_times, donate,
+        # honor the documented contract (leaves carry a leading
+        # steps_per_loop axis) — the bare step function would try to shard
+        # the size-1 axis over 'data'
+        return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
+                                   extra_leading=True,
                                    state_shardings=state_shardings)
     return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
                                extra_leading=True,

@@ -76,3 +76,28 @@ def test_stack_layer_params_roundtrip():
     assert stacked['a'].shape == (4, 2)
     np.testing.assert_array_equal(np.asarray(stacked['b']['c'][2]),
                                   np.full((3,), 2.0))
+
+
+def test_pipelined_vit_data_parallel_composition():
+    """A ('data', 'pipe') mesh shards the microbatch stream over 'data'
+    (the docstring's composition claim — replicating it wasted the data
+    groups on identical work) and still matches the single-device forward."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.mesh import make_mesh
+    from ever_tpu.parallel.pp import pipelined_vit_apply
+
+    mesh = make_mesh(('data', 'pipe'), shape=(2, 4),
+                     devices=jax.devices()[:8])
+    vit = builder.make_model({'type': 'vit_small', 'params': {}})
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 32, 32, 3)).astype(np.float32))
+    variables = vit.init({'params': jax.random.key(0)}, x)
+    ref = vit.apply(variables, x)
+    out = jax.jit(pipelined_vit_apply(vit, variables, mesh))(x)
+    np.testing.assert_allclose(np.asarray(out['x_norm_patchtokens']),
+                               np.asarray(ref['x_norm_patchtokens']),
+                               atol=2e-4)

@@ -282,3 +282,37 @@ def test_geotile_read_batch_multichannel_mask(tmp_path):
     assert mb.shape == (2, 16, 16, 3)
     x0, m0 = ds[0]
     np.testing.assert_array_equal(mb[0], m0)
+
+
+def test_extract_tiles_rejects_4col_boxes(tmp_path):
+    """sliding_window emits [N,4] (xmin,ymin,xmax,ymax); extract_tiles takes
+    [N,2] (y0,x0) — a silent reshape used to gather garbage tiles."""
+    from ever_tpu.magic.sliding_window import sliding_window
+    from ever_tpu.native import extract_tiles
+
+    scene = np.zeros((64, 64, 3), np.uint8)
+    boxes4 = sliding_window((64, 64), 32, 32)
+    with pytest.raises(ValueError, match=r'\[N, 2\]'):
+        extract_tiles(scene, np.asarray(boxes4), None, (32, 32))
+    # the documented conversion works
+    b2 = np.asarray(boxes4)[:, [1, 0]]
+    tiles = extract_tiles(scene, b2, None, (32, 32))
+    assert tiles.shape == (4, 32, 32, 3)
+
+
+def test_tiled_inference_memoizes_partials():
+    """functools.partial / bound-method predict fns reject attribute
+    assignment; the fallback cache must still memoize them (every call used
+    to re-lower the whole scene program)."""
+    import functools
+    import jax.numpy as jnp
+    from ever_tpu.magic.tiled import _get_attached, _d4_wrapped
+
+    def base(tiles, scale):
+        return jnp.repeat(tiles[..., :1] * scale, 3, axis=-1)
+
+    pf = functools.partial(base, scale=2.0)
+    w1 = _d4_wrapped(pf)
+    w2 = _d4_wrapped(pf)
+    assert w1 is w2
+    assert _get_attached(pf, '_ever_d4_wrapper') is w1
