@@ -1,0 +1,172 @@
+"""Int8 post-training quantization serving path (ever_tpu/ops/ptq.py).
+
+TPU-native substitute for the reference's GPU-only low-precision linears
+(``ever/module/dinov3/layers/fp8_linear.py:46-141``): W8A8 conv serving via
+flax method interception — no model-code changes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from ever_tpu.ops import ptq
+
+
+class _Tiny(nn.Module):
+    padding: str = 'SAME'
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(32, (3, 3), padding=self.padding, use_bias=False,
+                    name='c1')(x)
+        x = nn.BatchNorm(use_running_average=True, name='bn')(x)
+        x = nn.relu(x)
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=self.padding,
+                    name='c2')(x)
+        x = nn.relu(x)
+        x = nn.Conv(7, (1, 1), name='head')(x)
+        return x
+
+
+def _grid_kernel(rng, kh, kw, cin, cout):
+    """Integer kernel whose per-output-channel absmax is exactly 127, so
+    w_scale == 1 and the int8 grid represents it exactly."""
+    k = rng.integers(-126, 127, (kh, kw, cin, cout)).astype(np.float32)
+    k[0, 0, 0, :] = 127.0
+    return k
+
+
+class _OneConv(nn.Module):
+    features: int = 8
+    strides: tuple = (1, 1)
+    groups: int = 1
+    dilation: tuple = (1, 1)
+    padding: str = 'SAME'
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return nn.Conv(self.features, (3, 3), strides=self.strides,
+                       padding=self.padding, kernel_dilation=self.dilation,
+                       feature_group_count=self.groups, use_bias=False,
+                       name='c')(x)
+
+
+def _exact_case(strides=(1, 1), groups=1, dilation=(1, 1), padding='SAME'):
+    rng = np.random.default_rng(0)
+    cin, cout = 8, 8
+    k = _grid_kernel(rng, 3, 3, cin // groups, cout)
+    x = rng.integers(-126, 127, (2, 16, 16, cin)).astype(np.float32)
+    x[0, 0, 0, 0] = 127.0  # absmax 127 -> x_scale == 1
+    m = _OneConv(features=cout, strides=strides, groups=groups,
+                 dilation=dilation, padding=padding)
+    v = {'params': {'c': {'kernel': jnp.asarray(k)}}}
+    qv = ptq.ptq_quantize(m, v, [jnp.asarray(x)],
+                          apply_kwargs=dict(train=False))
+    y_fp = m.apply(v, jnp.asarray(x), train=False)
+    y_q = ptq.ptq_apply(m, qv, jnp.asarray(x), train=False)
+    return np.asarray(y_fp), np.asarray(y_q)
+
+
+@pytest.mark.parametrize('case', [
+    dict(),
+    dict(strides=(2, 2)),
+    dict(groups=4),
+    dict(dilation=(2, 2)),
+    dict(padding='VALID'),
+])
+def test_int8_conv_exact_on_grid(case):
+    """Values exactly representable on the int8 grid round-trip exactly —
+    proves scales, padding/stride/group/dilation plumbing, and int32
+    accumulation all match the fp conv."""
+    y_fp, y_q = _exact_case(**case)
+    np.testing.assert_array_equal(y_fp, y_q)
+
+
+def test_calibration_running_max_across_batches():
+    m = _Tiny()
+    rng = np.random.default_rng(1)
+    x_small = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    x_big = x_small * 10.0
+    stats = ptq.calibrate_int8(m, m.init({'params': jax.random.key(0)},
+                                         x_small),
+                               [x_small, x_big, x_small],
+                               apply_kwargs=dict(train=False))
+    # the input-conv stat must reflect the big batch
+    assert float(stats['c1']['absmax']) == pytest.approx(
+        float(jnp.max(jnp.abs(x_big))), rel=1e-6)
+
+
+def test_filters_exclude_paths_and_small_convs():
+    m = _Tiny()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    v = m.init({'params': jax.random.key(0)}, x)
+    stats = ptq.calibrate_int8(m, v, [x], apply_kwargs=dict(train=False))
+
+    qv = ptq.quantize_convs(v, stats, except_re=r'\bhead\b')
+    assert 'head' not in qv['ptq'] and 'c1' in qv['ptq']
+
+    # head is a 1x1x16 conv: receptive volume 16 < 64
+    qv2 = ptq.quantize_convs(v, stats, min_in_features=64)
+    assert 'head' not in qv2['ptq'] and 'c1' in qv2['ptq']
+
+    # excluded convs run the fp path; the rest still quantize
+    y = ptq.ptq_apply(m, qv, x, train=False)
+    assert y.shape == (2, 8, 8, 7)
+
+
+def test_uncovered_conv_falls_back_to_fp():
+    """CIRCULAR padding is outside the int8 fast path: serving must produce
+    the exact fp result even though calibration recorded the conv."""
+    m = _OneConv(padding='CIRCULAR')
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+    v = m.init({'params': jax.random.key(0)}, x)
+    qv = ptq.ptq_quantize(m, v, [x], apply_kwargs=dict(train=False))
+    np.testing.assert_array_equal(
+        np.asarray(m.apply(v, x, train=False)),
+        np.asarray(ptq.ptq_apply(m, qv, x, train=False)))
+
+
+def test_quantized_model_close_and_jittable():
+    m = _Tiny()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)).astype(np.float32))
+    v = m.init({'params': jax.random.key(0)}, x)
+    qv = ptq.ptq_quantize(m, v, [x], apply_kwargs=dict(train=False))
+    y_fp = m.apply(v, x, train=False)
+    y_q = jax.jit(ptq.make_ptq_predict_fn(m, qv, train=False))(x)
+    rel = float(jnp.max(jnp.abs(y_fp - y_q)) / jnp.std(y_fp))
+    assert rel < 0.2, rel
+
+
+def test_farseg_ptq_through_tiled_inference():
+    """End-to-end: quantize a FarSeg-R18 and run whole-scene tiled inference
+    with the quantized predict fn — output close to the fp scene pass."""
+    from ever_tpu.core import builder
+    from ever_tpu.magic.tiled import tiled_inference
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'), classes=5,
+        dtype='float32')})
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init({'params': jax.random.key(0)}, x)
+
+    qv = ptq.ptq_quantize(model, variables, [x],
+                          apply_kwargs=dict(train=False),
+                          min_in_features=64)
+    fp_fn = lambda t: model.apply(variables, t, train=False)  # noqa: E731
+    q_fn = ptq.make_ptq_predict_fn(model, qv, train=False)
+
+    scene = jnp.asarray(rng.normal(size=(96, 96, 3)).astype(np.float32))
+    p_fp = tiled_inference(fp_fn, scene, 64, 32, 5, tile_batch=2)
+    p_q = tiled_inference(q_fn, scene, 64, 32, 5, tile_batch=2)
+    assert p_q.shape == (96, 96, 5)
+    # random-init net: logits should stay strongly correlated
+    a = np.asarray(p_fp).ravel() - np.asarray(p_fp).mean()
+    b = np.asarray(p_q).ravel() - np.asarray(p_q).mean()
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.98, cos
