@@ -12,8 +12,8 @@ Design — zero model-code changes, pure function transforms:
 
 - :func:`calibrate_int8` runs calibration batches through the UNMODIFIED
   model under a :func:`flax.linen.intercept_methods` interceptor that
-  ``sow``-records each ``nn.Conv``'s input abs-max into a mutable
-  collection.
+  ``sow``-records each ``nn.Conv``/``nn.Dense`` input abs-max into a
+  mutable collection (Dense covers ViT serving: qkv/proj/MLP linears).
 - :func:`quantize_convs` turns (variables, stats) into a ``'ptq'``
   collection holding per-conv int8 kernels, per-output-channel weight
   scales, and per-tensor activation scales.  Symmetric, [-127, 127].
@@ -53,8 +53,8 @@ _QCOL = 'ptq'
 
 def _calib_interceptor(next_fn, args, kwargs, context):
     mod = context.module
-    if (isinstance(mod, nn.Conv) and context.method_name == '__call__'
-            and args):
+    if (isinstance(mod, (nn.Conv, nn.Dense))
+            and context.method_name == '__call__' and args):
         x = args[0]
         if hasattr(x, 'ndim') and x.ndim >= 2:
             mod.sow(_STATS_COL, 'absmax',
@@ -121,18 +121,18 @@ def quantize_convs(variables: Dict, stats: Dict, *,
             amax = max(float(a) for a in amax) if amax else 0.0
         amax = float(amax)
         kernel = params.get(path + ('kernel',))
-        if kernel is None or getattr(kernel, 'ndim', 0) != 4:
+        # 4-D: conv (kh,kw,Cin/g,Cout); 2-D: dense (in,out)
+        if kernel is None or getattr(kernel, 'ndim', 0) not in (2, 4):
             continue
         k = np.asarray(jax.device_get(kernel), np.float32)
-        kh, kw, cin_g, cout = k.shape
-        if kh * kw * cin_g < min_in_features:
+        if int(np.prod(k.shape[:-1])) < min_in_features:
             continue
         name = '/'.join(path)
         if except_re is not None and re.search(except_re, name):
             continue
         if not np.isfinite(amax) or amax <= 0.0:
             continue
-        w_absmax = np.max(np.abs(k), axis=(0, 1, 2))
+        w_absmax = np.max(np.abs(k), axis=tuple(range(k.ndim - 1)))
         if not np.all(np.isfinite(w_absmax)):
             continue
         w_scale = np.maximum(w_absmax / 127.0, 1e-12).astype(np.float32)
@@ -174,11 +174,12 @@ def _maybe_broadcast(v, n):
 
 def _serve_interceptor(next_fn, args, kwargs, context):
     mod = context.module
-    if (not isinstance(mod, nn.Conv) or context.method_name != '__call__'
-            or not args):
+    if (context.method_name != '__call__' or not args
+            or not isinstance(mod, (nn.Conv, nn.Dense))
+            or not mod.has_variable(_QCOL, 'kernel_q')):
         return next_fn(*args, **kwargs)
-    if not mod.has_variable(_QCOL, 'kernel_q'):
-        return next_fn(*args, **kwargs)
+    if isinstance(mod, nn.Dense):
+        return _dense_int8(next_fn, args, kwargs, mod)
     x = args[0]
     ks = mod.kernel_size
     kernel_size = (ks,) if isinstance(ks, int) else tuple(ks)
@@ -207,6 +208,31 @@ def _serve_interceptor(next_fn, args, kwargs, context):
         rhs_dilation=kernel_dilation,
         feature_group_count=mod.feature_group_count,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if mod.use_bias and mod.has_variable('params', 'bias'):
+        y = y + mod.get_variable('params', 'bias').astype(jnp.float32)
+    out_dtype = mod.dtype or jnp.promote_types(x.dtype, mod.param_dtype)
+    return y.astype(out_dtype)
+
+
+def _dense_int8(next_fn, args, kwargs, mod):
+    """int8×int8→int32 matmul for an ``nn.Dense`` with ptq variables
+    (ViT serving: qkv/proj/MLP linears — the TPU analog of the reference's
+    fp8 linears, ``ever/module/dinov3/layers/fp8_linear.py:46-141``)."""
+    x = args[0]
+    if (getattr(x, 'ndim', 0) < 1
+            or mod.dot_general is not None
+            or getattr(mod, 'dot_general_cls', None) is not None):
+        return next_fn(*args, **kwargs)
+    k_q = mod.get_variable(_QCOL, 'kernel_q')
+    w_scale = mod.get_variable(_QCOL, 'w_scale')
+    x_scale = mod.get_variable(_QCOL, 'x_scale')
+    inv = (1.0 / x_scale).astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                   -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, k_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (x_scale * w_scale)
     if mod.use_bias and mod.has_variable('params', 'bias'):

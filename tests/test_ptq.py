@@ -142,6 +142,47 @@ def test_quantized_model_close_and_jittable():
     assert rel < 0.2, rel
 
 
+def test_dense_int8_exact_on_grid():
+    """nn.Dense PTQ (ViT linears): grid-representable values exact."""
+    rng = np.random.default_rng(7)
+    k = rng.integers(-126, 127, (16, 8)).astype(np.float32)
+    k[0, :] = 127.0
+    x = rng.integers(-126, 127, (4, 16)).astype(np.float32)
+    x[0, 0] = 127.0
+
+    class D(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(8, use_bias=False, name='d')(x)
+
+    m = D()
+    v = {'params': {'d': {'kernel': jnp.asarray(k)}}}
+    qv = ptq.ptq_quantize(m, v, [jnp.asarray(x)],
+                          apply_kwargs=dict(train=False))
+    np.testing.assert_array_equal(
+        np.asarray(m.apply(v, jnp.asarray(x), train=False)),
+        np.asarray(ptq.ptq_apply(m, qv, jnp.asarray(x), train=False)))
+
+
+def test_vit_dense_quantization():
+    """DINOv3 ViT serving: the attention/MLP linears quantize and the
+    dense-feature output stays strongly correlated."""
+    from ever_tpu.core import builder
+    vit = builder.make_model({'type': 'vit_small', 'params': {}})
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = vit.init({'params': jax.random.key(0)}, x)
+    qv = ptq.ptq_quantize(vit, v, [x], apply_kwargs={}, min_in_features=64)
+    n_q = len(jax.tree_util.tree_leaves(qv['ptq'])) // 3
+    assert n_q >= 40, n_q  # 12 blocks x (qkv, proj, fc1, fc2) + embeds
+    y_fp = vit.apply(v, x)['x_norm_patchtokens']
+    y_q = ptq.ptq_apply(vit, qv, x)['x_norm_patchtokens']
+    a = np.asarray(y_fp).ravel() - float(np.asarray(y_fp).mean())
+    b = np.asarray(y_q).ravel() - float(np.asarray(y_q).mean())
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+
+
 def test_farseg_ptq_through_tiled_inference():
     """End-to-end: quantize a FarSeg-R18 and run whole-scene tiled inference
     with the quantized predict fn — output close to the fp scene pass."""
