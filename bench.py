@@ -266,8 +266,32 @@ def main():
                                   tta='d4')
         _ = float(jax.device_get(jnp.sum(out[0, 0])))
         tta_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 2)
+
+        # int8 W8A8 PTQ serving variant (ops/ptq.py): per-channel weight /
+        # per-tensor activation scales from one calibration batch; measured
+        # 873 t/s vs 710 bf16 with 99.96% argmax agreement
+        # (tools/ptq_check.py, docs/PERFORMANCE.md "Int8 W8A8 PTQ").
+        try:
+            from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
+            calib = [jnp.asarray(rng.normal(size=(8, 512, 512, 3))
+                                 .astype(np.float32))]
+            qv = ptq_quantize(infer_model, variables, calib,
+                              apply_kwargs=dict(train=False),
+                              min_in_features=64)
+            predict_q = make_ptq_predict_fn(infer_model, qv, train=False)
+            out = tiled_inference(predict_q, scene, 512, 512, 7, tile_batch=8)
+            _ = float(jax.device_get(jnp.sum(out[0, 0])))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = tiled_inference(predict_q, scene, 512, 512, 7,
+                                      tile_batch=8)
+            _ = float(jax.device_get(jnp.sum(out[0, 0])))
+            int8_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3)
+        except Exception:
+            int8_tiles_per_sec_chip = 0.0
     else:
         tta_tiles_per_sec_chip = 0.0
+        int8_tiles_per_sec_chip = 0.0
 
     print(json.dumps({
         'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
@@ -280,6 +304,7 @@ def main():
         'infer_tiles_per_sec_per_chip': round(infer_tiles_per_sec_chip, 1),
         'infer_vs_baseline': round(infer_tiles_per_sec_chip / 625.0, 4),
         'tta_d4_tiles_per_sec_per_chip': round(tta_tiles_per_sec_chip, 1),
+        'int8_infer_tiles_per_sec_per_chip': round(int8_tiles_per_sec_chip, 1),
         'n_chips': n_chips,
         'global_batch': batch,
         'device': devices[0].device_kind,
