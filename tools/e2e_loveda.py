@@ -28,6 +28,8 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # robust to any launch cwd / lost editable install
+    sys.path.insert(0, REPO)
 
 
 def _train(args, num_iters):
@@ -79,19 +81,44 @@ def _infer(args):
     def predict(tiles):
         return model.apply(variables, tiles, train=False)
 
-    pm = PixelMetric(7, args.model_dir)
+    fns = {'fp': predict}
+    if args.ptq:
+        # int8 PTQ accuracy proof on the TRAINED model: calibrate on train
+        # scenes, score val mIoU for fp and int8 side by side (ops/ptq.py)
+        from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
+        calib = []
+        for ip in sorted(glob.glob(os.path.join(
+                args.root, 'Train', 'Urban', 'images_png', '*.png')))[:2]:
+            s = np.asarray(Image.open(ip), np.uint8).astype(np.float32)
+            tiles = np.stack([s[y:y + 512, x:x + 512]
+                              for y in (0, 512) for x in (0, 512)])
+            calib.append(jnp.asarray(tiles))
+        qv = ptq_quantize(model, variables, calib,
+                          apply_kwargs=dict(train=False), min_in_features=64)
+        fns['int8'] = make_ptq_predict_fn(model, qv, train=False)
+
+    pms = {name: PixelMetric(7, args.model_dir) for name in fns}
     for dom in ('Urban', 'Rural'):
         for ip in sorted(glob.glob(os.path.join(
                 args.root, 'Val', dom, 'images_png', '*.png'))):
             scene = np.asarray(Image.open(ip), np.uint8).astype(np.float32)
             raw = np.asarray(Image.open(ip.replace('images_png', 'masks_png')))
             y_true = np.where(raw == 0, 255, raw - 1).astype(np.int32)
-            probs = tiled_inference(predict, jnp.asarray(scene), 512, 256, 7,
-                                    tile_batch=args.tile_batch)
-            y_pred = np.asarray(jnp.argmax(probs, -1))
-            pm.forward(y_true[None], y_pred[None])
+            for name, fn in fns.items():
+                probs = tiled_inference(fn, jnp.asarray(scene), 512, 256, 7,
+                                        tile_batch=args.tile_batch)
+                y_pred = np.asarray(jnp.argmax(probs, -1))
+                pms[name].forward(y_true[None], y_pred[None])
             print(f'[e2e] scored {ip}', flush=True)
-    pm.summary_all()
+    mious = {}
+    for name, pm in pms.items():
+        table = pm.summary_all()
+        mean_row = [r for r in table.rows if 'mean' in r[:2]][0]
+        mious[name] = float(mean_row[list(table.field_names).index('iou')])
+        print(f'[e2e] {name} mIoU = {mious[name]:.5f}', flush=True)
+    if args.ptq:
+        print(f'[e2e] PTQ mIoU delta = {mious["int8"] - mious["fp"]:+.5f}',
+              flush=True)
 
 
 def main():
@@ -105,6 +132,8 @@ def main():
                     help='LR schedule horizon (shared across phases)')
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--tile-batch', type=int, default=8)
+    ap.add_argument('--ptq', action='store_true',
+                    help='also score the int8 PTQ serving path (mIoU delta)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 

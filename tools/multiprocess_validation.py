@@ -31,6 +31,12 @@ import subprocess
 import sys
 import tempfile
 
+# worker subprocesses may start from any cwd; don't depend on the editable
+# install surviving environment resets
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 PORT = 29517
 STEPS = 4
 GLOBAL_BATCH = 8

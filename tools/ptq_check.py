@@ -7,9 +7,15 @@ sync), and reports numeric agreement (argmax match + logit cosine).
 Run bounded: ``timeout 1800 python tools/ptq_check.py``.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # robust to any launch cwd
+    sys.path.insert(0, _REPO)
 
 
 def main():
