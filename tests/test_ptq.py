@@ -211,3 +211,12 @@ def test_farseg_ptq_through_tiled_inference():
     b = np.asarray(p_q).ravel() - np.asarray(p_q).mean()
     cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.98, cos
+
+    # the quantized predict fn composes with the mesh-sharded multi-chip
+    # path (interceptors act at trace time, inside shard_map too)
+    from ever_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(('data', 'model'), shape=(8, 1),
+                     devices=jax.devices()[:8])
+    p_q8 = tiled_inference(q_fn, scene, 64, 32, 5, tile_batch=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(p_q8), np.asarray(p_q),
+                               rtol=2e-5, atol=2e-5)
