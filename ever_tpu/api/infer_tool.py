@@ -97,13 +97,26 @@ def build_from_model_dir(model_dir: str, checkpoint_name: Optional[str] = None):
     return build_and_load_from_file(cfg_path, os.path.join(model_dir, checkpoint_name))
 
 
-def export_model(config_path: str, checkpoint_path: str, input_shape, output_path: str):
+def export_model(config_path: str, checkpoint_path: str, input_shape,
+                 output_path: str, ptq_calib=None):
     """Serialise a jitted eval forward with ``jax.export``
-    (replaces ``torch.jit.trace`` export, ``infer_tool.py:70-74``)."""
+    (replaces ``torch.jit.trace`` export, ``infer_tool.py:70-74``).
+
+    ``ptq_calib``: optional iterable of calibration batches — when given,
+    the exported program serves int8 W8A8 (``ever_tpu.ops.ptq``): the
+    quantized weights and the int8 conv graph are baked into the artifact.
+    """
     model, variables, _ = build_and_load_from_file(config_path, checkpoint_path)
 
-    def fwd(x):
-        return model.apply(variables, x, train=False)
+    if ptq_calib is not None:
+        from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
+        qv = ptq_quantize(model, variables, ptq_calib,
+                          apply_kwargs=dict(train=False),
+                          min_in_features=64)
+        fwd = make_ptq_predict_fn(model, qv, train=False)
+    else:
+        def fwd(x):
+            return model.apply(variables, x, train=False)
 
     from jax import export as jax_export
     exported = jax_export.export(jax.jit(fwd))(

@@ -183,6 +183,50 @@ def test_vit_dense_quantization():
     assert cos > 0.99, cos
 
 
+def test_export_model_int8(tmp_path):
+    """jax.export of the int8-PTQ serving graph: quantized weights + int8
+    convs bake into the artifact and round-trip through deserialize."""
+    import ever_tpu as er
+    from ever_tpu.core import builder
+    from ever_tpu.core.launcher import Launcher
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512),
+                           out_channels=16),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(16,) * 4,
+                                   out_channels=16, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=16, out_channels=16,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=3)})
+    factory, _ = builder.make_optimizer({'type': 'sgd', 'params': dict()})
+    tl = Launcher(str(tmp_path), model, factory.build(0.01), None)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    tl.init_state((x, np.zeros((1, 32, 32), np.int32)))
+    tl.checkpoint.set_global_step(1)
+    tl.checkpoint.save()
+
+    cfg_path = tmp_path / 'config.py'
+    cfg_path.write_text(
+        'config = dict(model=dict(type="FarSeg", params='
+        + repr(model.config.to_dict()) + '))\n')
+    out_path = tmp_path / 'model_int8.jaxexport'
+    rng = np.random.default_rng(11)
+    calib = [jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))]
+    er.infer_tool.export_model(str(cfg_path),
+                               str(tmp_path / 'checkpoint-1.ckpt'),
+                               (1, 32, 32, 3), str(out_path),
+                               ptq_calib=calib)
+    from jax import export as jax_export
+    with open(out_path, 'rb') as f:
+        exported = jax_export.deserialize(f.read())
+    probs = exported.call(calib[0])
+    assert probs.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(probs)))
+
+
 def test_farseg_ptq_through_tiled_inference():
     """End-to-end: quantize a FarSeg-R18 and run whole-scene tiled inference
     with the quantized predict fn — output close to the fp scene pass."""

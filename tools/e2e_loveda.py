@@ -45,13 +45,16 @@ def _train(args, num_iters):
         'data.train.params.root', args.root,
         'data.train.params.total_batch_size', str(args.batch),
         'data.train.params.drop_last', 'True',   # static jit batch shape
-        'data.train.params.num_workers', '2',
+        # in-process loading by default: with a small synthetic dataset the
+        # epochs are a handful of steps, and worker pools respawn per epoch
+        # (a fresh jax import each time dominated the step wall-clock)
+        'data.train.params.num_workers', str(args.num_workers),
         'data.test.params.root', args.root,
         'data.test.params.batch_size', '4',
-        'data.test.params.num_workers', '2',
+        'data.test.params.num_workers', str(args.num_workers),
         'train.num_iters', str(num_iters),
         'train.log_interval_step', '10',
-        'train.save_ckpt_interval_epoch', '2',
+        'train.save_ckpt_interval_epoch', str(args.save_interval),
         'train.eval_after_train', 'True',
         'learning_rate.params.max_iters', str(args.total_iters),
         'learning_rate.params.warmup.step',
@@ -132,6 +135,9 @@ def main():
                     help='LR schedule horizon (shared across phases)')
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--tile-batch', type=int, default=8)
+    ap.add_argument('--num-workers', type=int, default=0)
+    ap.add_argument('--save-interval', type=int, default=2,
+                    help='save_ckpt_interval_epoch')
     ap.add_argument('--ptq', action='store_true',
                     help='also score the int8 PTQ serving path (mIoU delta)')
     ap.add_argument('--cpu', action='store_true')
