@@ -18,6 +18,59 @@ if _REPO not in sys.path:  # robust to any launch cwd
     sys.path.insert(0, _REPO)
 
 
+def vit_mode():
+    """DINOv3 ViT dense serving fp vs int8 at 1024² (flash attention on)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ever_tpu  # noqa: F401
+    from ever_tpu.core import builder
+    from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
+
+    rng = np.random.default_rng(0)
+    print('device:', jax.devices()[0].device_kind)
+    model = builder.make_model({'type': 'vit_large', 'params': dict(
+        dtype='bfloat16')})
+    x = jnp.asarray(rng.normal(size=(1, 1024, 1024, 3)).astype(np.float32))
+    variables = model.init({'params': jax.random.key(0)}, x)
+    qv = ptq_quantize(model, variables, [x], apply_kwargs={},
+                      min_in_features=64)
+    n_q = len(jax.tree_util.tree_leaves(qv['ptq'])) // 3
+    print(f'{n_q} linears quantized')
+
+    def fp(t):
+        return model.apply(variables, t)['x_norm_patchtokens']
+
+    q = make_ptq_predict_fn(model, qv)
+    results = {}
+    outs = {}
+    for name, fn in [('fp_bf16', fp),
+                     ('int8', lambda t: q(t)['x_norm_patchtokens'])]:
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = jfn(x)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        print(f'{name}: compile {time.perf_counter()-t0:.1f}s')
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = jfn(x)
+        _ = float(jax.device_get(jnp.sum(out[0, 0])))
+        results[name] = (time.perf_counter() - t0) / 10 * 1e3
+        outs[name] = np.asarray(jax.device_get(out), np.float32)
+        print(f'{name}: {results[name]:.2f} ms/forward')
+    a = outs['fp_bf16'].ravel() - outs['fp_bf16'].mean()
+    b = outs['int8'].ravel() - outs['int8'].mean()
+    cos = float((a * b).sum() /
+                (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    print(json.dumps({
+        'fp_ms': round(results['fp_bf16'], 2),
+        'int8_ms': round(results['int8'], 2),
+        'speedup': round(results['fp_bf16'] / results['int8'], 3),
+        'feature_cosine': round(cos, 5),
+        'n_linears_quantized': n_q,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -85,4 +138,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--vit' in sys.argv:
+        vit_mode()
+    else:
+        main()
