@@ -1,4 +1,4 @@
-"""Benchmark: FarSeg-R50 training throughput on the available chip(s).
+"""Benchmark: ever_tpu training/inference throughput on the available chip(s).
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
@@ -6,11 +6,27 @@ Prints ONE JSON line:
 Primary metric (BASELINE.json): 512² tiles/sec/chip for FarSeg-R50 training.
 ``vs_baseline`` is measured MFU / 0.45 (the north-star ≥45% MFU on v5e), with
 FLOPs taken from XLA's own cost analysis of the compiled step.
+
+Secondary metrics on the same line: whole-scene tiled inference (bf16 / fused
+D4-TTA / int8 PTQ) and the DINOv3 ViT-L/16 fine-tune train step at 512² and
+dense 1024² (the flash-attention regime) — the transformer half of the zoo.
+
+Every timed number is the MEDIAN of >=3 timing windows; the ``noise`` field
+records each metric's (max-min)/median spread so round-over-round deltas can
+be told apart from tunnel jitter (the wall clock here swings ±1 ms with
+occasional 15% outliers).
+
+``--config {factseg,changestar,changemask,changeos,gan}`` instead times one
+of the other BASELINE workloads' train step at production sizes and prints
+its own JSON line (used for the PERFORMANCE.md step table, not by the
+driver).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import statistics
 import time
 
 # v5e bf16 peak per chip (TFLOP/s)
@@ -61,37 +77,49 @@ def _wait_for_backend(max_wait: float, probe_timeout: float = 240.0) -> str:
         time.sleep(30)
 
 
-def main():
-    # Bound backend acquisition BEFORE touching jax in this process
-    # (EVER_BENCH_WAIT seconds, default 30 min; 0 skips the probe).
+def _ref_flops(extra_args) -> float:
+    """TRUE step FLOPs from an unpacked/XLA-attention twin of the model,
+    lowered (never compiled) on a CPU subprocess — the axon TPU plugin hangs
+    on pre-compile cost_analysis, and packed/padded layouts (pack2 conv
+    weights, flash-attention token padding) inflate the running program's
+    own count above the honest MFU denominator."""
     import os
-    max_wait = float(os.environ.get('EVER_BENCH_WAIT', '1800'))
-    err = _wait_for_backend(max_wait) if max_wait > 0 else ''
-    if err:
-        print(json.dumps({
-            'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
-            'value': 0.0, 'unit': 'tiles/sec/chip', 'vs_baseline': 0.0,
-            'error': f'jax backend unreachable after {max_wait:.0f}s '
-                     f'(TPU tunnel down?); no measurement taken: {err}',
-        }))
-        raise SystemExit(1)
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), 'tools', 'ref_flops.py')]
+            + [str(a) for a in extra_args],
+            capture_output=True, text=True, timeout=900)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+def _median_windows(run_window, sync, windows: int = 3):
+    """Time ``run_window`` (a closure issuing a fixed amount of device work)
+    ``windows`` times with a host-fetch sync after each; return
+    (per-window seconds list, median, (max-min)/median spread)."""
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        run_window()
+        sync()
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    return times, med, spread
+
+
+def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
     from ever_tpu.core import builder
-    from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh, replicated
-    from ever_tpu.parallel.spmd import (build_train_loop, build_train_step,
-                                        create_train_state)
-
-    devices = jax.devices()
-    n_chips = len(devices)
-    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+    (batch_sharding, host_to_global, make_mesh, replicated) = mesh_mod
+    (build_train_loop, build_train_step, create_train_state) = spmd
 
     tile = 512 if on_tpu else 64
     batch = 8 * n_chips if on_tpu else n_chips
-    steps = 20 if on_tpu else 3
+    windows = 3
 
     # stem='s2d_input': the exact space-to-depth fold of the 7x7/2 conv
     # (same parameters, same outputs, ~3x faster stem on the MXU), with the
@@ -142,32 +170,16 @@ def main():
     # latency, the standard TPU steps-per-loop pattern.  The K staged batches
     # here are copies of the same synthetic batch (timing is data-independent).
     K = 20 if on_tpu else 2
+    loops_per_window = 6 if on_tpu else 1
     loop = build_train_loop(model, tx, schedule, steps_per_loop=K, mesh=mesh,
                             donate=False)
     loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
                              data)
 
-    # FLOPs of one step from XLA cost analysis.  MFU must count the TRUE
-    # model FLOPs: the pack2 layout's zero-block packed weights inflate the
-    # packed program's counted flops (2943 vs 2780 GFLOP measured), so the
-    # denominator comes from an UNPACKED twin of the same model (identical
-    # math), lowered but never compiled.
-    # The axon TPU plugin HANGS on pre-compile cost_analysis, so the
-    # reference count runs in a CPU subprocess (tools/ref_flops.py).
-    step_flops = 0.0
-    if on_tpu:
-        import os
-        import subprocess
-        import sys
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), 'tools', 'ref_flops.py'),
-                 '--batch', str(batch), '--tile', str(tile)],
-                capture_output=True, text=True, timeout=600)
-            step_flops = float(out.stdout.strip().splitlines()[-1])
-        except Exception:
-            step_flops = 0.0
+    # FLOPs of one step from XLA cost analysis of the UNPACKED twin (the
+    # pack2 layout's zero-block packed weights inflate the packed program's
+    # counted flops: 2943 vs 2780 GFLOP measured).
+    step_flops = _ref_flops(['--batch', batch, '--tile', tile]) if on_tpu else 0.0
     if not step_flops:
         try:
             # fallback: the running (possibly packed) program's own count —
@@ -178,94 +190,95 @@ def main():
         except Exception:
             step_flops = 0.0
 
-    def sync(s):
+    state_box = [state]
+
+    def sync():
         # NOTE: on the axon tunnel backend block_until_ready returns early;
         # a host fetch is the only reliable sync point
+        s = state_box[0]
         return float(jax.device_get(jnp.sum(s.params['head']['fpn_decoder']
                                             ['classifier']['bias'])))
 
     # warmup (compile)
-    state, _ = step(state, data)
-    state, _ = loop(state, loop_data)
-    sync(state)
+    state_box[0], _ = step(state_box[0], data)
+    state_box[0], _ = loop(state_box[0], loop_data)
+    sync()
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = loop(state, loop_data)
-    sync(state)
-    dt = (time.perf_counter() - t0) / (steps * K)
+    def window():
+        for _ in range(loops_per_window):
+            state_box[0], _ = loop(state_box[0], loop_data)
 
-    tiles_per_sec = batch / dt
-    tiles_per_sec_chip = tiles_per_sec / n_chips
+    _, med, spread = _median_windows(window, sync)
+    dt = med / (loops_per_window * K)
+
+    tiles_per_sec_chip = batch / dt / n_chips
     peak = _peak_for(devices[0]) * n_chips
     mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
+
+    out = {
+        'value': round(tiles_per_sec_chip, 2),
+        'vs_baseline': round(mfu / 0.45, 4) if mfu else 0.0,
+        'mfu': round(mfu, 4),
+        'step_time_ms': round(dt * 1000, 2),
+        'step_flops_g': round(step_flops / 1e9, 1),
+        'global_batch': batch,
+        'noise': {'train_spread': round(spread, 4)},
+    }
 
     # secondary: whole-scene sliding-window inference (north star:
     # >= 5000 512² tiles/sec on v5e-8 = 625/chip).  With multiple chips the
     # tile list shards over the mesh (one psum per scene) and the metric
     # stays per-chip.
-    infer_tiles_per_sec_chip = 0.0
-    if on_tpu and n_chips > 1:
-        from ever_tpu.magic.tiled import tiled_inference
-        variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
-            encoder=dict(resnet_type='resnet50', stem='s2d',
-                         pack2_layer1=True),
-            classes=7, dtype='bfloat16')})
+    if not on_tpu:
+        out.update(infer_tiles_per_sec_per_chip=0.0,
+                   tta_d4_tiles_per_sec_per_chip=0.0,
+                   int8_infer_tiles_per_sec_per_chip=0.0,
+                   infer_vs_baseline=0.0)
+        return out
 
-        def predict(tiles):
-            return infer_model.apply(variables, tiles, train=False)
+    from ever_tpu.magic.tiled import tiled_inference
+    state = state_box[0]
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    # same params, raw-layout stem for on-device tile gathering
+    infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet50', stem='s2d', pack2_layer1=True),
+        classes=7, dtype='bfloat16')})
 
-        scene = jnp.asarray(rng.normal(size=(4096, 4096, 3)).astype(np.float32)
-                            ).astype(jnp.bfloat16)
-        n_tiles = 64
-        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8,
-                              mesh=mesh)
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8,
-                                  mesh=mesh)
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        infer_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3) / n_chips
-    if on_tpu and n_chips == 1:
-        from ever_tpu.magic.tiled import tiled_inference
-        variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        # same params, raw-layout stem for on-device tile gathering
-        infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
-            encoder=dict(resnet_type='resnet50', stem='s2d',
-                         pack2_layer1=True),
-            classes=7, dtype='bfloat16')})
+    def predict(tiles):
+        return infer_model.apply(variables, tiles, train=False)
 
-        def predict(tiles):
-            return infer_model.apply(variables, tiles, train=False)
+    # bf16 scene staging (model computes bf16 anyway; halves gather
+    # traffic) + tile_batch=8 measured best on v5e (tools/infer_grid.py:
+    # 712 t/s vs 689-701 for f32 / larger batches)
+    scene = jnp.asarray(rng.normal(size=(4096, 4096, 3)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    n_tiles = 64
+    out_box = [None]
 
-        # bf16 scene staging (model computes bf16 anyway; halves gather
-        # traffic) + tile_batch=8 measured best on v5e (tools/infer_grid.py:
-        # 712 t/s vs 689-701 for f32 / larger batches)
-        scene = jnp.asarray(rng.normal(size=(4096, 4096, 3)).astype(np.float32)
-                            ).astype(jnp.bfloat16)
-        n_tiles = 64
-        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8)
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=8)
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        infer_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3)
+    def isync():
+        return float(jax.device_get(jnp.sum(out_box[0][0, 0])))
 
+    def run_infer(pred_fn, tb, tta=None):
+        out_box[0] = tiled_inference(pred_fn, scene, 512, 512, 7,
+                                     tile_batch=tb, tta=tta, mesh=mesh)
+
+    def time_infer(pred_fn, tb, tta=None, reps=2):
+        run_infer(pred_fn, tb, tta)  # warmup/compile
+        isync()
+        _, med, spr = _median_windows(
+            lambda: [run_infer(pred_fn, tb, tta) for _ in range(reps)], isync)
+        return n_tiles * reps / med / n_chips, spr
+
+    infer_tps, infer_spr = time_infer(predict, 8)
+    out['noise']['infer_spread'] = round(infer_spr, 4)
+
+    tta_tps = int8_tps = 0.0
+    if n_chips == 1:
         # D4-TTA whole-scene variant: 8 symmetries fused into the same scan
         # (one program; ~8x the FLOPs per tile).  tile_batch=2 keeps the
         # 8-way expanded predict batch at 16 tiles.
-        out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=2,
-                              tta='d4')
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        t0 = time.perf_counter()
-        for _ in range(2):
-            out = tiled_inference(predict, scene, 512, 512, 7, tile_batch=2,
-                                  tta='d4')
-        _ = float(jax.device_get(jnp.sum(out[0, 0])))
-        tta_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 2)
+        tta_tps, tta_spr = time_infer(predict, 2, tta='d4', reps=1)
+        out['noise']['tta_spread'] = round(tta_spr, 4)
 
         # int8 W8A8 PTQ serving variant (ops/ptq.py): per-channel weight /
         # per-tensor activation scales from one calibration batch; measured
@@ -279,36 +292,337 @@ def main():
                               apply_kwargs=dict(train=False),
                               min_in_features=64)
             predict_q = make_ptq_predict_fn(infer_model, qv, train=False)
-            out = tiled_inference(predict_q, scene, 512, 512, 7, tile_batch=8)
-            _ = float(jax.device_get(jnp.sum(out[0, 0])))
-            t0 = time.perf_counter()
-            for _ in range(3):
-                out = tiled_inference(predict_q, scene, 512, 512, 7,
-                                      tile_batch=8)
-            _ = float(jax.device_get(jnp.sum(out[0, 0])))
-            int8_tiles_per_sec_chip = n_tiles / ((time.perf_counter() - t0) / 3)
+            int8_tps, int8_spr = time_infer(predict_q, 8)
+            out['noise']['int8_spread'] = round(int8_spr, 4)
         except Exception:
-            int8_tiles_per_sec_chip = 0.0
+            int8_tps = 0.0
+
+    out.update(
+        infer_tiles_per_sec_per_chip=round(infer_tps, 1),
+        infer_vs_baseline=round(infer_tps / 625.0, 4),
+        tta_d4_tiles_per_sec_per_chip=round(tta_tps, 1),
+        int8_infer_tiles_per_sec_per_chip=round(int8_tps, 1),
+    )
+    return out
+
+
+def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
+               remat=None, windows: int = 3):
+    """DINOv3 ViT-L/16 sat493m fine-tune train step (DinoSeg: trunk + light
+    decoder).  512² = the standard crop regime (XLA SDPA); 1024² = dense
+    big-tile regime where attention auto-dispatches to the Pallas flash
+    kernel (4101 tokens >= the 4096 threshold, ops/attention.py)."""
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import (build_train_loop, create_train_state)
+
+    model = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vitl16_sat493m', remat=remat),
+        classes=7,
+        dtype='bfloat16' if on_tpu else 'float32',
+    )})
+    schedule = builder.make_learningrate(
+        {'type': 'cosine', 'params': dict(base_lr=1e-4, max_iters=1000)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'adamw', 'params': dict(weight_decay=0.05)})
+    tx = factory.build(schedule)
+
+    rng = np.random.default_rng(0)
+    in_dt = np.float32 if not on_tpu else jnp.bfloat16
+    x = rng.normal(size=(batch, tile, tile, 3)).astype(in_dt)
+    y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+
+    state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
+    data = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
+
+    K = (10 if tile <= 512 else 4) if on_tpu else 2
+    loops_per_window = 2 if on_tpu else 1
+    loop = build_train_loop(model, tx, schedule, steps_per_loop=K, mesh=None,
+                            donate=False)
+    loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
+                             data)
+
+    # honest FLOPs: XLA-attention, no-remat twin on CPU (flash pads 4101
+    # tokens to 4608 — real work, but not useful work; remat recompute
+    # likewise must not count toward MFU)
+    step_flops = _ref_flops(['--model', 'vit', '--batch', batch,
+                             '--tile', tile]) if on_tpu else 0.0
+
+    state_box = [state]
+
+    def sync():
+        s = state_box[0]
+        return float(jax.device_get(jnp.sum(
+            s.params['head_classifier']['bias'])))
+
+    state_box[0], _ = loop(state_box[0], loop_data)
+    sync()
+
+    def window():
+        for _ in range(loops_per_window):
+            state_box[0], _ = loop(state_box[0], loop_data)
+
+    _, med, spread = _median_windows(window, sync, windows)
+    dt = med / (loops_per_window * K)
+
+    peak = _peak_for(devices[0]) * n_chips
+    mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
+    return {
+        'tiles_per_sec_per_chip': round(batch / dt / n_chips, 2),
+        'mfu': round(mfu, 4),
+        'step_time_ms': round(dt * 1000, 2),
+        'step_flops_g': round(step_flops / 1e9, 1),
+        'batch': batch,
+        'spread': round(spread, 4),
+    }
+
+
+def _bench_config(name: str):
+    """Time one of the non-flagship BASELINE train steps at production sizes
+    (512², batch 8, bf16, R50 trunks) on the chip.  Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import build_train_loop, create_train_state
+
+    devices = jax.devices()
+    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+    tile = 512 if on_tpu else 32
+    batch = 8 if on_tpu else 2
+
+    common = dict(
+        encoder=dict(resnet_type='resnet50'),
+        fpn=dict(in_channels_list=(256, 512, 1024, 2048), out_channels=256),
+        decoder=dict(in_channels=256, out_channels=256,
+                     in_feat_output_strides=(4, 8, 16, 32),
+                     out_feat_output_stride=4),
+        dtype='bfloat16' if on_tpu else 'float32',
+    )
+    rng = np.random.default_rng(0)
+    x3 = rng.normal(size=(batch, tile, tile, 3)).astype(np.float32)
+    x6 = rng.normal(size=(batch, tile, tile, 6)).astype(np.float32)
+    yseg = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+    ybin = rng.integers(0, 2, size=(batch, tile, tile)).astype(np.int32)
+
+    if name == 'factseg':
+        model_cfg = {'type': 'FactSeg', 'params': dict(common, classes=7)}
+        data = (x3, yseg)
+    elif name == 'changestar':
+        model_cfg = {'type': 'ChangeStar', 'params': dict(
+            common, changemixin=dict(in_channels=512, inner_channels=16,
+                                     num_convs=4, scale_factor=4.0),
+            classes=1)}
+        data = (x6, dict(masks=ybin, change=ybin))
+    elif name == 'changemask':
+        model_cfg = {'type': 'ChangeMask', 'params': dict(common, classes=2)}
+        data = (x6, dict(masks=np.stack([ybin, ybin], axis=-1), change=ybin))
+    elif name == 'changeos':
+        model_cfg = {'type': 'ChangeOS', 'params': dict(
+            common, damage_classes=5)}
+        dam = rng.integers(0, 5, size=(batch, tile, tile)).astype(np.int32)
+        data = (x6, dict(loc=ybin, damage=np.where(ybin == 0, 0, dam)))
+    elif name == 'gan':
+        return _bench_gan(tile, batch, on_tpu)
     else:
-        tta_tiles_per_sec_chip = 0.0
-        int8_tiles_per_sec_chip = 0.0
+        raise SystemExit(f'unknown --config {name!r}')
+
+    model = builder.make_model(model_cfg)
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.01, power=0.9, max_iters=1000)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9)})
+    tx = factory.build(schedule)
+
+    state = create_train_state(model, tx, data, rng=jax.random.key(0))
+    dev_data = jax.device_put(jax.tree.map(jnp.asarray, data))
+    K = 10 if on_tpu else 2
+    loop = build_train_loop(model, tx, schedule, steps_per_loop=K, donate=False)
+    loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
+                             dev_data)
+
+    step_flops = _ref_flops(['--model', name, '--batch', batch,
+                             '--tile', tile]) if on_tpu else 0.0
+
+    box = [state]
+
+    def sync():
+        leaf = jax.tree.leaves(box[0].params)[0]
+        return float(jax.device_get(jnp.sum(leaf)))
+
+    t_compile0 = time.perf_counter()
+    box[0], _ = loop(box[0], loop_data)
+    sync()
+    compile_s = time.perf_counter() - t_compile0
+
+    def window():
+        for _ in range(2 if on_tpu else 1):
+            box[0], _ = loop(box[0], loop_data)
+
+    _, med, spread = _median_windows(window, sync)
+    dt = med / ((2 if on_tpu else 1) * K)
+    peak = _peak_for(devices[0])
+    mfu = (step_flops / dt) / peak if step_flops and peak else 0.0
 
     print(json.dumps({
-        'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
-        'value': round(tiles_per_sec_chip, 2),
+        'metric': f'{name}_train_tiles_per_sec_per_chip',
+        'value': round(batch / dt, 2),
         'unit': f'{tile}x{tile} tiles/sec/chip',
         'vs_baseline': round(mfu / 0.45, 4) if mfu else 0.0,
         'mfu': round(mfu, 4),
         'step_time_ms': round(dt * 1000, 2),
         'step_flops_g': round(step_flops / 1e9, 1),
-        'infer_tiles_per_sec_per_chip': round(infer_tiles_per_sec_chip, 1),
-        'infer_vs_baseline': round(infer_tiles_per_sec_chip / 625.0, 4),
-        'tta_d4_tiles_per_sec_per_chip': round(tta_tiles_per_sec_chip, 1),
-        'int8_infer_tiles_per_sec_per_chip': round(int8_tiles_per_sec_chip, 1),
-        'n_chips': n_chips,
+        'compile_plus_first_window_s': round(compile_s, 1),
+        'spread': round(spread, 4),
         'global_batch': batch,
         'device': devices[0].device_kind,
     }))
+    return None
+
+
+def _bench_gan(tile: int, batch: int, on_tpu: bool):
+    """Time the jitted D-then-G dual-optimizer GAN step (trainer/gan.py) —
+    the one program family that had never touched the chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+    from ever_tpu.trainer.gan import build_gan_train_step, create_gan_state
+
+    size = 128 if on_tpu else 32
+    batch = 32 if on_tpu else 4
+    model = builder.make_model({'type': 'DCGAN', 'params': dict(
+        image_size=size, channels=3, latent_dim=128, base_width=64,
+        dtype='bfloat16' if on_tpu else 'float32')})
+    txs = {role: builder.make_optimizer(
+        {'type': 'adam', 'params': dict(betas=(0.5, 0.999))})[0]
+        .build(lambda s: 2e-4) for role in ('G', 'D')}
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)).astype(np.float32))
+    state = create_gan_state(model, txs, x, rng=jax.random.key(0))
+    step = build_gan_train_step(model, txs, donate=False)
+
+    box = [state]
+
+    def sync():
+        leaf = jax.tree.leaves(box[0].params['G'])[0]
+        return float(jax.device_get(jnp.sum(leaf)))
+
+    t0 = time.perf_counter()
+    box[0], m = step(box[0], x)
+    sync()
+    compile_s = time.perf_counter() - t0
+
+    def window():
+        for _ in range(20 if on_tpu else 2):
+            box[0], _ = step(box[0], x)
+
+    _, med, spread = _median_windows(window, sync)
+    dt = med / (20 if on_tpu else 2)
+    print(json.dumps({
+        'metric': 'gan_train_steps_per_sec',
+        'value': round(1.0 / dt, 2),
+        'unit': f'D+G steps/sec ({size}x{size} batch {batch})',
+        'vs_baseline': 0.0,
+        'step_time_ms': round(dt * 1000, 2),
+        'compile_plus_first_step_s': round(compile_s, 1),
+        'spread': round(spread, 4),
+        'device': jax.devices()[0].device_kind,
+    }))
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', default=None,
+                    help='time one non-flagship BASELINE config instead '
+                         '(factseg|changestar|changemask|changeos|gan)')
+    ap.add_argument('--skip-vit', action='store_true',
+                    help='primary line without the ViT train workloads')
+    ap.add_argument('--vit-remat', default=None,
+                    help="remat for the 1024² ViT step (None|'full'|'dots')")
+    args = ap.parse_args()
+
+    # Bound backend acquisition BEFORE touching jax in this process
+    # (EVER_BENCH_WAIT seconds, default 30 min; 0 skips the probe).
+    # EVER_BENCH_CPU=1 forces the CPU backend (the image pins
+    # jax_platforms='axon,cpu' at import; the JAX_PLATFORMS env var is
+    # ignored, so this must go through jax.config).
+    import os
+    force_cpu = os.environ.get('EVER_BENCH_CPU', '') == '1'
+    max_wait = 0.0 if force_cpu else float(os.environ.get('EVER_BENCH_WAIT', '1800'))
+    err = _wait_for_backend(max_wait) if max_wait > 0 else ''
+    if err:
+        print(json.dumps({
+            'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
+            'value': 0.0, 'unit': 'tiles/sec/chip', 'vs_baseline': 0.0,
+            'error': f'jax backend unreachable after {max_wait:.0f}s '
+                     f'(TPU tunnel down?); no measurement taken: {err}',
+        }))
+        raise SystemExit(1)
+
+    if force_cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    if args.config:
+        _bench_config(args.config)
+        return
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.parallel.mesh import (batch_sharding, host_to_global,
+                                        make_mesh, replicated)
+    from ever_tpu.parallel.spmd import (build_train_loop, build_train_step,
+                                        create_train_state)
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+
+    far = _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips,
+                        (batch_sharding, host_to_global, make_mesh, replicated),
+                        (build_train_loop, build_train_step, create_train_state))
+
+    vit512 = vit1024 = None
+    if on_tpu and n_chips == 1 and not args.skip_vit:
+        try:
+            vit512 = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
+                                tile=512, batch=8)
+        except Exception as e:  # never lose the primary metric to a ViT fail
+            vit512 = {'error': str(e)[:200]}
+        try:
+            vit1024 = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
+                                 tile=1024, batch=2, remat=args.vit_remat)
+        except Exception as e:
+            vit1024 = {'error': str(e)[:200]}
+
+    line = {
+        'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
+        'value': far['value'],
+        'unit': '512x512 tiles/sec/chip',
+        'vs_baseline': far['vs_baseline'],
+        'mfu': far['mfu'],
+        'step_time_ms': far['step_time_ms'],
+        'step_flops_g': far['step_flops_g'],
+        'infer_tiles_per_sec_per_chip': far['infer_tiles_per_sec_per_chip'],
+        'infer_vs_baseline': far['infer_vs_baseline'],
+        'tta_d4_tiles_per_sec_per_chip': far['tta_d4_tiles_per_sec_per_chip'],
+        'int8_infer_tiles_per_sec_per_chip': far['int8_infer_tiles_per_sec_per_chip'],
+        'n_chips': n_chips,
+        'global_batch': far['global_batch'],
+        'device': devices[0].device_kind,
+        'noise': far['noise'],
+    }
+    if vit512 is not None:
+        line['vit_train'] = vit512
+    if vit1024 is not None:
+        line['vit1024_train'] = vit1024
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

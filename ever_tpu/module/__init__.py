@@ -17,7 +17,8 @@ from ever_tpu.module.hrnet import HRNet, HRNetEncoder
 from ever_tpu.module.convnext import ConvNeXt, ConvNeXtEncoder
 from ever_tpu.module.efficientnet import EfficientNet, EFNetEncoder
 from ever_tpu.module.resnest import ResNeSt, ResNeStEncoder, SplAtConv2d
-from ever_tpu.module.vit import DinoVisionTransformer, RMSNorm, ViTEncoder
+from ever_tpu.module.vit import DinoSeg, DinoVisionTransformer, RMSNorm, ViTEncoder
+from ever_tpu.module.gan import DCGAN, DCGANDiscriminator, DCGANGenerator
 from ever_tpu.module.freenet import FreeNet, SpectralAttention
 from ever_tpu.module.fpn import (FPN, AssymetricDecoder, BiFPN, FastNormalizedFusionConv3x3, Fusion, LastLevelMaxPool, LastLevelP6P7, NormalizedFusionConv3x3, conv_with_kaiming_uniform)
 from ever_tpu.module.fs_relation import FarSeg, FarSegHead, FSRelation, FSRelationV2

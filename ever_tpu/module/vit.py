@@ -348,6 +348,13 @@ class DinoVisionTransformer(nn.Module):
     # of a multi-crop list forward) — reference vision_transformer.py:249-254
     untie_global_and_local_cls_norm: bool = False
     attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
+    # Per-block activation rematerialisation (the TPU analog of the
+    # reference's per-stage ``with_cp`` gradient checkpointing,
+    # ``ever/module/resnet.py:189-208``): None = off, 'full' = recompute
+    # everything in the backward, 'dots' = jax.checkpoint with
+    # dots_with_no_batch_dims_saveable (keeps matmul outputs — cheaper
+    # recompute, still drops the big attention/FFN intermediates).
+    remat: Optional[str] = None       # None | 'full' | 'dots'
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -375,7 +382,19 @@ class DinoVisionTransformer(nn.Module):
         # drop_path_rate to every block (vision_transformer.py:154-168) —
         # no per-depth linear ramp
         eps = self.resolved_norm_eps
-        self.blocks = [SelfAttentionBlock(
+        block_cls = SelfAttentionBlock
+        if self.remat:
+            # `train` (argnum 3, self = 0) is a Python bool branching on
+            # drop_path — must stay static under jax.checkpoint
+            policy = None
+            if self.remat == 'dots':
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat not in (True, 'full'):
+                raise ValueError(f"remat must be None, 'full' or 'dots', "
+                                 f'got {self.remat!r}')
+            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(3,),
+                                 policy=policy)
+        self.blocks = [block_cls(
             dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
             layerscale_init=self.layerscale_init,
             drop_path_rate=self.drop_path_rate,
@@ -590,6 +609,7 @@ class ViTEncoder(ERModule):
             out_indices=None,         # default: evenly spaced quarters
             pyramid=True,             # resize taps to os4/8/16/32
             attn_impl=None,           # None=auto | 'xla' | 'flash'
+            remat=None,               # None | 'full' | 'dots' (per block)
             dtype='float32',
         ))
 
@@ -600,6 +620,7 @@ class ViTEncoder(ERModule):
             n_storage_tokens=self.config.n_storage_tokens,
             drop_path_rate=self.config.drop_path_rate,
             attn_impl=self.config.attn_impl,
+            remat=self.config.get('remat', None),
             dtype=jnp.dtype(self.config.dtype),
         )
 
@@ -620,6 +641,82 @@ class ViTEncoder(ERModule):
                 f'({out_indices}); set pyramid=False for a flat tap list')
         return [resize(t, scale=s, method='bilinear') if s != 1.0 else t
                 for t, s in zip(taps, scales)]
+
+
+@registry.MODEL.register()
+class DinoSeg(ERModule):
+    """DINOv3 dense segmentation fine-tune: ViT trunk + light decoder + loss.
+
+    The transformer flagship training model (the CNN one is ``FarSeg``).
+    The trunk is the full DINOv3 ViT (parity:
+    ``ever/module/dinov3/models/vision_transformer.py:70-340``; the sat493m
+    geometries ``:430-476``); dense features come from
+    ``get_intermediate_layers`` (``:296-333``), the reference's dense
+    prediction protocol.  The head is deliberately light (1x1 convs on the
+    patch grid + bilinear upsample) so the train step's FLOPs — and hence
+    the benchmarked MFU — are the trunk's.
+
+    Training contract: ``__call__(x, y, train=True)`` → loss dict with
+    ``cls_loss``; eval: softmax probabilities at input resolution.
+    """
+
+    def set_default_config(self):
+        self.config.update(dict(
+            backbone=dict(
+                name='vitl16_sat493m',   # SAT_CONFIGS key or VIT_SPECS key
+                drop_path_rate=0.0,
+                attn_impl=None,          # None=auto | 'xla' | 'flash'
+                remat=None,              # None | 'full' | 'dots' (per block)
+            ),
+            classes=7,
+            head=dict(
+                hidden=0,       # 0 = linear probe; >0 adds one hidden 1x1
+                n_taps=1,       # last-n intermediate layers, concatenated
+            ),
+            loss=dict(ignore_index=255, ce=dict(), dice=None),
+            dtype='float32',
+        ))
+
+    def setup(self):
+        bcfg = dict(self.config.backbone)
+        name = bcfg.pop('name', 'vitl16_sat493m')
+        kwargs = dict(SAT_CONFIGS.get(name, {}))
+        if not kwargs:
+            if name not in VIT_SPECS:
+                raise ValueError(f'unknown ViT backbone {name!r}; expected '
+                                 f'one of {sorted(VIT_SPECS)} or '
+                                 f'{sorted(SAT_CONFIGS)}')
+            kwargs['vit_type'] = name
+        kwargs.update(bcfg)              # user keys override the preset
+        kwargs['dtype'] = jnp.dtype(self.config.dtype)
+        self.vit = DinoVisionTransformer(**kwargs)
+
+    @nn.compact
+    def __call__(self, x, y: Optional[jnp.ndarray] = None, train: bool = False):
+        dtype = jnp.dtype(self.config.dtype)
+        n_taps = int(self.config.head.get('n_taps', 1))
+        taps = self.vit.get_intermediate_layers(
+            x.astype(dtype), n=n_taps, reshape=True, train=train)
+        feat = taps[0] if n_taps == 1 else jnp.concatenate(taps, axis=-1)
+        hidden = int(self.config.head.get('hidden', 0))
+        if hidden:
+            feat = nn.gelu(nn.Dense(hidden, dtype=dtype, name='head_hidden')(feat))
+        logits = nn.Dense(int(self.config.classes), dtype=dtype,
+                          name='head_classifier')(feat)
+        from ever_tpu.module.ops import resize
+        scale = x.shape[1] / logits.shape[1]
+        logits = resize(logits, scale=scale, method='bilinear').astype(jnp.float32)
+        if train and y is not None:
+            from ever_tpu.module import loss as L
+            lcfg = self.config.loss
+            ignore = int(lcfg.get('ignore_index', 255))
+            out = dict(cls_loss=L.softmax_ce_loss_with_logits(
+                logits, y, ignore_index=ignore))
+            if lcfg.get('dice'):
+                out['dice_loss'] = L.dice_loss_with_logits(
+                    logits, y, ignore_index=ignore, **dict(lcfg.dice))
+            return out
+        return nn.softmax(logits, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,8 @@ from ever_tpu.interface.module import sum_losses
 from ever_tpu.parallel.mesh import batch_sharding, replicated
 from ever_tpu.trainer.trainer import SPMDTrainer
 
-__all__ = ['GANState', 'build_gan_train_step', 'GANLauncher', 'GANSPMDTrainer']
+__all__ = ['GANState', 'create_gan_state', 'build_gan_train_step',
+           'GANLauncher', 'GANSPMDTrainer']
 
 
 class GANState(struct.PyTreeNode):
@@ -40,6 +41,23 @@ class GANState(struct.PyTreeNode):
     params: Any               # {'G': ..., 'D': ..., (shared...)}
     batch_stats: Any
     opt_state: Dict[str, Any]  # {'G': ..., 'D': ...}
+
+
+def create_gan_state(model, txs: Dict[str, optax.GradientTransformation],
+                     sample_batch, rng=None) -> GANState:
+    """Initialise a dual-optimizer state from one sample batch (the batch is
+    passed WHOLE per the GAN contract; init traces ``d_loss``, which touches
+    both G and D)."""
+    if rng is None:
+        rng = jax.random.key(0)
+    variables = model.init({'params': rng, 'dropout': jax.random.key(1)},
+                           sample_batch, train=True,
+                           method=getattr(model, 'd_loss'))
+    params = variables['params']
+    return GANState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state={role: tx.init(params[role]) for role, tx in txs.items()})
 
 
 def build_gan_train_step(model, txs: Dict[str, optax.GradientTransformation],

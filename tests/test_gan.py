@@ -145,3 +145,39 @@ def test_gan_restore_before_init_raises(tmp_path):
                      lr_schedules={})
     with pytest.raises(RuntimeError, match='init_state'):
         tl.restore_state({}, {}, {}, 3)
+
+
+def test_dcgan_model_trains():
+    """The in-tree DCGAN (module/gan.py) drives the dual-optimizer step:
+    BN batch_stats thread through d_loss/g_loss, both roles update, and
+    generate() produces images in [-1, 1]."""
+    import optax
+
+    from ever_tpu.core import builder
+    from ever_tpu.trainer.gan import build_gan_train_step, create_gan_state
+
+    model = builder.make_model({'type': 'DCGAN', 'params': dict(
+        image_size=16, channels=3, latent_dim=8, base_width=8)})
+    txs = {r: optax.adam(2e-4) for r in ('G', 'D')}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    state = create_gan_state(model, txs, x)
+    assert set(state.params) >= {'G', 'D'}
+    assert state.batch_stats  # DCGAN uses BatchNorm
+
+    step = build_gan_train_step(model, txs, donate=False)
+    new_state, metrics = step(state, x)
+    new_state, metrics = step(new_state, x)
+    assert np.isfinite(float(metrics['D_d_loss']))
+    assert np.isfinite(float(metrics['G_g_loss']))
+    for role in ('G', 'D'):
+        before = jax.tree.leaves(state.params[role])
+        after = jax.tree.leaves(new_state.params[role])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+    z = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    imgs = model.apply({'params': new_state.params,
+                        'batch_stats': new_state.batch_stats}, z,
+                       method=model.generate)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert float(jnp.max(jnp.abs(imgs))) <= 1.0
