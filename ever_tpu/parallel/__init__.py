@@ -6,6 +6,11 @@ from ever_tpu.parallel.spmd import (
     build_train_step,
     create_train_state,
 )
-from ever_tpu.parallel.spatial import halo_exchange, spatial_partition_apply
+from ever_tpu.parallel.spatial import (
+    build_halo_train_step,
+    build_spatial_train_step,
+    halo_exchange,
+    spatial_partition_apply,
+)
 from ever_tpu.parallel.tp import apply_tp, vit_tp_shardings
 from ever_tpu.parallel.zero import zero_init, zero_shardings
