@@ -233,6 +233,7 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
         out.update(infer_tiles_per_sec_per_chip=0.0,
                    tta_d4_tiles_per_sec_per_chip=0.0,
                    int8_infer_tiles_per_sec_per_chip=0.0,
+                   int8_tta_d4_tiles_per_sec_per_chip=0.0,
                    infer_vs_baseline=0.0)
         return out
 
@@ -272,7 +273,7 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
     infer_tps, infer_spr = time_infer(predict, 8)
     out['noise']['infer_spread'] = round(infer_spr, 4)
 
-    tta_tps = int8_tps = 0.0
+    tta_tps = int8_tps = int8_tta_tps = 0.0
     if n_chips == 1:
         # D4-TTA whole-scene variant: 8 symmetries fused into the same scan
         # (one program; ~8x the FLOPs per tile).  tile_batch=2 keeps the
@@ -294,14 +295,20 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
             predict_q = make_ptq_predict_fn(infer_model, qv, train=False)
             int8_tps, int8_spr = time_infer(predict_q, 8)
             out['noise']['int8_spread'] = round(int8_spr, 4)
+            # deployment-grade composition: int8 convs INSIDE the fused
+            # D4-TTA scan (8 symmetries per tile, quantized forward)
+            int8_tta_tps, int8_tta_spr = time_infer(predict_q, 2, tta='d4',
+                                                    reps=1)
+            out['noise']['int8_tta_spread'] = round(int8_tta_spr, 4)
         except Exception:
-            int8_tps = 0.0
+            int8_tps = int8_tta_tps = 0.0
 
     out.update(
         infer_tiles_per_sec_per_chip=round(infer_tps, 1),
         infer_vs_baseline=round(infer_tps / 625.0, 4),
         tta_d4_tiles_per_sec_per_chip=round(tta_tps, 1),
         int8_infer_tiles_per_sec_per_chip=round(int8_tps, 1),
+        int8_tta_d4_tiles_per_sec_per_chip=round(int8_tta_tps, 1),
     )
     return out
 
@@ -613,6 +620,7 @@ def main():
         'infer_vs_baseline': far['infer_vs_baseline'],
         'tta_d4_tiles_per_sec_per_chip': far['tta_d4_tiles_per_sec_per_chip'],
         'int8_infer_tiles_per_sec_per_chip': far['int8_infer_tiles_per_sec_per_chip'],
+        'int8_tta_d4_tiles_per_sec_per_chip': far['int8_tta_d4_tiles_per_sec_per_chip'],
         'n_chips': n_chips,
         'global_batch': far['global_batch'],
         'device': devices[0].device_kind,

@@ -149,7 +149,8 @@ def _make_step_fn(model, tx, lr_schedule: Optional[Callable],
 
 
 def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
-                        extra_leading: bool = False, state_shardings=None):
+                        extra_leading: bool = False, state_shardings=None,
+                        batch_axis='data'):
     if state_shardings is not None and mesh is None:
         # silently dropping explicit shardings replicates the state — the
         # exact memory blow-up ZeRO was configured to avoid, surfacing only
@@ -160,7 +161,8 @@ def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
         state_sh = state_shardings if state_shardings is not None \
             else replicated(mesh)
         batch_sh = batch_sharding(
-            mesh, accum_leading=extra_leading or forward_times > 1)
+            mesh, accum_leading=extra_leading or forward_times > 1,
+            axis=batch_axis)
         # metrics out: replicated scalars
         metrics_sh = replicated(mesh)
         return jax.jit(fn, in_shardings=(state_sh, batch_sh),
@@ -172,7 +174,7 @@ def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
 def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
                      forward_times: int = 1, mesh=None,
                      rng_seed: int = 0, donate: bool = True,
-                     state_shardings=None) -> Callable:
+                     state_shardings=None, batch_axis='data') -> Callable:
     """Build the jitted ``(state, batch) -> (state, metrics)`` function.
 
     ``batch`` is a pytree whose leaves have leading dim ``forward_times``
@@ -180,11 +182,14 @@ def build_train_step(model, tx, lr_schedule: Optional[Callable] = None,
     With ``mesh``, state is replicated and the batch dim sharded on 'data';
     pass ``state_shardings`` (e.g. from
     :func:`ever_tpu.parallel.zero.zero_init`) to shard optimizer state /
-    params ZeRO-style instead.
+    params ZeRO-style instead.  ``batch_axis`` may be a mesh-axis tuple
+    (e.g. ``('data', 'model')``) to split the batch over several axes
+    jointly — the fsdp-style layout on hybrid ICI×DCN meshes.
     """
     step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
     return _jit_with_shardings(step_fn, mesh, forward_times, donate,
-                               state_shardings=state_shardings)
+                               state_shardings=state_shardings,
+                               batch_axis=batch_axis)
 
 
 def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,

@@ -17,12 +17,23 @@ Gloo-backed CPU cluster (2 fake devices per process), exercising for real:
 - host collectives: ``all_gather``, ``reduce_loss_dict``, ``broadcast``
 
 Usage:
-    python tools/multiprocess_validation.py --launch      # spawns 2 workers
-    python tools/multiprocess_validation.py PID NPROC DIR # one worker
+    python tools/multiprocess_validation.py --launch         # 2-proc trainer
+    python tools/multiprocess_validation.py --launch-hybrid  # 4-proc hybrid
+    python tools/multiprocess_validation.py PID NPROC DIR    # one worker
 
-The launcher compares the 2-process loss trajectory against a single-process
+``--launch`` compares the 2-process loss trajectory against a single-process
 run of the SAME global batch schedule — they must agree to fp32 tolerance
 (global BN stats + global grad mean are device-layout invariant).
+
+``--launch-hybrid`` (VERDICT r2 #6) is the closest available proxy for a
+multi-slice pod: 4 processes × 2 fake devices over a
+``make_hybrid_mesh(('data','model'), (4,2))`` mesh, batch sharded jointly
+over (data × model), **ZeRO-1** optimizer-state sharding across the
+process-spanning 'data' axis, a **collective orbax save** at step 2, worker
+exit ("kill"), then 4 FRESH processes restore and finish — the stitched
+trajectory must equal a single-process 8-device run of all 4 steps.  It also
+re-runs the full-trainer worker at 4 processes (uneven 3/2/2/2 distributed
+eval partitions).
 """
 
 import json
@@ -186,6 +197,183 @@ def worker(pid: int, nproc: int, workdir: str) -> None:
     dist.synchronize()
 
 
+def _hybrid_batches(steps: int):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(steps, GLOBAL_BATCH, IMG, IMG, 3)).astype(np.float32)
+    ys = rng.integers(0, CLASSES,
+                      size=(steps, GLOBAL_BATCH, IMG, IMG)).astype(np.int32)
+    return xs, ys
+
+
+def hybrid_worker(pid: int, nproc: int, workdir: str, phase: str) -> None:
+    """One hybrid-mesh worker: ZeRO-1 over the process-spanning 'data' axis,
+    batch sharded over (data × model), collective orbax save/restore.
+
+    ``phase``: 'train' (steps 1-2 + collective save, then exit),
+    'resume' (fresh processes restore the sharded state and run steps 3-4),
+    'single' (one process, 8 fake devices, all 4 steps — the reference)."""
+    ndev = 8 if nproc == 1 else 2
+    os.environ['XLA_FLAGS'] = f'--xla_force_host_platform_device_count={ndev}'
+    os.environ['EVER_COMPILE_CACHE'] = '0'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    from ever_tpu.core import dist
+    if nproc > 1:
+        # distinct port per phase: the resume cluster starts seconds after
+        # the train cluster exits and must not race its TIME_WAIT socket
+        port = PORT + (2 if phase == 'train' else 3)
+        dist.init_dist_env(f'localhost:{port}', nproc, pid)
+        assert jax.device_count() == 8
+
+    _register()
+    import jax.numpy as jnp
+    import numpy as np
+    from ever_tpu.core import builder, registry
+    from ever_tpu.core.checkpoint import CheckPoint
+    from ever_tpu.parallel.mesh import (NamedSharding, P, host_to_global,
+                                        make_hybrid_mesh)
+    from ever_tpu.parallel.spmd import build_train_step, create_train_state
+    from ever_tpu.parallel.zero import zero_init
+
+    steps_total = 4
+    mesh = make_hybrid_mesh(ici_axes=('data', 'model'), ici_shape=(4, 2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        'replica': 1, 'data': 4, 'model': 2}, mesh
+
+    model = registry.MODEL['MPValSeg'](dict(classes=CLASSES, width=8))
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.05, power=0.9,
+                                        max_iters=steps_total)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9)})
+    tx = factory.build(schedule, grad_clip=dict(max_norm=35.0))
+
+    xs, ys = _hybrid_batches(steps_total)
+    state = create_train_state(model, tx, (xs[0], ys[0]),
+                               rng=jax.random.key(0))
+    z_state, z_sh = zero_init(jax.device_get(state), mesh, level=1)
+    step = build_train_step(model, tx, schedule, mesh=mesh, donate=False,
+                            state_shardings=z_sh,
+                            batch_axis=('data', 'model'))
+    batch_sh = NamedSharding(mesh, P(('data', 'model')))
+    ckpt_dir = os.path.join(workdir, 'hybrid_ckpt')
+
+    def run_steps(z_state, lo, hi):
+        losses = []
+        for i in range(lo, hi):
+            # each process contributes ITS OWN rows of the global batch
+            rows = slice(pid * (GLOBAL_BATCH // nproc),
+                         (pid + 1) * (GLOBAL_BATCH // nproc))
+            batch = host_to_global((xs[i][rows], ys[i][rows]), batch_sh)
+            z_state, metrics = step(z_state, batch)
+            losses.append(float(metrics['cls_loss']))
+        return z_state, losses
+
+    if phase in ('train', 'single'):
+        z_state, losses = run_steps(z_state, 0, 2)
+        # collective orbax save: every process participates (sharded leaves
+        # are written by their owning processes)
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(ckpt_dir) + ('_single' if nproc == 1 else ''),
+            dict(model=dict(params=z_state.params,
+                            batch_stats=z_state.batch_stats),
+                 opt=z_state.opt_state, step=2),
+            force=True)
+        if phase == 'single':
+            z_state, more = run_steps(z_state, 2, 4)
+            losses += more
+    else:                                      # resume in FRESH processes
+        # template from the PRE-zero_init state: z_state leaves span other
+        # processes' devices and cannot be device_get on one host
+        template = jax.device_get(
+            dict(model=dict(params=state.params,
+                            batch_stats=state.batch_stats),
+                 opt=state.opt_state, step=0))
+        ckpt = CheckPoint.load(ckpt_dir, template)
+        assert int(ckpt['step']) == 2
+        z_state = z_state.replace(
+            step=jnp.asarray(2, jnp.int32),
+            params=ckpt['model']['params'],
+            batch_stats=ckpt['model']['batch_stats'],
+            opt_state=ckpt['opt'])
+        z_state = jax.device_put(z_state, z_sh)
+        z_state, losses = run_steps(z_state, 2, 4)
+
+    dist.synchronize()
+    if dist.is_main_process():
+        # prove the optimizer state really is sharded across processes
+        sharded = any(
+            hasattr(l, 'sharding') and not l.sharding.is_fully_replicated
+            for l in jax.tree.leaves(z_state.opt_state))
+        tag = 'single' if nproc == 1 else phase
+        with open(os.path.join(workdir, f'hybrid_{tag}.json'), 'w') as f:
+            json.dump(dict(losses=losses, opt_is_sharded=sharded), f)
+        print(f'[hybrid p{pid}/{phase}] losses={losses}', flush=True)
+    dist.synchronize()
+
+
+def launch_hybrid() -> None:
+    workdir = tempfile.mkdtemp(prefix='mpval_hybrid_')
+    _write_config(os.path.join(workdir, 'config.py'), STEPS)
+    me = os.path.abspath(__file__)
+    import numpy as np
+
+    # phase 1: 4 processes train 2 steps, collective orbax save, exit
+    for phase in ('train', 'resume'):
+        procs = [subprocess.Popen(
+            [sys.executable, me, str(pid), '4', workdir, '--hybrid', phase])
+            for pid in range(4)]
+        rcs = [p.wait(timeout=600) for p in procs]
+        assert rcs == [0] * 4, f'hybrid {phase} worker rcs: {rcs}'
+
+    # reference: one process, 8 fake devices, same 4 steps
+    rc = subprocess.run([sys.executable, me, '0', '1', workdir,
+                         '--hybrid', 'single'], timeout=600).returncode
+    assert rc == 0
+
+    with open(os.path.join(workdir, 'hybrid_train.json')) as f:
+        first = json.load(f)
+    with open(os.path.join(workdir, 'hybrid_resume.json')) as f:
+        second = json.load(f)
+    with open(os.path.join(workdir, 'hybrid_single.json')) as f:
+        single = json.load(f)
+    stitched = first['losses'] + second['losses']
+    np.testing.assert_allclose(stitched, single['losses'],
+                               rtol=2e-4, atol=1e-6)
+    assert first['opt_is_sharded'] and second['opt_is_sharded'], \
+        'ZeRO-1 optimizer state was not actually sharded'
+
+    # full-trainer path at 4 processes (uneven 3/2/2/2 eval partitions)
+    procs = [subprocess.Popen([sys.executable, me, str(pid), '4', workdir])
+             for pid in range(4)]
+    rcs = [p.wait(timeout=600) for p in procs]
+    assert rcs == [0] * 4, f'4-proc trainer worker rcs: {rcs}'
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    rc = subprocess.run([sys.executable, me, '0', '1', workdir],
+                        env=env, timeout=600).returncode
+    assert rc == 0
+    with open(os.path.join(workdir, 'result_np4.json')) as f:
+        multi = json.load(f)
+    with open(os.path.join(workdir, 'result_np1.json')) as f:
+        sref = json.load(f)
+    np.testing.assert_allclose(multi['losses'], sref['losses'],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(multi['eval_oa'], sref['eval_oa'], atol=2e-5)
+    assert multi['devices'] == 8 and multi['local_devices'] == 2
+
+    print('HYBRID MULTIPROCESS VALIDATION OK')
+    print('  4-proc hybrid zero-1 stitched:', [round(l, 6) for l in stitched])
+    print('  1-proc reference            :',
+          [round(l, 6) for l in single['losses']])
+    print('  4-proc trainer losses == single; eval OA',
+          multi['eval_oa'], '== ', sref['eval_oa'])
+    print('  result dir:', workdir)
+
+
 def launch() -> None:
     workdir = tempfile.mkdtemp(prefix='mpval_')
     _write_config(os.path.join(workdir, 'config.py'), STEPS)
@@ -225,7 +413,12 @@ def launch() -> None:
 
 
 if __name__ == '__main__':
-    if '--launch' in sys.argv:
+    if '--launch-hybrid' in sys.argv:
+        launch_hybrid()
+    elif '--launch' in sys.argv:
         launch()
+    elif '--hybrid' in sys.argv:
+        hybrid_worker(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                      sys.argv[sys.argv.index('--hybrid') + 1])
     else:
         worker(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])

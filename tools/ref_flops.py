@@ -32,6 +32,7 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--tile', type=int, default=512)
     ap.add_argument('--dtype', default='bfloat16')
+    ap.add_argument('--backbone', default='vitl16_sat493m')
     args = ap.parse_args()
 
     import jax
@@ -69,7 +70,7 @@ def main():
         data = (x3, yseg)
         # same geometry as the bench workload, XLA attention, no remat
         model_cfg = {'type': 'DinoSeg', 'params': dict(
-            backbone=dict(name='vitl16_sat493m', attn_impl='xla', remat=None),
+            backbone=dict(name=args.backbone, attn_impl='xla', remat=None),
             classes=7, dtype=args.dtype)}
         opt_cfg = {'type': 'adamw', 'params': dict(weight_decay=0.05)}
     elif args.model == 'factseg':

@@ -98,6 +98,9 @@ def run_torch(args, xs, ys, schedule, tmpdir):
     torch.manual_seed(0)
     enc = TorchEncoder(dict(resnet_type=args.resnet, pretrained=False))
     head = TorchFarSegHead(dict(head_cfg(args.classes, chans)))
+    if getattr(args, 'perturb', 0.0):
+        with torch.no_grad():
+            next(enc.parameters()).view(-1)[0] += args.perturb
     torch.save(enc.state_dict(), os.path.join(tmpdir, 'enc0.pth'))
     torch.save(head.state_dict(), os.path.join(tmpdir, 'head0.pth'))
     enc.train(), head.train()
@@ -220,6 +223,12 @@ def run_torch_hrnet(args, xs, ys, schedule, tmpdir):
     enc = TorchHRNetEncoder(dict(hrnet_type='hrnetv2_w18', pretrained=False))
     head = TorchHRNetHead(dict(hrnet_decoder=dict(in_channels=270),
                                num_classes=args.classes, upsample_scale=4.0))
+    if getattr(args, 'perturb', 0.0):
+        # self-noise floor probe: a one-ulp-scale poke at ONE weight shows
+        # how fast this workload's own chaos amplifies fp noise (the honest
+        # yardstick for cross-framework trajectory diffs)
+        with torch.no_grad():
+            next(enc.parameters()).view(-1)[0] += args.perturb
     # our ConvBlock is bias-free before BN (bias is absorbed by the batch
     # statistics either way) — zero it so eval forwards also match exactly
     head.head[0].fuse_conv[0].bias.data.zero_()
@@ -338,6 +347,9 @@ def run_torch_vit(args, xs, ys, schedule, tmpdir):
                      depth=12, num_heads=6, ffn_ratio=4, qkv_bias=True,
                      n_storage_tokens=4, pos_embed_rope_dtype='fp32')
     trunk.init_weights()   # params are torch.empty until this is called
+    if getattr(args, 'perturb', 0.0):
+        with torch.no_grad():
+            next(trunk.parameters()).view(-1)[0] += args.perturb
     head = torch.nn.Conv2d(384, args.classes, 1)
     torch.save(trunk.state_dict(), os.path.join(tmpdir, 'trunk0.pth'))
     torch.save(head.state_dict(), os.path.join(tmpdir, 'vhead0.pth'))
@@ -407,7 +419,12 @@ def main():
                     help='also run our side in bf16 and record the drift')
     ap.add_argument('--out', default='docs/parity/trajectory.json')
     ap.add_argument('--tmpdir', default='/tmp/traj_parity')
+    ap.add_argument('--selfnoise', action='store_true',
+                    help='run torch TWICE (second with a 1e-7 single-weight '
+                         'perturbation) and report the workload\'s own '
+                         'chaos floor instead of the cross-framework diff')
     args = ap.parse_args()
+    args.perturb = 0.0
 
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -429,6 +446,25 @@ def main():
 
     torch_runner, jax_runner = RUNNERS[args.model]
     t_losses = torch_runner(args, xs, ys, schedule, args.tmpdir)
+    if args.selfnoise:
+        args.perturb = 1e-7
+        t2 = torch_runner(args, xs, ys, schedule, args.tmpdir)
+        report = dict(
+            model=args.model, mode='selfnoise', steps=args.steps,
+            size=args.size, batch=args.batch,
+            torch_losses=t_losses, torch_perturbed_losses=t2,
+            selfnoise_max_abs_diff=float(np.max(np.abs(
+                np.array(t_losses) - np.array(t2)))),
+            selfnoise_max_rel_diff=float(np.max(np.abs(
+                (np.array(t_losses) - np.array(t2)) /
+                np.maximum(np.array(t_losses), 1e-8)))),
+        )
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, 'w') as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({k: v for k, v in report.items()
+                          if not k.endswith('losses')}, indent=1))
+        return
     j_losses = jax_runner(args, xs, ys, args.tmpdir, 'float32')
     report = dict(
         model=args.model,

@@ -1,0 +1,155 @@
+"""A/B time DINOv3 ViT-L/16 (DinoSeg) train-step variants in ONE TPU process.
+
+VERDICT r2 #1: prove + optimize the transformer training path.  Variants
+cover the knobs that matter on TPU: per-block remat policy (None | 'dots' |
+'full'), attention impl (auto → XLA SDPA at 512², Pallas flash at 1024²;
+force 'xla' to measure the flash win under value_and_grad).
+
+Usage:
+    python tools/vit_ab.py                       # default grid
+    python tools/vit_ab.py 512/none/auto 1024/dots/auto
+    python tools/vit_ab.py --trace /tmp/vit 1024/none/auto
+
+One process = one TPU tunnel client; every variant compiles+times here.
+Timing: K-step scan loops, median of --steps loops, host-fetch sync
+(block_until_ready returns early on the axon backend).  MFU uses the honest
+unpacked-FLOPs twin (tools/ref_flops.py --model vit: XLA attention, no
+remat — flash's token padding and remat recompute are real work but not
+useful work).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# variant = tile/remat/attn  (remat: none|dots|full; attn: auto|xla|flash)
+DEFAULT_GRID = [
+    '512/none/auto',
+    '512/dots/auto',
+    '1024/none/auto',      # auto → flash (4101 tokens >= threshold)
+    '1024/none/xla',       # the O(N²) baseline flash must beat
+    '1024/dots/auto',
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('variants', nargs='*')
+    ap.add_argument('--trace', default=None)
+    ap.add_argument('--steps', type=int, default=3, help='timing loops of K')
+    ap.add_argument('--batch512', type=int, default=8)
+    ap.add_argument('--batch1024', type=int, default=2)
+    ap.add_argument('--backbone', default='vitl16_sat493m')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ever_tpu  # noqa: F401  (enables the persistent compile cache)
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import build_train_loop, create_train_state
+
+    dev = jax.devices()[0]
+    peak = {'v5': 197e12, 'v4': 275e12, 'v6': 918e12}.get(
+        dev.device_kind.lower()[:2], 197e12)
+    print(f'device: {dev.device_kind}', flush=True)
+
+    schedule = builder.make_learningrate(
+        {'type': 'cosine', 'params': dict(base_lr=1e-4, max_iters=1000)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'adamw', 'params': dict(weight_decay=0.05)})
+    tx = factory.build(schedule)
+
+    import subprocess
+    flops_cache = {}
+
+    def ref_flops(tile, batch):
+        if (tile, batch) not in flops_cache:
+            out = subprocess.run(
+                [sys.executable, os.path.join(_REPO, 'tools', 'ref_flops.py'),
+                 '--model', 'vit', '--tile', str(tile), '--batch', str(batch),
+                 '--backbone', args.backbone],
+                capture_output=True, text=True, timeout=900)
+            try:
+                flops_cache[(tile, batch)] = float(
+                    out.stdout.strip().splitlines()[-1])
+            except Exception:
+                print('ref_flops failed:', out.stderr[-300:], flush=True)
+                flops_cache[(tile, batch)] = 0.0
+        return flops_cache[(tile, batch)]
+
+    results = {}
+    for spec in (args.variants or DEFAULT_GRID):
+        tile_s, remat_s, attn = spec.split('/')
+        tile = int(tile_s)
+        remat = None if remat_s == 'none' else remat_s
+        batch = args.batch512 if tile <= 512 else args.batch1024
+        K = 10 if tile <= 512 else 4
+
+        model = builder.make_model({'type': 'DinoSeg', 'params': dict(
+            backbone=dict(name=args.backbone, remat=remat,
+                          attn_impl=None if attn == 'auto' else attn),
+            classes=7, dtype='bfloat16')})
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(batch, tile, tile, 3)).astype(jnp.bfloat16)
+        y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
+
+        t0 = time.perf_counter()
+        try:
+            state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
+            data = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
+            loop_data = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), data)
+            loop = build_train_loop(model, tx, schedule, steps_per_loop=K,
+                                    donate=False)
+
+            def sync(s):
+                return float(jax.device_get(jnp.sum(
+                    s.params['head_classifier']['bias'])))
+
+            state, _ = loop(state, loop_data)
+            sync(state)
+            print(f'{spec}: compiled+1st loop in '
+                  f'{time.perf_counter() - t0:.1f}s', flush=True)
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                state, _ = loop(state, loop_data)
+                sync(state)
+                times.append((time.perf_counter() - t0) / K)
+            dt = statistics.median(times)
+            f = ref_flops(tile, batch)
+            mfu = f / dt / peak if f else 0.0
+            results[spec] = (dt * 1e3, mfu, batch / dt)
+            print(f'{spec}: {dt * 1e3:.2f} ms/step  mfu={mfu:.4f}  '
+                  f'{batch / dt:.1f} tiles/s', flush=True)
+
+            if args.trace:
+                jax.profiler.start_trace(f'{args.trace}_{spec.replace("/", "_")}')
+                state, _ = loop(state, loop_data)
+                sync(state)
+                jax.profiler.stop_trace()
+            del state, loop, loop_data, data
+        except Exception as e:
+            results[spec] = None
+            print(f'{spec}: FAILED {str(e)[:300]}', flush=True)
+        del model
+
+    print('\n== summary (ms/step, mfu, tiles/s) ==')
+    for k, v in sorted(results.items(),
+                       key=lambda kv: kv[1][0] if kv[1] else 1e9):
+        print(f'{k:>18}: ' + (f'{v[0]:8.2f}  {v[1]:.4f}  {v[2]:7.1f}'
+                              if v else '  FAILED'))
+
+
+if __name__ == '__main__':
+    main()
