@@ -100,10 +100,15 @@ def main():
     factory, _ = builder.make_optimizer(opt_cfg)
     tx = factory.build(schedule)
     model = builder.make_model(model_cfg)
-    state = create_train_state(model, tx, data, rng=jax.random.key(0))
+    # ABSTRACT state/batch: .lower() needs only avals, and a concrete
+    # model.init at dense geometries (ViT-L 1024²) costs >15 min of real
+    # CPU forward this tool exists to avoid
+    state = jax.eval_shape(
+        lambda: create_train_state(model, tx, data, rng=jax.random.key(0)))
     step = build_train_step(model, tx, schedule, forward_times=1, donate=False)
-    dev_data = jax.tree.map(jnp.asarray, data)
-    cost = jax.jit(step).lower(state, dev_data).cost_analysis()
+    abstract_data = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), data)
+    cost = jax.jit(step).lower(state, abstract_data).cost_analysis()
     print(float(cost.get('flops', 0.0)))
 
 

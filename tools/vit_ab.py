@@ -74,26 +74,30 @@ def main():
 
     def ref_flops(tile, batch):
         if (tile, batch) not in flops_cache:
-            out = subprocess.run(
-                [sys.executable, os.path.join(_REPO, 'tools', 'ref_flops.py'),
-                 '--model', 'vit', '--tile', str(tile), '--batch', str(batch),
-                 '--backbone', args.backbone],
-                capture_output=True, text=True, timeout=900)
             try:
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(_REPO, 'tools', 'ref_flops.py'),
+                     '--model', 'vit', '--tile', str(tile),
+                     '--batch', str(batch), '--backbone', args.backbone],
+                    capture_output=True, text=True, timeout=900)
                 flops_cache[(tile, batch)] = float(
                     out.stdout.strip().splitlines()[-1])
-            except Exception:
-                print('ref_flops failed:', out.stderr[-300:], flush=True)
+            except Exception as e:   # a FLOPs miss must never lose the timing
+                print(f'ref_flops failed ({e})', flush=True)
                 flops_cache[(tile, batch)] = 0.0
         return flops_cache[(tile, batch)]
 
     results = {}
     for spec in (args.variants or DEFAULT_GRID):
-        tile_s, remat_s, attn = spec.split('/')
+        parts = spec.split('/')
+        tile_s, remat_s, attn = parts[:3]
         tile = int(tile_s)
         remat = None if remat_s == 'none' else remat_s
         batch = args.batch512 if tile <= 512 else args.batch1024
-        K = 10 if tile <= 512 else 4
+        # optional 4th field kN overrides steps-per-dispatch (k1 isolates
+        # the scan-carry cost: 4.9 GB of ViT-L fp32 state rides the K-scan)
+        K = int(parts[3][1:]) if len(parts) > 3 else (10 if tile <= 512 else 4)
 
         model = builder.make_model({'type': 'DinoSeg', 'params': dict(
             backbone=dict(name=args.backbone, remat=remat,
@@ -104,27 +108,30 @@ def main():
         y = rng.integers(0, 7, size=(batch, tile, tile)).astype(np.int32)
 
         t0 = time.perf_counter()
+        bufs = {}   # every device reference lives here → finally can free it
         try:
-            state = create_train_state(model, tx, (x, y), rng=jax.random.key(0))
-            data = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
-            loop_data = jax.tree.map(
-                lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), data)
+            bufs['state'] = create_train_state(model, tx, (x, y),
+                                               rng=jax.random.key(0))
+            bufs['data'] = jax.device_put((jnp.asarray(x), jnp.asarray(y)))
+            bufs['loop_data'] = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
+                bufs['data'])
             loop = build_train_loop(model, tx, schedule, steps_per_loop=K,
                                     donate=False)
 
-            def sync(s):
+            def sync():
                 return float(jax.device_get(jnp.sum(
-                    s.params['head_classifier']['bias'])))
+                    bufs['state'].params['head_classifier']['bias'])))
 
-            state, _ = loop(state, loop_data)
-            sync(state)
+            bufs['state'], _ = loop(bufs['state'], bufs['loop_data'])
+            sync()
             print(f'{spec}: compiled+1st loop in '
                   f'{time.perf_counter() - t0:.1f}s', flush=True)
             times = []
             for _ in range(args.steps):
                 t0 = time.perf_counter()
-                state, _ = loop(state, loop_data)
-                sync(state)
+                bufs['state'], _ = loop(bufs['state'], bufs['loop_data'])
+                sync()
                 times.append((time.perf_counter() - t0) / K)
             dt = statistics.median(times)
             f = ref_flops(tile, batch)
@@ -135,13 +142,18 @@ def main():
 
             if args.trace:
                 jax.profiler.start_trace(f'{args.trace}_{spec.replace("/", "_")}')
-                state, _ = loop(state, loop_data)
-                sync(state)
+                bufs['state'], _ = loop(bufs['state'], bufs['loop_data'])
+                sync()
                 jax.profiler.stop_trace()
-            del state, loop, loop_data, data
         except Exception as e:
             results[spec] = None
             print(f'{spec}: FAILED {str(e)[:300]}', flush=True)
+        finally:
+            # free device buffers even on failure — a leaked state from a
+            # failed variant OOMs every later one
+            bufs.clear()
+            import gc
+            gc.collect()
         del model
 
     print('\n== summary (ms/step, mfu, tiles/s) ==')
