@@ -1,16 +1,27 @@
-"""Attention dispatch: XLA SDPA or the Pallas TPU flash kernel.
+"""Attention dispatch: XLA SDPA, the fused VMEM kernel, or Pallas flash.
 
-For the token counts of standard tiles (512²/16 → ~1k tokens) XLA's fused
-SDPA is already MXU-bound; for big-tile dense inference (2048²/16 → 16k
-tokens) the O(N²) score matrix stops fitting in VMEM and the block-wise
-Pallas flash kernel wins.  ``attention()`` picks automatically (or force via
-``impl``).
+Three regimes, picked automatically by token count (or force via ``impl``):
+
+- ``'xla'`` — few hundred tokens: the score matrix is small enough that
+  XLA's fused SDPA is fine and kernel launch overhead isn't worth it.
+- ``'fused'`` — the ViT-tile regime (~0.5k-5k tokens, i.e. 512²-1024²
+  images at /16).  XLA SDPA materializes the f32 ``[B,H,N,N]`` score
+  tensor in HBM: profiled at 512² ViT-L training it was 176 ms of a
+  322 ms step (~850 MB moved per softmax fusion, memory-bound at
+  ~620 GB/s) while attention is only ~120 GFLOP (<1 ms of MXU).  The
+  fused kernel keeps one q-row-block's scores entirely in VMEM — full
+  K/V rows fit there at these sizes — so scores NEVER touch HBM, and
+  the backward recomputes them in-kernel (nothing quadratic is saved).
+- ``'flash'`` — big-tile dense inference (2048²/16 → 16k tokens): score
+  row blocks stop fitting VMEM; the streaming flash kernel wins
+  (measured 2.8× XLA at 16k).
 
 Shapes follow flax convention: q/k/v are ``[B, N, H, D]``.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -18,8 +29,154 @@ import jax.numpy as jnp
 
 __all__ = ['attention']
 
-# above this many tokens the quadratic score matrix justifies flash
-FLASH_TOKEN_THRESHOLD = 4096
+# auto-dispatch boundaries (tokens): below → xla, between → fused, above → flash
+FUSED_TOKEN_THRESHOLD = 512
+FLASH_TOKEN_THRESHOLD = 4608
+
+
+def _on_tpu() -> bool:
+    # tunneled TPU plugins report platform 'axon' with a 'TPU ...' device_kind
+    dev = jax.devices()[0]
+    return dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
+
+
+# -- fused VMEM-resident attention (the ~1k-4k token regime) -------------------
+#
+# Grid (B, H, S/bq); each program holds one q block [bq, D] plus the FULL
+# K/V [S, D] in VMEM (S=4224, D=64 bf16 → 528 KB each), computes the f32
+# score block [bq, S] in VMEM, softmaxes, and writes only the [bq, D]
+# output.  The backward recomputes scores the same way (FLOP-cheap: the
+# whole attention is <1% of a ViT step's FLOPs) and accumulates dK/dV in
+# f32 output blocks that stay VMEM-resident across the q-block grid dim
+# (their index_map ignores it, so Mosaic revisits the same buffer and
+# writes HBM once per (b, h)).
+
+
+def _row_block(s: int, n_bufs: float) -> int:
+    """Largest multiple-of-128 divisor of s (itself a multiple of 128) whose
+    ``n_bufs`` f32 [bq, s] score-sized VMEM buffers fit the ~16 MB scoped
+    stack limit (measured: bq=384 at s=4224 with the backward's 4 buffers
+    OOMs at 23.9M vs the 16M limit)."""
+    for m in (512, 384, 256, 128):
+        if s % m == 0 and m * s * 4 * n_bufs <= 13 * 1024 * 1024:
+            return m
+    return 128
+
+
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n, sm_scale):
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]        # [bq,D], [S,D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    # mask pad columns; -1e30 (not -inf) keeps all-pad rows NaN-free
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _fa_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                   *, n, sm_scale):
+    from jax.experimental import pallas as pl
+
+    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)                  # [bq,S] f32
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=1, keepdims=True)             # rowsum(do·o)
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    pc = p.astype(v.dtype)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    # contract over the q-block dim: [bq,S]ᵀ[bq,D] → [S,D], f32 accumulate
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _fused_fwd_impl(q, k, v, n, sm_scale, interpret):
+    from jax.experimental import pallas as pl
+
+    b, h, s, d = q.shape
+    bq = _row_block(s, n_bufs=2.5)      # forward holds ~2 score buffers
+    spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
+    spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fa_fwd_kernel, n=n, sm_scale=sm_scale),
+        grid=(b, h, s // bq),
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _fused_bwd_impl(q, k, v, do, n, sm_scale, interpret):
+    from jax.experimental import pallas as pl
+
+    b, h, s, d = q.shape
+    bq = _row_block(s, n_bufs=4.5)      # s, p, dp, ds live simultaneously
+    spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
+    spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_kernel, n=n, sm_scale=sm_scale),
+        grid=(b, h, s // bq),
+        in_specs=[spec_q, spec_kv, spec_kv, spec_q],
+        out_specs=[spec_q, spec_kv, spec_kv],
+        out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, s, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_core(q, k, v, n, sm_scale, interpret):
+    return _fused_fwd_impl(q, k, v, n, sm_scale, interpret)
+
+
+def _fused_core_fwd(q, k, v, n, sm_scale, interpret):
+    return _fused_fwd_impl(q, k, v, n, sm_scale, interpret), (q, k, v)
+
+
+def _fused_core_bwd(n, sm_scale, interpret, res, do):
+    return _fused_bwd_impl(*res, do, n, sm_scale, interpret)
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def _fused(q, k, v, interpret: Optional[bool] = None):
+    """VMEM-resident attention over [B, N, H, D]; pads N to a 128 multiple."""
+    b, n, h, d = q.shape
+    if interpret is None:
+        interpret = not _on_tpu()
+    target = -(-n // 128) * 128
+    sm_scale = 1.0 / (d ** 0.5)
+    qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))   # [B,H,N,D]
+    if target != n:
+        pad = ((0, 0), (0, 0), (0, target - n), (0, 0))
+        qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
+    out = _fused_core(qt, kt, vt, n, sm_scale, interpret)
+    return jnp.swapaxes(out[:, :, :n], 1, 2)
 
 
 def _pick_block(n: int, cap: int) -> int:
@@ -67,19 +224,23 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               impl: Optional[str] = None) -> jnp.ndarray:
     """Multi-head attention over [B, N, H, D] with automatic kernel choice.
 
-    ``impl``: None (auto) | 'xla' | 'flash'.
+    ``impl``: None (auto) | 'xla' | 'fused' | 'flash'.
     """
     n = q.shape[1]
     if impl is None:
-        dev = jax.devices()[0]
-        # tunneled TPU plugins report platform 'axon' with a 'TPU ...'
-        # device_kind — check both or flash never auto-dispatches there
-        on_tpu = dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
-        impl = 'flash' if (on_tpu and n >= FLASH_TOKEN_THRESHOLD) else 'xla'
+        if _on_tpu():
+            if n > FLASH_TOKEN_THRESHOLD:
+                impl = 'flash'
+            elif n >= FUSED_TOKEN_THRESHOLD:
+                impl = 'fused'
+            else:
+                impl = 'xla'
+        else:
+            impl = 'xla'
+    if impl == 'fused':
+        return _fused(q, k, v)
     if impl == 'flash':
-        dev = jax.devices()[0]
-        on_tpu = dev.platform == 'tpu' or 'tpu' in dev.device_kind.lower()
-        if on_tpu:
+        if _on_tpu():
             # on real hardware a flash failure is a real bug — do NOT
             # silently downgrade to the O(N^2) path this kernel exists
             # to avoid

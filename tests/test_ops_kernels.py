@@ -22,6 +22,59 @@ def test_attention_xla_matches_reference():
                                atol=1e-5)
 
 
+def _sdpa_ref(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum('bqhd,bkhd->bhqk', q, k) / np.sqrt(d)
+    return jnp.einsum('bhqk,bkhd->bqhd', jax.nn.softmax(scores, -1), v)
+
+
+@pytest.mark.parametrize('n', [128, 133, 300, 700])
+def test_fused_attention_forward_matches_reference(n):
+    # 128: no padding; 133/300: pad-column masking; 700: S=768 → bq=384,
+    # two q-blocks (exercises the dk/dv grid accumulation in backward too)
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, n, 4, 32)).astype(np.float32))
+               for _ in range(3))
+    out = _fused(q, k, v, interpret=True)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_sdpa_ref(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('n', [133, 700])
+def test_fused_attention_grads_match_reference(n):
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, n, 4, 32)).astype(np.float32))
+               for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(2, n, 4, 32)).astype(np.float32))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    got = jax.grad(loss(lambda *a: _fused(*a, interpret=True)),
+                   argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss(_sdpa_ref), argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4,
+                                   atol=2e-4, err_msg=f'd{name}')
+
+
+def test_fused_attention_bf16_dtype_and_finite():
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(2)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 261, 2, 32))).astype(jnp.bfloat16)
+               for _ in range(3))
+    out = _fused(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _sdpa_ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32))
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
+
+
 def test_quantize_int8_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
