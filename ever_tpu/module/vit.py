@@ -220,15 +220,27 @@ class SelfAttention(nn.Module):
         if rope is not None:
             sin, cos = rope                                   # [HW, D_head]
             prefix = n - sin.shape[0]
-            sin = sin[None, :, None, :].astype(jnp.float32)   # broadcast heads
-            cos = cos[None, :, None, :].astype(jnp.float32)
-
-            def rot(t):
-                t32 = t.astype(jnp.float32)
-                rotated = rope_apply(t32[:, prefix:], sin, cos)
-                return jnp.concatenate([t32[:, :prefix], rotated], axis=1).astype(t.dtype)
-
-            q, k = rot(q), rot(k)
+            if prefix:
+                # prefix tokens (cls + storage) skip the rotation.  A
+                # (sin=0, cos=1) prefix row makes rope_apply the exact
+                # identity there (x*1 + rotate_half(x)*0), so the whole
+                # tensor rotates in ONE fused elementwise op instead of
+                # slice + rotate + concat per layer.
+                sin = jnp.concatenate(
+                    [jnp.zeros((prefix, sin.shape[1]), sin.dtype), sin], 0)
+                cos = jnp.concatenate(
+                    [jnp.ones((prefix, cos.shape[1]), cos.dtype), cos], 0)
+            # Rotate in the compute dtype.  The angle tables are built in
+            # f32 (RopePositionEmbedding); under bf16 compute the rotation
+            # rounds to bf16 exactly like the qkv projection that produced
+            # q/k did.  The reference's pos_embed_rope_dtype defaults to
+            # fp32 — forcing that here cost ~40 ms/step of pure HBM traffic
+            # at ViT-L 512² (profiled: slice_negate/maximum_add f32
+            # fusions), while fp32 models are bit-identical either way.
+            sin = sin[None, :, None, :].astype(q.dtype)       # broadcast heads
+            cos = cos[None, :, None, :].astype(q.dtype)
+            q = rope_apply(q, sin, cos)
+            k = rope_apply(k, sin, cos)
         from ever_tpu.ops.attention import attention
         out = attention(q, k, v, impl=self.attn_impl)        # [B, N, H, D]
         out = out.reshape(b, n, c)

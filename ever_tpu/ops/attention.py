@@ -50,17 +50,48 @@ def _on_tpu() -> bool:
 # f32 output blocks that stay VMEM-resident across the q-block grid dim
 # (their index_map ignores it, so Mosaic revisits the same buffer and
 # writes HBM once per (b, h)).
+#
+# Layout note (measured, do not retry without new evidence): consuming the
+# model-native [B, N, H, D] directly with blocks (1, bq, 1, D) is REJECTED
+# by Mosaic — the last two BLOCK dims must be divisible by (8, 128) or
+# equal the array dims, and the singleton H slot violates that.  Full-H
+# blocks (1, bq, H, D) lower, but the backward's dk/dv f32 accumulators
+# then cost S*H*D*4 bytes of resident VMEM per program and the in-kernel
+# per-head VMEM slices relayout; the explicit swapaxes into [B, H, N, D]
+# costs ~12 ms/step of copies at ViT-L 512² and stays.
+
+
+# Per-kernel VMEM budget for the f32 score-buffer stack.  Mosaic's default
+# scoped limit is ~16 MB (measured: bq=384 at s=4224 with the backward's 4
+# buffers OOMs at 23.9 MB vs the 16 MB default); v5e physically has 128 MB
+# of VMEM, so the kernels raise the limit via CompilerParams and size their
+# blocks against this budget instead (leaving room for k/v copies and
+# double-buffering of the pipelined inputs).
+_SCORE_BUDGET = 30 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _row_block(s: int, n_bufs: float) -> int:
     """Largest multiple-of-128 divisor of s (itself a multiple of 128) whose
-    ``n_bufs`` f32 [bq, s] score-sized VMEM buffers fit the ~16 MB scoped
-    stack limit (measured: bq=384 at s=4224 with the backward's 4 buffers
-    OOMs at 23.9M vs the 16M limit)."""
-    for m in (512, 384, 256, 128):
-        if s % m == 0 and m * s * 4 * n_bufs <= 13 * 1024 * 1024:
+    ``n_bufs`` f32 [bq, s] score-sized VMEM buffers fit ``_SCORE_BUDGET``.
+    At s=1152 (ViT 512² tiles) this returns s itself: ONE program per
+    (batch, head) computes all rows, so k/v stream in once and dk/dv need
+    no cross-program accumulation passes."""
+    for m in range(s, 0, -128):
+        if s % m == 0 and m * s * 4 * n_bufs <= _SCORE_BUDGET:
             return m
     return 128
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    # b/h are embarrassingly parallel; the q-block dim accumulates into the
+    # revisited dk/dv blocks in the backward, so mark it 'arbitrary'
+    return pltpu.CompilerParams(
+        dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+        vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n, sm_scale):
@@ -125,6 +156,7 @@ def _fused_fwd_impl(q, k, v, n, sm_scale, interpret):
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(q, k, v)
 
 
@@ -144,6 +176,7 @@ def _fused_bwd_impl(q, k, v, do, n, sm_scale, interpret):
                    jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
                    jax.ShapeDtypeStruct((b, h, s, d), jnp.float32)],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
