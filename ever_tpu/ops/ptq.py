@@ -51,32 +51,57 @@ _QCOL = 'ptq'
 # ---------------------------------------------------------------------------
 # calibration
 
-def _calib_interceptor(next_fn, args, kwargs, context):
-    mod = context.module
-    if (isinstance(mod, (nn.Conv, nn.Dense))
-            and context.method_name == '__call__' and args):
-        x = args[0]
-        if hasattr(x, 'ndim') and x.ndim >= 2:
-            mod.sow(_STATS_COL, 'absmax',
-                    jnp.max(jnp.abs(x.astype(jnp.float32))),
-                    reduce_fn=jnp.maximum,
-                    init_fn=lambda: jnp.zeros((), jnp.float32))
-    return next_fn(*args, **kwargs)
+def _act_stat(x, percentile: Optional[float]):
+    """Scalar activation-range statistic for one conv/dense input.
+
+    ``percentile=None`` → exact abs-max.  Otherwise the q-th percentile of
+    |x| over a strided subsample (≤ ~1M elements: calibration runs a sort,
+    and a 0.0001% stride bias is irrelevant next to the outlier clipping
+    the percentile exists to provide).  Percentile calibration clips the
+    rare activation outliers that otherwise inflate the per-tensor scale
+    and quantize every typical value into a handful of int8 bins — the
+    standard PTQ accuracy fix (reference analog: the fp8 per-tensor scale
+    recompute in ever/module/dinov3/layers/fp8_linear.py:46-141 has the
+    same outlier sensitivity).
+    """
+    ax = jnp.abs(x.astype(jnp.float32)).ravel()
+    if percentile is None:
+        return jnp.max(ax)
+    stride = max(1, ax.size // (1 << 20))
+    return jnp.percentile(ax[::stride], percentile)
+
+
+def _make_calib_interceptor(percentile: Optional[float]):
+    def _calib_interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, (nn.Conv, nn.Dense))
+                and context.method_name == '__call__' and args):
+            x = args[0]
+            if hasattr(x, 'ndim') and x.ndim >= 2:
+                mod.sow(_STATS_COL, 'absmax',
+                        _act_stat(x, percentile),
+                        reduce_fn=jnp.maximum,
+                        init_fn=lambda: jnp.zeros((), jnp.float32))
+        return next_fn(*args, **kwargs)
+    return _calib_interceptor
 
 
 def calibrate_int8(model, variables, batches: Iterable,
-                   apply_kwargs: Optional[Dict[str, Any]] = None) -> Dict:
-    """Run calibration batches; return per-conv input abs-max stats.
+                   apply_kwargs: Optional[Dict[str, Any]] = None,
+                   act_percentile: Optional[float] = None) -> Dict:
+    """Run calibration batches; return per-conv input range stats.
 
     ``batches`` yields model inputs (arrays, or tuples of positional args).
     Stats are reduced with a running max across batches on the host, so any
-    number of batches costs O(#convs) host memory.
+    number of batches costs O(#convs) host memory.  ``act_percentile``
+    (e.g. 99.9) replaces the abs-max activation statistic with a percentile
+    of |x| — robust to activation outliers (see :func:`_act_stat`).
     """
     apply_kwargs = dict(apply_kwargs or {})
 
     @jax.jit
     def one(args):
-        with nn.intercept_methods(_calib_interceptor):
+        with nn.intercept_methods(_make_calib_interceptor(act_percentile)):
             _, st = model.apply(variables, *args, mutable=[_STATS_COL],
                                 **apply_kwargs)
         return st[_STATS_COL]
@@ -152,10 +177,12 @@ def quantize_convs(variables: Dict, stats: Dict, *,
 def ptq_quantize(model, variables, batches: Iterable, *,
                  min_in_features: int = 0,
                  except_re: Optional[str] = None,
-                 apply_kwargs: Optional[Dict[str, Any]] = None) -> Dict:
+                 apply_kwargs: Optional[Dict[str, Any]] = None,
+                 act_percentile: Optional[float] = None) -> Dict:
     """One-call calibrate + quantize. Returns serving variables."""
     stats = calibrate_int8(model, variables, batches,
-                           apply_kwargs=apply_kwargs)
+                           apply_kwargs=apply_kwargs,
+                           act_percentile=act_percentile)
     return quantize_convs(variables, stats,
                           min_in_features=min_in_features,
                           except_re=except_re)

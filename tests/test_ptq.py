@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 import flax.linen as nn
+from flax import traverse_util
 
 from ever_tpu.ops import ptq
 
@@ -96,6 +97,41 @@ def test_calibration_running_max_across_batches():
     # the input-conv stat must reflect the big batch
     assert float(stats['c1']['absmax']) == pytest.approx(
         float(jnp.max(jnp.abs(x_big))), rel=1e-6)
+
+
+def test_percentile_calibration_clips_outliers():
+    """act_percentile replaces abs-max with a robust percentile: one huge
+    outlier element in the calibration data must NOT set the activation
+    scale, and on clean inputs the percentile-calibrated conv must be
+    strictly more accurate than the abs-max one (whose outlier-inflated
+    scale quantizes typical values into a couple of int8 bins)."""
+    m = _OneConv()
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    x[0, 0, 0, 0] = 1e3  # single outlier in the calibration batch
+    xj = jnp.asarray(x)
+    v = m.init({'params': jax.random.key(0)}, xj)
+
+    s_max = ptq.calibrate_int8(m, v, [xj], apply_kwargs=dict(train=False))
+    s_pct = ptq.calibrate_int8(m, v, [xj], apply_kwargs=dict(train=False),
+                               act_percentile=99.9)
+    (_, a_max), = traverse_util.flatten_dict(s_max).items()
+    (_, a_pct), = traverse_util.flatten_dict(s_pct).items()
+    assert float(a_max) == pytest.approx(1e3, rel=1e-3)  # outlier dominates
+    assert float(a_pct) < 10.0                           # percentile ignores it
+
+    x_clean = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    y_fp = np.asarray(m.apply(v, x_clean, train=False), np.float32)
+    errs = {}
+    for name, pct in (('absmax', None), ('pct', 99.9)):
+        qv = ptq.ptq_quantize(m, v, [xj], apply_kwargs=dict(train=False),
+                              act_percentile=pct)
+        y_q = np.asarray(ptq.ptq_apply(m, qv, x_clean, train=False),
+                         np.float32)
+        errs[name] = float(np.max(np.abs(y_q - y_fp))
+                           / (np.max(np.abs(y_fp)) + 1e-9))
+    assert errs['pct'] < 0.1
+    assert errs['pct'] < errs['absmax'] / 5
 
 
 def test_filters_exclude_paths_and_small_convs():

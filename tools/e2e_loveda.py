@@ -90,14 +90,16 @@ def _infer(args):
         # scenes, score val mIoU for fp and int8 side by side (ops/ptq.py)
         from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
         calib = []
-        for ip in sorted(glob.glob(os.path.join(
-                args.root, 'Train', 'Urban', 'images_png', '*.png')))[:2]:
-            s = np.asarray(Image.open(ip), np.uint8).astype(np.float32)
-            tiles = np.stack([s[y:y + 512, x:x + 512]
-                              for y in (0, 512) for x in (0, 512)])
-            calib.append(jnp.asarray(tiles))
+        for dom in ('Urban', 'Rural'):
+            for ip in sorted(glob.glob(os.path.join(
+                    args.root, 'Train', dom, 'images_png', '*.png')))[:2]:
+                s = np.asarray(Image.open(ip), np.uint8).astype(np.float32)
+                tiles = np.stack([s[y:y + 512, x:x + 512]
+                                  for y in (0, 512) for x in (0, 512)])
+                calib.append(jnp.asarray(tiles))
         qv = ptq_quantize(model, variables, calib,
-                          apply_kwargs=dict(train=False), min_in_features=64)
+                          apply_kwargs=dict(train=False), min_in_features=64,
+                          act_percentile=args.ptq_percentile)
         fns['int8'] = make_ptq_predict_fn(model, qv, train=False)
 
     pms = {name: PixelMetric(7, args.model_dir) for name in fns}
@@ -138,6 +140,9 @@ def main():
     ap.add_argument('--num-workers', type=int, default=0)
     ap.add_argument('--save-interval', type=int, default=2,
                     help='save_ckpt_interval_epoch')
+    ap.add_argument('--ptq-percentile', type=float, default=None,
+                    help='activation calibration percentile (e.g. 99.9); '
+                         'default abs-max')
     ap.add_argument('--ptq', action='store_true',
                     help='also score the int8 PTQ serving path (mIoU delta)')
     ap.add_argument('--cpu', action='store_true')
