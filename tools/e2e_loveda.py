@@ -99,7 +99,8 @@ def _infer(args):
                 calib.append(jnp.asarray(tiles))
         qv = ptq_quantize(model, variables, calib,
                           apply_kwargs=dict(train=False), min_in_features=64,
-                          act_percentile=args.ptq_percentile)
+                          act_percentile=args.ptq_percentile,
+                          except_re=args.ptq_except)
         fns['int8'] = make_ptq_predict_fn(model, qv, train=False)
 
     pms = {name: PixelMetric(7, args.model_dir) for name in fns}
@@ -140,6 +141,10 @@ def main():
     ap.add_argument('--num-workers', type=int, default=0)
     ap.add_argument('--save-interval', type=int, default=2,
                     help='save_ckpt_interval_epoch')
+    ap.add_argument('--ptq-except', default=None,
+                    help="regex of conv paths to keep in fp (e.g. "
+                         "'resnet/conv1$|classifier$' = first+last layer, "
+                         "the standard PTQ accuracy guard)")
     ap.add_argument('--ptq-percentile', type=float, default=None,
                     help='activation calibration percentile (e.g. 99.9); '
                          'default abs-max')
