@@ -343,8 +343,14 @@ def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
 
     K = (10 if tile <= 512 else 4) if on_tpu else 2
     loops_per_window = 2 if on_tpu else 1
+    # donate=True is LOAD-BEARING here: ViT-L's fp32 adamw state is 3.6 GB,
+    # and without input/output aliasing the back-to-back loop calls in a
+    # timing window transiently hold up to three copies (the tunnel frees
+    # buffers lazily) — RESOURCE_EXHAUSTED observed mid-window on v5e-16GB
+    # while the warmup call succeeded.  Donation caps it at one state plus
+    # activations; numerics and step time are identical.
     loop = build_train_loop(model, tx, schedule, steps_per_loop=K, mesh=None,
-                            donate=False)
+                            donate=True)
     loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
                              data)
 
@@ -591,10 +597,11 @@ def main():
     n_chips = len(devices)
     on_tpu = 'cpu' not in devices[0].device_kind.lower()
 
-    far = _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips,
-                        (batch_sharding, host_to_global, make_mesh, replicated),
-                        (build_train_loop, build_train_step, create_train_state))
-
+    # ViT-L sections run FIRST: the fine-tune step's HBM high-water is
+    # ~12 of the 16 GB (fp32 adamw state + B8 no-remat activations; see the
+    # donate note in _bench_vit), so it gets the chip at its emptiest.
+    # FarSeg needs <2 GB and is insensitive to ViT leftovers; errors in the
+    # ViT sections are contained so the primary metric cannot be lost.
     vit512 = vit1024 = None
     if on_tpu and n_chips == 1 and not args.skip_vit:
         try:
@@ -607,6 +614,13 @@ def main():
                                  tile=1024, batch=2, remat=args.vit_remat)
         except Exception as e:
             vit1024 = {'error': str(e)[:200]}
+        import gc
+        jax.clear_caches()
+        gc.collect()
+
+    far = _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips,
+                        (batch_sharding, host_to_global, make_mesh, replicated),
+                        (build_train_loop, build_train_step, create_train_state))
 
     line = {
         'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
