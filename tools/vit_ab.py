@@ -116,8 +116,13 @@ def main():
             bufs['loop_data'] = jax.tree.map(
                 lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
                 bufs['data'])
+            # donate=True matches bench._bench_vit EXACTLY (same HLO → the
+            # persistent compile cache is shared) and caps the HBM
+            # high-water at one 3.6 GB optimizer state — the tunnel frees
+            # buffers lazily, and back-to-back loop dispatches with
+            # donate=False transiently held 2-3 copies (OOM on v5e-16GB).
             loop = build_train_loop(model, tx, schedule, steps_per_loop=K,
-                                    donate=False)
+                                    donate=True)
 
             def sync():
                 return float(jax.device_get(jnp.sum(
