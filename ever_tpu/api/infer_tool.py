@@ -98,13 +98,17 @@ def build_from_model_dir(model_dir: str, checkpoint_name: Optional[str] = None):
 
 
 def export_model(config_path: str, checkpoint_path: str, input_shape,
-                 output_path: str, ptq_calib=None):
+                 output_path: str, ptq_calib=None,
+                 ptq_act_percentile=None, ptq_except_re=None):
     """Serialise a jitted eval forward with ``jax.export``
     (replaces ``torch.jit.trace`` export, ``infer_tool.py:70-74``).
 
     ``ptq_calib``: optional iterable of calibration batches — when given,
     the exported program serves int8 W8A8 (``ever_tpu.ops.ptq``): the
     quantized weights and the int8 conv graph are baked into the artifact.
+    ``ptq_act_percentile`` selects percentile activation calibration
+    (outlier-robust; default abs-max); ``ptq_except_re`` keeps matching
+    conv paths in fp (e.g. first/last layer).
     """
     model, variables, _ = build_and_load_from_file(config_path, checkpoint_path)
 
@@ -112,7 +116,9 @@ def export_model(config_path: str, checkpoint_path: str, input_shape,
         from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
         qv = ptq_quantize(model, variables, ptq_calib,
                           apply_kwargs=dict(train=False),
-                          min_in_features=64)
+                          min_in_features=64,
+                          act_percentile=ptq_act_percentile,
+                          except_re=ptq_except_re)
         fwd = make_ptq_predict_fn(model, qv, train=False)
     else:
         def fwd(x):
