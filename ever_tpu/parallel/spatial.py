@@ -212,8 +212,19 @@ def build_spatial_train_step(model, tx, lr_schedule=None, mesh: Mesh = None,
                      donate_argnums=(0,) if donate else ())
 
     def step(state, batch):
+        # spatial_batch_sharding's P(None, axis) shards dim 1 of EVERY
+        # rank>=2 leaf (and cannot place rank<2 leaves at all) — guard all
+        # of them, not just images, so the friendly error fires instead of
+        # a GSPMD placement error deep inside jit
         for leaf in jax.tree.leaves(batch):
-            if hasattr(leaf, 'ndim') and leaf.ndim >= 3 and leaf.shape[1] % k:
+            if not hasattr(leaf, 'ndim'):
+                continue
+            if leaf.ndim < 2:
+                raise ValueError(
+                    f'spatial train batch leaves must be rank>=2 '
+                    f'([N, H, ...]); got a rank-{leaf.ndim} leaf — reshape '
+                    f'or replicate it outside the batch pytree')
+            if leaf.shape[1] % k:
                 raise ValueError(
                     f'tile height {leaf.shape[1]} is not divisible by the '
                     f'{axis!r} axis size {k}; pad the tile')

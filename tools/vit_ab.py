@@ -2,8 +2,10 @@
 
 VERDICT r2 #1: prove + optimize the transformer training path.  Variants
 cover the knobs that matter on TPU: per-block remat policy (None | 'dots' |
-'full'), attention impl (auto → XLA SDPA at 512², Pallas flash at 1024²;
-force 'xla' to measure the flash win under value_and_grad).
+'full'), attention impl (auto → the fused VMEM kernel at both 512² [1029
+tokens] and 1024² [4101 tokens] — anything in the 512–4608 token window;
+flash only above 4608; force 'xla' to measure the kernel win under
+value_and_grad).
 
 Usage:
     python tools/vit_ab.py                       # default grid
@@ -34,8 +36,8 @@ if _REPO not in sys.path:
 DEFAULT_GRID = [
     '512/none/auto',
     '512/dots/auto',
-    '1024/none/auto',      # auto → flash (4101 tokens >= threshold)
-    '1024/none/xla',       # the O(N²) baseline flash must beat
+    '1024/none/auto',      # auto → fused (4101 tokens < the 4608 threshold)
+    '1024/none/xla',       # the O(N²) baseline the fused kernel must beat
     '1024/dots/auto',
 ]
 
