@@ -175,6 +175,26 @@ def test_save_from_pretrained_roundtrip(tmp_path):
     model.save_pretrained(str(tmp_path / 'hub'), variables)
     m2, v2 = ERModule.from_pretrained(str(tmp_path / 'hub'))
     assert m2.config.classes == 5
+
+    # bit-exact CONFIG round-trip: the restored module's merged config equals
+    # the saved module's, including the nested encoder/head/fs_relation dicts
+    # (the reference's hub-mixin contract stores config.json alongside the
+    # weights, ``ever/interface/configurable.py:2,5``).  JSON turns tuples
+    # into lists — normalize both sides through the same jsonable view.
+    from ever_tpu.interface.module import _jsonable
+    assert _jsonable(m2.config) == _jsonable(model.config)
+
+    # bit-exact WEIGHTS round-trip: every leaf identical in value, dtype and
+    # shape (msgpack must not quietly upcast or reorder anything)
+    import jax as _jax
+    ref_leaves = _jax.tree_util.tree_flatten_with_path(variables)[0]
+    new_leaves = _jax.tree_util.tree_flatten_with_path(v2)[0]
+    assert [p for p, _ in ref_leaves] == [p for p, _ in new_leaves]
+    for (path, a), (_, b) in zip(ref_leaves, new_leaves):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape, path
+        np.testing.assert_array_equal(a, b, err_msg=str(path))
+
     out = m2.apply(v2, x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
