@@ -42,11 +42,11 @@ def _peak_for(device) -> float:
     return 197.0 * 1e12
 
 
-def _wait_for_backend(max_wait: float, probe_timeout: float = 240.0) -> str:
+def _wait_for_backend(max_wait: float, probe_timeout: float = 240.0):
     """Probe ``jax.devices()`` in a SUBPROCESS until the backend answers.
 
-    Returns '' once a probe succeeds, else the last probe error after
-    ``max_wait`` seconds.
+    Returns ``('', device_kind)`` once a probe succeeds, else
+    ``(last_error, '')`` after ``max_wait`` seconds.
 
     The tunneled axon plugin hangs indefinitely in-process when the TPU
     tunnel is down (observed: 30+ min of failed probes), which would hang
@@ -64,16 +64,17 @@ def _wait_for_backend(max_wait: float, probe_timeout: float = 240.0) -> str:
     while True:
         try:
             proc = subprocess.run(
-                [sys.executable, '-c', 'import jax; jax.devices()'],
-                timeout=probe_timeout, capture_output=True,
+                [sys.executable, '-c',
+                 'import jax; print(jax.devices()[0].device_kind)'],
+                timeout=probe_timeout, capture_output=True, text=True,
                 env=dict(os.environ, EVER_COMPILE_CACHE='0'))
             if proc.returncode == 0:
-                return ''
-            last_err = proc.stderr.decode(errors='replace').strip()[-300:]
+                return '', proc.stdout.strip().splitlines()[-1]
+            last_err = proc.stderr.strip()[-300:]
         except subprocess.TimeoutExpired:
             last_err = f'probe timed out after {probe_timeout:.0f}s'
         if time.time() >= deadline:
-            return last_err or 'backend probe failed'
+            return (last_err or 'backend probe failed'), ''
         time.sleep(30)
 
 
@@ -112,7 +113,8 @@ def _median_windows(run_window, sync, windows: int = 3):
     return times, med, spread
 
 
-def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
+def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd,
+                  include_infer=True):
     from ever_tpu.core import builder
     (batch_sharding, host_to_global, make_mesh, replicated) = mesh_mod
     (build_train_loop, build_train_step, create_train_state) = spmd
@@ -228,22 +230,45 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
     # secondary: whole-scene sliding-window inference (north star:
     # >= 5000 512² tiles/sec on v5e-8 = 625/chip).  With multiple chips the
     # tile list shards over the mesh (one psum per scene) and the metric
-    # stays per-chip.
-    if not on_tpu:
+    # stays per-chip.  On TPU the orchestrated run times inference in its
+    # OWN fresh process instead (see _bench_infer / main) — chip state left
+    # behind by the train sections measurably depresses it.
+    if not on_tpu and include_infer:
         out.update(infer_tiles_per_sec_per_chip=0.0,
                    tta_d4_tiles_per_sec_per_chip=0.0,
                    int8_infer_tiles_per_sec_per_chip=0.0,
                    int8_tta_d4_tiles_per_sec_per_chip=0.0,
                    infer_vs_baseline=0.0)
         return out
+    if include_infer:
+        state = state_box[0]
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        infer = _bench_infer(jax, jnp, np, devices, n_chips, mesh,
+                             variables=variables)
+        out['noise'].update(infer.pop('noise'))
+        out.update(infer)
+    return out
 
+
+def _bench_infer(jax, jnp, np, devices, n_chips, mesh, variables=None,
+                 windows: int = 3):
+    """Whole-scene tiled inference: bf16, fused D4-TTA, int8 PTQ, int8+TTA.
+
+    ``variables=None`` initializes fresh weights (throughput is
+    data-independent); a trained state may be passed when running inside
+    the farseg section."""
+    from ever_tpu.core import builder
     from ever_tpu.magic.tiled import tiled_inference
-    state = state_box[0]
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    # same params, raw-layout stem for on-device tile gathering
+
+    rng = np.random.default_rng(0)
+    # same params layout as training, raw-layout stem for on-device tile
+    # gathering
     infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
         encoder=dict(resnet_type='resnet50', stem='s2d', pack2_layer1=True),
         classes=7, dtype='bfloat16')})
+    if variables is None:
+        x0 = jnp.zeros((1, 512, 512, 3), jnp.bfloat16)
+        variables = infer_model.init({'params': jax.random.key(0)}, x0)
 
     def predict(tiles):
         return infer_model.apply(variables, tiles, train=False)
@@ -255,6 +280,7 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
                         ).astype(jnp.bfloat16)
     n_tiles = 64
     out_box = [None]
+    out = {'noise': {}}
 
     def isync():
         return float(jax.device_get(jnp.sum(out_box[0][0, 0])))
@@ -267,7 +293,8 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
         run_infer(pred_fn, tb, tta)  # warmup/compile
         isync()
         _, med, spr = _median_windows(
-            lambda: [run_infer(pred_fn, tb, tta) for _ in range(reps)], isync)
+            lambda: [run_infer(pred_fn, tb, tta) for _ in range(reps)],
+            isync, windows)
         return n_tiles * reps / med / n_chips, spr
 
     infer_tps, infer_spr = time_infer(predict, 8)
@@ -282,8 +309,7 @@ def _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips, mesh_mod, spmd):
         out['noise']['tta_spread'] = round(tta_spr, 4)
 
         # int8 W8A8 PTQ serving variant (ops/ptq.py): per-channel weight /
-        # per-tensor activation scales from one calibration batch; measured
-        # 873 t/s vs 710 bf16 with 99.96% argmax agreement
+        # per-tensor activation scales from one calibration batch
         # (tools/ptq_check.py, docs/PERFORMANCE.md "Int8 W8A8 PTQ").
         try:
             from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
@@ -394,20 +420,12 @@ def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
     }
 
 
-def _bench_config(name: str):
-    """Time one of the non-flagship BASELINE train steps at production sizes
-    (512², batch 8, bf16, R50 trunks) on the chip.  Prints one JSON line."""
-    import jax
-    import jax.numpy as jnp
+def config_model_and_data(name: str, tile: int, batch: int, on_tpu: bool,
+                          overrides=None):
+    """(model_cfg, data) for one non-flagship BASELINE config at the given
+    geometry — shared by ``--config`` timing and ``tools/profile_config.py``.
+    ``overrides`` is a dict merged into the model params (dotted keys)."""
     import numpy as np
-
-    from ever_tpu.core import builder
-    from ever_tpu.parallel.spmd import build_train_loop, create_train_state
-
-    devices = jax.devices()
-    on_tpu = 'cpu' not in devices[0].device_kind.lower()
-    tile = 512 if on_tpu else 32
-    batch = 8 if on_tpu else 2
 
     common = dict(
         encoder=dict(resnet_type='resnet50'),
@@ -440,11 +458,40 @@ def _bench_config(name: str):
             common, damage_classes=5)}
         dam = rng.integers(0, 5, size=(batch, tile, tile)).astype(np.int32)
         data = (x6, dict(loc=ybin, damage=np.where(ybin == 0, 0, dam)))
-    elif name == 'gan':
-        return _bench_gan(tile, batch, on_tpu)
     else:
         raise SystemExit(f'unknown --config {name!r}')
+    if overrides:
+        import ast
+        for key, v in overrides.items():
+            node = model_cfg['params']
+            parts = key.split('.')
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            try:
+                node[parts[-1]] = ast.literal_eval(v) if isinstance(v, str) else v
+            except (ValueError, SyntaxError):
+                node[parts[-1]] = v
+    return model_cfg, data
 
+
+def _bench_config(name: str):
+    """Time one of the non-flagship BASELINE train steps at production sizes
+    (512², batch 8, bf16, R50 trunks) on the chip.  Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.spmd import build_train_loop, create_train_state
+
+    devices = jax.devices()
+    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+    tile = 512 if on_tpu else 32
+    batch = 8 if on_tpu else 2
+
+    if name == 'gan':
+        return _bench_gan(tile, batch, on_tpu)
+    model_cfg, data = config_model_and_data(name, tile, batch, on_tpu)
     model = builder.make_model(model_cfg)
     schedule = builder.make_learningrate(
         {'type': 'poly', 'params': dict(base_lr=0.01, power=0.9, max_iters=1000)})
@@ -552,15 +599,148 @@ def _bench_gan(tile: int, batch: int, on_tpu: bool):
     return None
 
 
+# generous per-section subprocess timeouts (cold Mosaic compile of the ViT
+# 512² step took 42 min once — the persistent cache usually absorbs it)
+_SECTION_TIMEOUT = {'infer': 2400, 'farseg': 2400, 'vit512': 3600,
+                    'vit1024': 3600}
+
+
+def _run_section_subprocess(name: str, extra=()):
+    """Run one bench section in a FRESH process (its own TPU tunnel client)
+    and parse its JSON line.  Fresh-process isolation is load-bearing for
+    the inference metric: chip/client state left behind by the train
+    sections (lazily-freed buffers, allocator fragmentation) measurably
+    depressed it when everything shared one process (the r01→r03
+    722.6→655.4 tiles/s slide — docs/PERFORMANCE.md 'inference slide')."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, EVER_BENCH_WAIT='0')  # parent already probed
+    cmd = [sys.executable, os.path.abspath(__file__), '--section', name,
+           *extra]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              timeout=_SECTION_TIMEOUT.get(name, 2400))
+    except subprocess.TimeoutExpired:
+        return {'error': f'section {name} timed out'}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {'error': f'section {name} rc={proc.returncode}: '
+                     + proc.stderr.strip()[-300:]}
+
+
+def _section_main(name: str, args):
+    """Run one section in-process and print its JSON fragment."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.parallel.mesh import (batch_sharding, host_to_global,
+                                        make_mesh, replicated)
+    from ever_tpu.parallel.spmd import (build_train_loop, build_train_step,
+                                        create_train_state)
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    on_tpu = 'cpu' not in devices[0].device_kind.lower()
+
+    if name == 'infer':
+        if args.prelude_vit:
+            # A/B instrument for the inference-slide diagnosis: reproduce
+            # the r03 in-process ordering (ViT train → inference) so the
+            # chip-state confound is measurable against a fresh process.
+            _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
+                       tile=512, batch=8)
+            import gc
+            jax.clear_caches()
+            gc.collect()
+        mesh = make_mesh(('data',), devices=devices) if n_chips > 1 else None
+        out = _bench_infer(jax, jnp, np, devices, n_chips, mesh,
+                           windows=args.windows)
+    elif name == 'farseg':
+        out = _bench_farseg(
+            jax, jnp, np, on_tpu, devices, n_chips,
+            (batch_sharding, host_to_global, make_mesh, replicated),
+            (build_train_loop, build_train_step, create_train_state),
+            include_infer=False)
+    elif name == 'vit512':
+        out = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
+                         tile=512, batch=8)
+    elif name == 'vit1024':
+        out = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
+                         tile=1024, batch=2, remat=args.vit_remat)
+    else:
+        raise SystemExit(f'unknown --section {name!r}')
+    out['device'] = devices[0].device_kind
+    out['n_chips'] = n_chips
+    print(json.dumps(out))
+
+
+def _orchestrate(args):
+    """Full benchmark line: each section in its own fresh process."""
+    skip_vit = args.skip_vit
+    far = _run_section_subprocess('farseg')
+    infer = _run_section_subprocess('infer')
+    vit512 = None if skip_vit else _run_section_subprocess('vit512')
+    vit1024 = None if skip_vit else _run_section_subprocess(
+        'vit1024', ('--vit-remat', args.vit_remat) if args.vit_remat else ())
+
+    noise = dict(far.get('noise', {}))
+    noise.update(infer.get('noise', {}))
+    line = {
+        'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
+        'value': far.get('value', 0.0),
+        'unit': '512x512 tiles/sec/chip',
+        'vs_baseline': far.get('vs_baseline', 0.0),
+        'mfu': far.get('mfu', 0.0),
+        'step_time_ms': far.get('step_time_ms', 0.0),
+        'step_flops_g': far.get('step_flops_g', 0.0),
+        'infer_tiles_per_sec_per_chip':
+            infer.get('infer_tiles_per_sec_per_chip', 0.0),
+        'infer_vs_baseline': infer.get('infer_vs_baseline', 0.0),
+        'tta_d4_tiles_per_sec_per_chip':
+            infer.get('tta_d4_tiles_per_sec_per_chip', 0.0),
+        'int8_infer_tiles_per_sec_per_chip':
+            infer.get('int8_infer_tiles_per_sec_per_chip', 0.0),
+        'int8_tta_d4_tiles_per_sec_per_chip':
+            infer.get('int8_tta_d4_tiles_per_sec_per_chip', 0.0),
+        'n_chips': far.get('n_chips', 1),
+        'global_batch': far.get('global_batch', 0),
+        'device': far.get('device', infer.get('device', '?')),
+        'noise': noise,
+        'isolation': 'one process per section',
+    }
+    for key, src in (('error_farseg', far), ('error_infer', infer)):
+        if 'error' in src:
+            line[key] = src['error']
+    if vit512 is not None:
+        line['vit_train'] = vit512
+    if vit1024 is not None:
+        line['vit1024_train'] = vit1024
+    print(json.dumps(line))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--config', default=None,
                     help='time one non-flagship BASELINE config instead '
                          '(factseg|changestar|changemask|changeos|gan)')
+    ap.add_argument('--section', default=None,
+                    help='run ONE section in-process '
+                         '(infer|farseg|vit512|vit1024)')
     ap.add_argument('--skip-vit', action='store_true',
                     help='primary line without the ViT train workloads')
     ap.add_argument('--vit-remat', default=None,
                     help="remat for the 1024² ViT step (None|'full'|'dots')")
+    ap.add_argument('--windows', type=int, default=3,
+                    help='timing windows per metric (infer section)')
+    ap.add_argument('--prelude-vit', action='store_true',
+                    help='infer section only: run a ViT-512 train section '
+                         'first in the same process (slide A/B instrument)')
     args = ap.parse_args()
 
     # Bound backend acquisition BEFORE touching jax in this process
@@ -571,7 +751,7 @@ def main():
     import os
     force_cpu = os.environ.get('EVER_BENCH_CPU', '') == '1'
     max_wait = 0.0 if force_cpu else float(os.environ.get('EVER_BENCH_WAIT', '1800'))
-    err = _wait_for_backend(max_wait) if max_wait > 0 else ''
+    err, probed_kind = _wait_for_backend(max_wait) if max_wait > 0 else ('', '')
     if err:
         print(json.dumps({
             'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
@@ -588,7 +768,21 @@ def main():
     if args.config:
         _bench_config(args.config)
         return
+    if args.section:
+        _section_main(args.section, args)
+        return
 
+    # CPU (tests/dev): everything in-process, no subprocess overhead.
+    # The orchestrator parent must never initialize a TPU backend itself
+    # (it would hold a tunnel client while its section children run), so
+    # the platform decision uses the subprocess probe's device kind.
+    if force_cpu or 'cpu' in probed_kind.lower():
+        _cpu_main(args)
+        return
+    _orchestrate(args)
+
+
+def _cpu_main(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -600,33 +794,9 @@ def main():
 
     devices = jax.devices()
     n_chips = len(devices)
-    on_tpu = 'cpu' not in devices[0].device_kind.lower()
-
-    # ViT-L sections run FIRST: the fine-tune step's HBM high-water is
-    # ~12 of the 16 GB (fp32 adamw state + B8 no-remat activations; see the
-    # donate note in _bench_vit), so it gets the chip at its emptiest.
-    # FarSeg needs <2 GB and is insensitive to ViT leftovers; errors in the
-    # ViT sections are contained so the primary metric cannot be lost.
-    vit512 = vit1024 = None
-    if on_tpu and n_chips == 1 and not args.skip_vit:
-        try:
-            vit512 = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
-                                tile=512, batch=8)
-        except Exception as e:  # never lose the primary metric to a ViT fail
-            vit512 = {'error': str(e)[:200]}
-        try:
-            vit1024 = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
-                                 tile=1024, batch=2, remat=args.vit_remat)
-        except Exception as e:
-            vit1024 = {'error': str(e)[:200]}
-        import gc
-        jax.clear_caches()
-        gc.collect()
-
-    far = _bench_farseg(jax, jnp, np, on_tpu, devices, n_chips,
+    far = _bench_farseg(jax, jnp, np, False, devices, n_chips,
                         (batch_sharding, host_to_global, make_mesh, replicated),
                         (build_train_loop, build_train_step, create_train_state))
-
     line = {
         'metric': 'farseg_r50_train_tiles_per_sec_per_chip',
         'value': far['value'],
@@ -645,10 +815,6 @@ def main():
         'device': devices[0].device_kind,
         'noise': far['noise'],
     }
-    if vit512 is not None:
-        line['vit_train'] = vit512
-    if vit1024 is not None:
-        line['vit1024_train'] = vit1024
     print(json.dumps(line))
 
 

@@ -41,6 +41,56 @@ def split_bitemporal(x):
     return x[..., :c], x[..., c:]
 
 
+class _SharedOrderConv(nn.Module):
+    """``nn.Conv``-compatible kernel ``[3,3,2C,F]`` applied as ONE
+    2F-output-channel conv that computes BOTH temporal orders on the N
+    batch: ``conv(f1‖f2, W)`` and ``conv(f2‖f1, W)`` = ``conv(f1‖f2, Wsw)``
+    where ``Wsw`` swaps the two input-channel halves.  Identical parameters
+    and outputs to running the F-channel conv twice on the 2N batch, at
+    HALF the lane-padding waste (F=16 pads to the 128-lane tile either way;
+    2F fills twice as much of it per MXU pass)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        c2 = z.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, c2, self.features), jnp.float32)
+        c = c2 // 2
+        w_swapped = jnp.concatenate([kernel[:, :, c:], kernel[:, :, :c]],
+                                    axis=2)
+        w_both = jnp.concatenate([kernel, w_swapped], axis=3).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            z.astype(self.dtype), w_both, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class _OrderStackedConv0(nn.Module):
+    """Drop-in for ``ConvBlock(name='conv0')`` in the order-stacked layout:
+    the 2F-channel shared-order conv on the N batch, reshaped to the
+    canonical ``[2N, H, W, F]`` both-orders batch BEFORE the norm, so BN
+    statistics pool over both orders exactly as the stacked-batch FCN's BN
+    does.  Parameter tree identical to the ConvBlock it replaces
+    (``conv0/Conv_0/kernel`` + ``conv0/Norm_0/*``)."""
+
+    features: int
+    norm: str = 'bn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        from ever_tpu.module.ops import Norm
+        y = _SharedOrderConv(self.features, dtype=self.dtype,
+                             name='Conv_0')(z)
+        n, h, w, _ = y.shape
+        y = y.reshape(n, h, w, 2, self.features)
+        y = jnp.concatenate([y[:, :, :, 0], y[:, :, :, 1]], axis=0)
+        y = Norm(self.norm, dtype=self.dtype)(y, train)
+        return nn.relu(y)
+
+
 @registry.OP.register()
 class ChangeMixin(nn.Module):
     """ChangeStar's change detector (ICCV'21).
@@ -49,18 +99,26 @@ class ChangeMixin(nn.Module):
     small FCN on each, and returns the pair of change logits.  Training uses
     the temporal-symmetry loss: both orders supervised with the same change
     label (change is symmetric).
+
+    ``order_stacked=True`` computes the first conv (the FLOP-heavy 2C→F
+    reduction) as one 2F-channel conv on the N batch instead of an
+    F-channel conv on the 2N both-orders batch — identical params and
+    outputs (``tests/test_model_zoo.py``), half the MXU lane-padding waste
+    of the F=16-channel output (VERDICT r3 #4; measured on chip,
+    docs/PERFORMANCE.md "ChangeStar").
     """
 
     in_channels: int = 256          # per-temporal feature channels (parity doc)
     inner_channels: int = 16
     num_convs: int = 4
     scale_factor: float = 4.0
+    order_stacked: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, f1, f2, train: bool = False):
-        def fcn(x):
-            for i in range(self.num_convs):
+        def tail(x, start):
+            for i in range(start, self.num_convs):
                 x = ConvBlock(self.inner_channels, 3, norm='bn',
                               dtype=self.dtype, name=f'conv{i}')(x, train)
             x = nn.Conv(1, (3, 3), padding='SAME', dtype=self.dtype,
@@ -68,12 +126,18 @@ class ChangeMixin(nn.Module):
             return resize(x, scale=self.scale_factor,
                           method='bilinear').astype(jnp.float32)
 
-        # weight sharing across the two orders: one FCN applied to a stacked
-        # batch (single trace → single set of params, MXU-friendly)
-        both = jnp.concatenate([
-            jnp.concatenate([f1, f2], axis=-1),
-            jnp.concatenate([f2, f1], axis=-1)], axis=0)
-        logits = fcn(both)
+        if self.order_stacked and self.num_convs >= 1:
+            z = jnp.concatenate([f1, f2], axis=-1)
+            x = _OrderStackedConv0(self.inner_channels, norm='bn',
+                                   dtype=self.dtype, name='conv0')(z, train)
+            logits = tail(x, 1)
+        else:
+            # weight sharing across the two orders: one FCN applied to a
+            # stacked batch (single trace → single set of params)
+            both = jnp.concatenate([
+                jnp.concatenate([f1, f2], axis=-1),
+                jnp.concatenate([f2, f1], axis=-1)], axis=0)
+            logits = tail(both, 0)
         n = f1.shape[0]
         return logits[:n], logits[n:]
 

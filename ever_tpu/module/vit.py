@@ -206,6 +206,12 @@ class SelfAttention(nn.Module):
     qkv_bias: bool = False
     proj_bias: bool = True
     attn_impl: Optional[str] = None     # None=auto | 'xla' | 'flash' (Pallas)
+    # 'bnhd' (flax convention) or 'bhnd': q/k/v produced directly in the TPU
+    # kernels' native [B,H,N,D] via ONE fused transpose of the packed qkv
+    # tensor instead of 3 swapaxes in + 1 out around the kernel — the
+    # transpose-traffic experiment for the dense 1024² regime (VERDICT r3
+    # #3; measured on chip, docs/PERFORMANCE.md "ViT-L/16 training").
+    attn_layout: str = 'bnhd'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +222,11 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name='qkv')(x)
         qkv = qkv.reshape(b, n, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [B, N, H, D]
+        if self.attn_layout == 'bhnd':
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))        # [3, B, H, N, D]
+            q, k, v = qkv[0], qkv[1], qkv[2]
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
         if rope is not None:
             sin, cos = rope                                   # [HW, D_head]
             prefix = n - sin.shape[0]
@@ -237,12 +247,18 @@ class SelfAttention(nn.Module):
             # fp32 — forcing that here cost ~40 ms/step of pure HBM traffic
             # at ViT-L 512² (profiled: slice_negate/maximum_add f32
             # fusions), while fp32 models are bit-identical either way.
-            sin = sin[None, :, None, :].astype(q.dtype)       # broadcast heads
-            cos = cos[None, :, None, :].astype(q.dtype)
+            if self.attn_layout == 'bhnd':
+                sin = sin[None, None, :, :].astype(q.dtype)   # broadcast b, h
+                cos = cos[None, None, :, :].astype(q.dtype)
+            else:
+                sin = sin[None, :, None, :].astype(q.dtype)   # broadcast heads
+                cos = cos[None, :, None, :].astype(q.dtype)
             q = rope_apply(q, sin, cos)
             k = rope_apply(k, sin, cos)
         from ever_tpu.ops.attention import attention
-        out = attention(q, k, v, impl=self.attn_impl)        # [B, N, H, D]
+        out = attention(q, k, v, impl=self.attn_impl, layout=self.attn_layout)
+        if self.attn_layout == 'bhnd':
+            out = jnp.transpose(out, (0, 2, 1, 3))            # → [B, N, H, D]
         out = out.reshape(b, n, c)
         out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
                        name='proj')(out)
@@ -265,6 +281,7 @@ class SelfAttentionBlock(nn.Module):
     norm: str = 'ln'                  # 'ln' | 'rms'
     norm_eps: float = 1e-6            # 1e-5 = reference 'layernormbf16'
     attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
+    attn_layout: str = 'bnhd'         # 'bnhd' | 'bhnd' (see SelfAttention)
     dtype: Dtype = jnp.float32
 
     def _norm(self, name):
@@ -278,6 +295,7 @@ class SelfAttentionBlock(nn.Module):
         y = self._norm('norm1')(x)
         y = SelfAttention(self.dim, self.num_heads, self.qkv_bias,
                           attn_impl=self.attn_impl,
+                          attn_layout=self.attn_layout,
                           dtype=self.dtype, name='attn')(y, rope)
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name='ls1')(y)
@@ -360,6 +378,7 @@ class DinoVisionTransformer(nn.Module):
     # of a multi-crop list forward) — reference vision_transformer.py:249-254
     untie_global_and_local_cls_norm: bool = False
     attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
+    attn_layout: str = 'bnhd'         # 'bnhd' | 'bhnd' (see SelfAttention)
     # Per-block activation rematerialisation (the TPU analog of the
     # reference's per-stage ``with_cp`` gradient checkpointing,
     # ``ever/module/resnet.py:189-208``): None = off, 'full' = recompute
@@ -411,7 +430,8 @@ class DinoVisionTransformer(nn.Module):
             layerscale_init=self.layerscale_init,
             drop_path_rate=self.drop_path_rate,
             ffn_layer=self.ffn_layer or ffn_layer, norm=self.norm,
-            norm_eps=eps, attn_impl=self.attn_impl, dtype=self.dtype,
+            norm_eps=eps, attn_impl=self.attn_impl,
+            attn_layout=self.attn_layout, dtype=self.dtype,
             name=f'block{i}') for i in range(depth)]
 
         def make_norm(name):

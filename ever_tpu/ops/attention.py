@@ -197,19 +197,28 @@ def _fused_core_bwd(n, sm_scale, interpret, res, do):
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
-def _fused(q, k, v, interpret: Optional[bool] = None):
-    """VMEM-resident attention over [B, N, H, D]; pads N to a 128 multiple."""
-    b, n, h, d = q.shape
+def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
+    """VMEM-resident attention; pads N to a 128 multiple.
+
+    ``layout='bnhd'`` (flax convention) transposes in/out of the kernel's
+    native [B,H,N,D]; ``layout='bhnd'`` consumes/produces [B,H,N,D]
+    directly — the caller owns the layout and the per-tensor swapaxes
+    (≈12 ms/step at ViT-L 512², docs/PERFORMANCE.md) disappear."""
     if interpret is None:
         interpret = not _on_tpu()
+    if layout == 'bhnd':
+        b, h, n, d = q.shape
+        qt, kt, vt = q, k, v
+    else:
+        b, n, h, d = q.shape
+        qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))   # [B,H,N,D]
     target = -(-n // 128) * 128
     sm_scale = 1.0 / (d ** 0.5)
-    qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))   # [B,H,N,D]
     if target != n:
         pad = ((0, 0), (0, 0), (0, target - n), (0, 0))
         qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
-    out = _fused_core(qt, kt, vt, n, sm_scale, interpret)
-    return jnp.swapaxes(out[:, :, :n], 1, 2)
+    out = _fused_core(qt, kt, vt, n, sm_scale, interpret)[:, :, :n]
+    return out if layout == 'bhnd' else jnp.swapaxes(out, 1, 2)
 
 
 def _pick_block(n: int, cap: int) -> int:
@@ -223,10 +232,13 @@ def _pick_block(n: int, cap: int) -> int:
     return b if n % b == 0 else 128
 
 
-def _flash(q, k, v, block_q: Optional[int] = None, block_k: Optional[int] = None):
+def _flash(q, k, v, block_q: Optional[int] = None,
+           block_k: Optional[int] = None, layout: str = 'bnhd'):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
-    b, n, h, d = q.shape
+    n_axis = 2 if layout == 'bhnd' else 1
+    b, n = q.shape[0], q.shape[n_axis]
+    d = q.shape[-1]
     # The kernel asserts block divisibility, and real ViT token counts are
     # patches + prefix (cls + storage), e.g. 4101 — never a block multiple.
     # Pad to one and mask the pad tokens out with segment ids (real tokens
@@ -235,13 +247,16 @@ def _flash(q, k, v, block_q: Optional[int] = None, block_k: Optional[int] = None
     target = -(-n // unit) * unit
     seg = None
     if target != n:
-        pad = target - n
-        q, k, v = (jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                   for t in (q, k, v))
+        pad = [(0, 0)] * 4
+        pad[n_axis] = (0, target - n)
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         ids = (jnp.arange(target) >= n).astype(jnp.int32)[None].repeat(b, 0)
         seg = SegmentIds(q=ids, kv=ids)
-    # pallas kernel wants [B, H, N, D]
-    qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    # pallas kernel wants [B, H, N, D] — 'bhnd' input is already there
+    if layout == 'bhnd':
+        qt, kt, vt = q, k, v
+    else:
+        qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     bq = block_q or _pick_block(target, 1024)
     bk = block_k or _pick_block(target, 1024)
     bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
@@ -250,16 +265,22 @@ def _flash(q, k, v, block_q: Optional[int] = None, block_k: Optional[int] = None
                     block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
     out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
                           sm_scale=1.0 / (d ** 0.5), block_sizes=bs)
+    if layout == 'bhnd':
+        return out[:, :, :n]
     return jnp.swapaxes(out, 1, 2)[:, :n]
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              impl: Optional[str] = None) -> jnp.ndarray:
-    """Multi-head attention over [B, N, H, D] with automatic kernel choice.
+              impl: Optional[str] = None,
+              layout: str = 'bnhd') -> jnp.ndarray:
+    """Multi-head attention with automatic kernel choice.
 
     ``impl``: None (auto) | 'xla' | 'fused' | 'flash'.
+    ``layout``: 'bnhd' ([B, N, H, D], the flax convention) or 'bhnd'
+    ([B, H, N, D], the TPU kernels' native layout — callers that produce
+    q/k/v pre-transposed skip the per-call swapaxes copies).
     """
-    n = q.shape[1]
+    n = q.shape[2 if layout == 'bhnd' else 1]
     if impl is None:
         if _on_tpu():
             if n > FLASH_TOKEN_THRESHOLD:
@@ -271,15 +292,19 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         else:
             impl = 'xla'
     if impl == 'fused':
-        return _fused(q, k, v)
+        return _fused(q, k, v, layout=layout)
     if impl == 'flash':
         if _on_tpu():
             # on real hardware a flash failure is a real bug — do NOT
             # silently downgrade to the O(N^2) path this kernel exists
             # to avoid
-            return _flash(q, k, v)
+            return _flash(q, k, v, layout=layout)
         try:
-            return _flash(q, k, v)
+            return _flash(q, k, v, layout=layout)
         except Exception:
             impl = 'xla'   # interpret/CPU fallback
+    if layout == 'bhnd':
+        out = jax.nn.dot_product_attention(*(jnp.swapaxes(t, 1, 2)
+                                             for t in (q, k, v)))
+        return jnp.swapaxes(out, 1, 2)
     return jax.nn.dot_product_attention(q, k, v)

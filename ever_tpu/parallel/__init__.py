@@ -1,5 +1,10 @@
-from ever_tpu.parallel import mesh, spatial, spmd, tp, zero
+from ever_tpu.parallel import mesh, sharded, spatial, spmd, tp, zero
 from ever_tpu.parallel.mesh import batch_sharding, host_to_global, make_mesh, replicated
+from ever_tpu.parallel.sharded import (
+    abstract_train_state,
+    create_train_state_sharded,
+    sharded_state_shardings,
+)
 from ever_tpu.parallel.spmd import (
     TrainState,
     build_eval_step,

@@ -522,3 +522,34 @@ def test_vit_encoder_pyramid_out_indices_mismatch_raises():
     x = jnp.ones((1, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match='pyramid'):
         enc.init(jax.random.key(0), x)
+
+
+def test_changemixin_order_stacked_equivalence():
+    """order_stacked=True (one 2F-channel conv0 on the N batch — the MXU
+    lane-padding fix, VERDICT r3 #4) has an identical parameter tree and
+    matches the stacked-batch FCN in eval AND train mode (incl. BN stats
+    pooling over both temporal orders) to float tolerance."""
+    import numpy as np
+
+    from ever_tpu.module.change import ChangeMixin
+
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.normal(size=(2, 16, 16, 256)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(2, 16, 16, 256)), jnp.float32)
+    kw = dict(in_channels=512, inner_channels=16, num_convs=4,
+              scale_factor=4.0)
+    base = ChangeMixin(**kw)
+    stacked = ChangeMixin(order_stacked=True, **kw)
+
+    v = base.init({'params': jax.random.key(0)}, f1, f2, train=True)
+    v2 = stacked.init({'params': jax.random.key(0)}, f1, f2, train=True)
+    flat = jax.tree_util.tree_flatten_with_path(v['params'])[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(v2['params'])[0]
+    assert [(k, l.shape) for k, l in flat] == [(k, l.shape) for k, l in flat2]
+
+    a, am = base.apply(v, f1, f2, train=True, mutable=['batch_stats'])
+    b, bm = stacked.apply(v, f1, f2, train=True, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=5e-6)
+    for x, y in zip(jax.tree.leaves(am), jax.tree.leaves(bm)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-6)

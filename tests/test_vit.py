@@ -117,3 +117,38 @@ def test_sparsify24_straight_through_gradient():
     g = jax.grad(lambda t: (sparsify24(t) ** 2).sum())(w)
     # STE: the vjp is identity, so grad == upstream grad == 2 * sparsify(w)
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(sparsify24(w)))
+
+
+def test_attn_layout_bhnd_equivalence():
+    """attn_layout='bhnd' (q/k/v in the TPU kernels' native [B,H,N,D] via
+    one fused transpose — the dense-regime transpose-traffic fix, VERDICT
+    r3 #3) matches the default layout bit-for-bit in eval and to float
+    tolerance in grads, with an identical parameter tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    base = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small'), classes=7, dtype='float32')})
+    bhnd = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small', attn_layout='bhnd'), classes=7,
+        dtype='float32')})
+    v = base.init({'params': jax.random.key(0)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        bhnd.init({'params': jax.random.key(0)}, x))
+    np.testing.assert_array_equal(
+        np.asarray(base.apply(v, x, train=False)),
+        np.asarray(bhnd.apply(v, x, train=False)))
+
+    def loss(model, variables):
+        return jnp.mean(model.apply(variables, x, train=False) ** 2)
+
+    ga = jax.grad(lambda vv: loss(base, vv))(v)
+    gb = jax.grad(lambda vv: loss(bhnd, vv))(v)
+    for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=1e-6, rtol=1e-5)

@@ -37,7 +37,8 @@ def _train(args, num_iters):
     from ever_tpu.trainer import get_trainer
 
     argv = [
-        '--config_path', os.path.join(REPO, 'project_template/configs/farseg_r50_loveda.py'),
+        '--config_path', os.path.join(
+            REPO, f'project_template/configs/{args.config}.py'),
         '--model_dir', args.model_dir,
         '--trainer', 'th_ddp',
         '--mixed_precision', 'bf16',
@@ -133,6 +134,10 @@ def main():
                     required=True)
     ap.add_argument('--root', default='/tmp/synthetic_loveda')
     ap.add_argument('--model-dir', default='/tmp/e2e_loveda_run')
+    ap.add_argument('--config', default='farseg_r50_loveda',
+                    help='project_template/configs/<name>.py — e.g. '
+                         'dinoseg_vitl_loveda for the ViT fine-tune path '
+                         '(VERDICT r3 #5: ViT PTQ mIoU gate)')
     ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--total-iters', type=int, default=300,
                     help='LR schedule horizon (shared across phases)')
