@@ -261,10 +261,12 @@ def _bench_infer(jax, jnp, np, devices, n_chips, mesh, variables=None,
     from ever_tpu.magic.tiled import tiled_inference
 
     rng = np.random.default_rng(0)
-    # same params layout as training, raw-layout stem for on-device tile
-    # gathering
+    # raw-layout stem for on-device tile gathering; pack2 OFF for inference
+    # (r4 grid: 669.5 vs 665.4 t/s — the layer1 pack costs ~1% in the
+    # serving composition while winning in training; docs/PERFORMANCE.md
+    # "inference slide")
     infer_model = builder.make_model({'type': 'FarSeg', 'params': dict(
-        encoder=dict(resnet_type='resnet50', stem='s2d', pack2_layer1=True),
+        encoder=dict(resnet_type='resnet50', stem='s2d'),
         classes=7, dtype='bfloat16')})
     if variables is None:
         x0 = jnp.zeros((1, 512, 512, 3), jnp.bfloat16)

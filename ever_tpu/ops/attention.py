@@ -76,8 +76,15 @@ def _row_block(s: int, n_bufs: float) -> int:
     ``n_bufs`` f32 [bq, s] score-sized VMEM buffers fit ``_SCORE_BUDGET``.
     At s=1152 (ViT 512² tiles) this returns s itself: ONE program per
     (batch, head) computes all rows, so k/v stream in once and dk/dv need
-    no cross-program accumulation passes."""
-    for m in range(s, 0, -128):
+    no cross-program accumulation passes.
+
+    ``EVER_ATTN_BQ_CAP`` (env, int) caps the block — the Mosaic
+    compile-time knob: whole-S blocks at the 512² train geometry compile
+    10-40x slower than 2-4 smaller revisit blocks at near-equal step time
+    (docs/PERFORMANCE.md 'fused-kernel compile time')."""
+    import os
+    cap = int(os.environ.get('EVER_ATTN_BQ_CAP', '0')) or s
+    for m in range(min(s, cap), 0, -128):
         if s % m == 0 and m * s * 4 * n_bufs <= _SCORE_BUDGET:
             return m
     return 128

@@ -97,13 +97,21 @@ def main():
         tile = int(tile_s)
         remat = None if remat_s == 'none' else remat_s
         batch = args.batch512 if tile <= 512 else args.batch1024
-        # optional 4th field kN overrides steps-per-dispatch (k1 isolates
-        # the scan-carry cost: 4.9 GB of ViT-L fp32 state rides the K-scan)
-        K = int(parts[3][1:]) if len(parts) > 3 else (10 if tile <= 512 else 4)
+        # optional extra fields: kN overrides steps-per-dispatch (k1
+        # isolates the scan-carry cost: 4.9 GB of ViT-L fp32 state rides
+        # the K-scan); 'bhnd' selects the native-kernel-layout qkv path
+        K = 10 if tile <= 512 else 4
+        layout = 'bnhd'
+        for extra in parts[3:]:
+            if extra.startswith('k'):
+                K = int(extra[1:])
+            elif extra in ('bhnd', 'bnhd'):
+                layout = extra
 
         model = builder.make_model({'type': 'DinoSeg', 'params': dict(
             backbone=dict(name=args.backbone, remat=remat,
-                          attn_impl=None if attn == 'auto' else attn),
+                          attn_impl=None if attn == 'auto' else attn,
+                          attn_layout=layout),
             classes=7, dtype='bfloat16')})
         rng = np.random.default_rng(0)
         x = rng.normal(size=(batch, tile, tile, 3)).astype(jnp.bfloat16)
