@@ -349,9 +349,9 @@ def _bench_infer(jax, jnp, np, devices, n_chips, mesh, variables=None,
 def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
                remat=None, windows: int = 3):
     """DINOv3 ViT-L/16 sat493m fine-tune train step (DinoSeg: trunk + light
-    decoder).  512² = the standard crop regime (XLA SDPA); 1024² = dense
-    big-tile regime where attention auto-dispatches to the Pallas flash
-    kernel (4101 tokens >= the 4096 threshold, ops/attention.py)."""
+    decoder).  512² = the standard crop regime (N=1029); 1024² = the dense
+    big-tile regime (N=4101).  Both auto-dispatch to the fused VMEM Pallas
+    kernel (512 <= N <= 16384, ops/attention.py r4 sweep)."""
     from ever_tpu.core import builder
     from ever_tpu.parallel.spmd import (build_train_loop, create_train_state)
 
@@ -387,9 +387,9 @@ def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
     loop_data = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape),
                              data)
 
-    # honest FLOPs: XLA-attention, no-remat twin on CPU (flash pads 4101
-    # tokens to 4608 — real work, but not useful work; remat recompute
-    # likewise must not count toward MFU)
+    # honest FLOPs: XLA-attention, no-remat twin on CPU (the Pallas kernels
+    # pad token counts to block multiples — real work, but not useful work;
+    # remat recompute likewise must not count toward MFU)
     step_flops = _ref_flops(['--model', 'vit', '--batch', batch,
                              '--tile', tile]) if on_tpu else 0.0
 
@@ -420,6 +420,73 @@ def _bench_vit(jax, jnp, np, on_tpu, devices, n_chips, tile: int, batch: int,
         'batch': batch,
         'spread': round(spread, 4),
     }
+
+
+def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
+                     windows: int = 3):
+    """DinoSeg (ViT-L/16 sat493m) whole-scene serving: bf16 and int8 W8A8
+    PTQ throughput (VERDICT r3 #5's bench metric).  Mirrors the FarSeg
+    infer section: one 4096² scene, 512² tiles, on-device paste.  PTQ
+    quantizes the qkv/proj/MLP Dense layers (``ops/ptq.py`` — Dense covers
+    ViT serving); the ACCURACY gate (int8 vs bf16 mIoU on a trained model)
+    lives in ``tools/e2e_loveda.py --config dinoseg_vitl_loveda --ptq``,
+    this section measures throughput only."""
+    from ever_tpu.core import builder
+    from ever_tpu.magic.tiled import tiled_inference
+
+    rng = np.random.default_rng(0)
+    model = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vitl16_sat493m' if on_tpu else 'vit_small',
+                      attn_impl=None if on_tpu else 'xla'),
+        classes=7, dtype='bfloat16' if on_tpu else 'float32')})
+    x0 = jnp.zeros((1, 512, 512, 3),
+                   jnp.bfloat16 if on_tpu else jnp.float32)
+    variables = model.init({'params': jax.random.key(0)}, x0)
+
+    def predict(tiles):
+        return model.apply(variables, tiles, train=False)
+
+    side = 4096 if on_tpu else 1024
+    scene = jnp.asarray(rng.normal(size=(side, side, 3)).astype(np.float32))
+    if on_tpu:
+        scene = scene.astype(jnp.bfloat16)
+    n_tiles = (side // 512) ** 2
+    out_box = [None]
+    out = {'noise': {}}
+
+    def isync():
+        return float(jax.device_get(jnp.sum(out_box[0][0, 0])))
+
+    def time_infer(fn):
+        def run():
+            out_box[0] = tiled_inference(fn, scene, 512, 512, 7,
+                                         tile_batch=8)
+        run()            # warmup/compile
+        isync()
+        _, med, spr = _median_windows(run, isync, windows)
+        return n_tiles / med / n_chips, spr
+
+    bf16_tps, bf16_spr = time_infer(predict)
+    out['noise']['vit_infer_spread'] = round(bf16_spr, 4)
+
+    int8_tps = 0.0
+    try:
+        from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
+        calib = [jnp.asarray(rng.normal(size=(8, 512, 512, 3))
+                             .astype(np.float32))]
+        qv = ptq_quantize(model, variables, calib,
+                          apply_kwargs=dict(train=False), min_in_features=64)
+        int8_tps, int8_spr = time_infer(
+            make_ptq_predict_fn(model, qv, train=False))
+        out['noise']['vit_int8_spread'] = round(int8_spr, 4)
+    except Exception:
+        int8_tps = 0.0
+
+    out.update(
+        tiles_per_sec_per_chip=round(bf16_tps, 1),
+        int8_tiles_per_sec_per_chip=round(int8_tps, 1),
+    )
+    return out
 
 
 def config_model_and_data(name: str, tile: int, batch: int, on_tpu: bool,
@@ -604,7 +671,7 @@ def _bench_gan(tile: int, batch: int, on_tpu: bool):
 # generous per-section subprocess timeouts (cold Mosaic compile of the ViT
 # 512² step took 42 min once — the persistent cache usually absorbs it)
 _SECTION_TIMEOUT = {'infer': 2400, 'farseg': 2400, 'vit512': 3600,
-                    'vit1024': 3600}
+                    'vit1024': 3600, 'vitinfer': 2400}
 
 
 def _run_section_subprocess(name: str, extra=()):
@@ -675,6 +742,9 @@ def _section_main(name: str, args):
     elif name == 'vit1024':
         out = _bench_vit(jax, jnp, np, on_tpu, devices, n_chips,
                          tile=1024, batch=2, remat=args.vit_remat)
+    elif name == 'vitinfer':
+        out = _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
+                               windows=args.windows)
     else:
         raise SystemExit(f'unknown --section {name!r}')
     out['device'] = devices[0].device_kind
@@ -690,6 +760,7 @@ def _orchestrate(args):
     vit512 = None if skip_vit else _run_section_subprocess('vit512')
     vit1024 = None if skip_vit else _run_section_subprocess(
         'vit1024', ('--vit-remat', args.vit_remat) if args.vit_remat else ())
+    vitinf = None if skip_vit else _run_section_subprocess('vitinfer')
 
     noise = dict(far.get('noise', {}))
     noise.update(infer.get('noise', {}))
@@ -723,6 +794,8 @@ def _orchestrate(args):
         line['vit_train'] = vit512
     if vit1024 is not None:
         line['vit1024_train'] = vit1024
+    if vitinf is not None:
+        line['vit_infer'] = vitinf
     print(json.dumps(line))
 
 
@@ -733,7 +806,7 @@ def main():
                          '(factseg|changestar|changemask|changeos|gan)')
     ap.add_argument('--section', default=None,
                     help='run ONE section in-process '
-                         '(infer|farseg|vit512|vit1024)')
+                         '(infer|farseg|vit512|vit1024|vitinfer)')
     ap.add_argument('--skip-vit', action='store_true',
                     help='primary line without the ViT train workloads')
     ap.add_argument('--vit-remat', default=None,

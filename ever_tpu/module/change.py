@@ -161,7 +161,7 @@ class ChangeStar(ERModule):
                          in_feat_output_strides=(4, 8, 16, 32),
                          out_feat_output_stride=4),
             changemixin=dict(in_channels=512, inner_channels=16, num_convs=4,
-                             scale_factor=4.0),
+                             scale_factor=4.0, order_stacked=True),
             classes=1,
             loss=dict(ignore_index=255,
                       seg=dict(),

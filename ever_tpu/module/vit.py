@@ -712,6 +712,10 @@ class DinoSeg(ERModule):
     def setup(self):
         bcfg = dict(self.config.backbone)
         name = bcfg.pop('name', 'vitl16_sat493m')
+        # `pretrained` follows the ResNetEncoder convention: a config key
+        # consumed OUTSIDE the module (weight_io converts the .pth, the
+        # launcher overlays via set_pretrained_state) — never a flax field
+        bcfg.pop('pretrained', None)
         kwargs = dict(SAT_CONFIGS.get(name, {}))
         if not kwargs:
             if name not in VIT_SPECS:

@@ -29,9 +29,16 @@ import jax.numpy as jnp
 
 __all__ = ['attention']
 
-# auto-dispatch boundaries (tokens): below → xla, between → fused, above → flash
+# auto-dispatch boundaries (tokens): below → xla, between → fused, above →
+# flash.  Set from the 9-point fwd+bwd sweep (tools/attn_sweep.py, v5e,
+# ViT-L head geometry H16 D64, B·N≈8k — docs/PERFORMANCE.md "attention
+# dispatch thresholds"): XLA wins only at N=256 (1.48 vs 1.62 ms f+b);
+# fused wins every measured N from 512 through 16384 (at 16k: 56.0 vs
+# flash 65.6 ms f+b; at 8k XLA degenerates to 484 ms).  Flash stays as the
+# guard ABOVE the measured range, where the fused kernel's [bq,S] f32
+# score rows force bq below an efficient tile and its compile cost grows.
 FUSED_TOKEN_THRESHOLD = 512
-FLASH_TOKEN_THRESHOLD = 4608
+FLASH_TOKEN_THRESHOLD = 16384
 
 
 def _on_tpu() -> bool:
@@ -81,11 +88,16 @@ def _row_block(s: int, n_bufs: float) -> int:
     ``EVER_ATTN_BQ_CAP`` (env, int) caps the block — the Mosaic
     compile-time knob: whole-S blocks at the 512² train geometry compile
     10-40x slower than 2-4 smaller revisit blocks at near-equal step time
-    (docs/PERFORMANCE.md 'fused-kernel compile time')."""
+    (docs/PERFORMANCE.md 'fused-kernel compile time').
+    ``EVER_ATTN_SCORE_MB`` (env, int) overrides ``_SCORE_BUDGET`` — bigger
+    budgets permit larger q-blocks where divisibility allows (block-space
+    experiments; pairs with ``EVER_ATTN_PAD_UNIT``)."""
     import os
+    budget = (int(os.environ.get('EVER_ATTN_SCORE_MB', '0')) * 1024 * 1024
+              or _SCORE_BUDGET)
     cap = int(os.environ.get('EVER_ATTN_BQ_CAP', '0')) or s
     for m in range(min(s, cap), 0, -128):
-        if s % m == 0 and m * s * 4 * n_bufs <= _SCORE_BUDGET:
+        if s % m == 0 and m * s * 4 * n_bufs <= budget:
             return m
     return 128
 
@@ -219,7 +231,14 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
     else:
         b, n, h, d = q.shape
         qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))   # [B,H,N,D]
-    target = -(-n // 128) * 128
+    # pad unit trades pad waste for block choices: S must be a multiple of
+    # every q-block, so the unit decides which bq values are legal (e.g.
+    # N=4101: unit 128 → S=4224=2^7·3·11 allows bq∈{384,1408,4224};
+    # unit 512 → S=4608=2^9·3^2 allows the pow-2 ladder).  Experiment knob;
+    # default 128 = minimal padding.
+    import os
+    unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
+    target = -(-n // unit) * unit
     sm_scale = 1.0 / (d ** 0.5)
     if target != n:
         pad = ((0, 0), (0, 0), (0, target - n), (0, 0))

@@ -96,18 +96,29 @@ class PolyLearningRate(LearningRateBase, WarmupMixin):
 
 
 @registry.LR.register('cosine')
-class CosineAnnealingLearningRate(LearningRateBase):
-    """Cosine decay to ``eta_min`` (parity: ``learning_rate.py:123-134``)."""
+class CosineAnnealingLearningRate(LearningRateBase, WarmupMixin):
+    """Cosine decay to ``eta_min`` (parity: ``learning_rate.py:123-134``).
 
-    def __init__(self, base_lr, max_iters, eta_min=0.0):
+    ``warmup`` extends the reference (whose cosine schedule has none):
+    transformer fine-tunes — the DinoSeg/ViT configs — need a linear ramp,
+    and the reference's own ``WarmupMixin`` spelling is reused verbatim so
+    one config dialect covers every schedule."""
+
+    def __init__(self, base_lr, max_iters, eta_min=0.0, warmup=None):
         super().__init__(base_lr)
         self.eta_min = float(eta_min)
         self.max_iters = int(max_iters)
+        self._init_warmup(warmup)
+        if self.warmup_step >= self.max_iters:
+            raise ValueError('warmup_step must be < max_iters')
 
     def value_at(self, global_step):
         step = jnp.asarray(global_step, jnp.float32)
-        cos = jnp.cos(math.pi * step / self.max_iters)
-        return self.eta_min + 0.5 * (self.base_lr - self.eta_min) * (1.0 + cos)
+        frac = ((step - self.warmup_step)
+                / max(self.max_iters - self.warmup_step, 1))
+        cos = jnp.cos(math.pi * jnp.clip(frac, 0.0, 1.0))
+        main = self.eta_min + 0.5 * (self.base_lr - self.eta_min) * (1.0 + cos)
+        return self.with_warmup(step, main)
 
 
 @registry.LR.register('constant')

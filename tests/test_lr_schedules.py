@@ -51,6 +51,19 @@ def test_cosine():
     assert float(lr(50)) == pytest.approx(0.55)
 
 
+def test_cosine_warmup():
+    # warmup extension (the reference cosine has none): linear ramp to
+    # base_lr over `step`, then cosine over the remaining horizon
+    lr = CosineAnnealingLearningRate(
+        base_lr=1.0, max_iters=110, eta_min=0.1,
+        warmup=dict(type='linear', step=10, ratio=0.01))
+    assert float(lr(0)) == pytest.approx(0.01)
+    assert float(lr(10)) == pytest.approx(1.0)
+    assert float(lr(60)) == pytest.approx(0.55)   # midpoint of 10..110
+    assert float(lr(110)) == pytest.approx(0.1)
+    assert float(lr(200)) == pytest.approx(0.1)   # clipped past horizon
+
+
 def test_constant_and_search():
     assert float(ConstantLearningRate(base_lr=0.3)(123)) == pytest.approx(0.3)
     lr = SearchLearningRate(init_lr=1e-5, final_lr=1.0, max_iters=100)

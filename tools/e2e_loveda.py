@@ -61,6 +61,8 @@ def _train(args, num_iters):
         'learning_rate.params.warmup.step',
         str(max(1, min(50, args.total_iters // 6))),
     ]
+    for kv in args.opts:
+        argv.extend(kv.split('=', 1))
     trainer = get_trainer('th_ddp', argv)()
     result = trainer.run(after_construct_launcher_callbacks=[
         lambda tl: tl.override_evaluate(
@@ -155,6 +157,12 @@ def main():
                          'default abs-max')
     ap.add_argument('--ptq', action='store_true',
                     help='also score the int8 PTQ serving path (mIoU delta)')
+    ap.add_argument('--opt', action='append', default=[], dest='opts',
+                    metavar='KEY=VALUE',
+                    help='extra dotted config overrides for the train phase, '
+                         'e.g. --opt model.params.backbone.attn_impl=xla '
+                         '(avoids the Mosaic compile landmine for the ViT '
+                         'PTQ gate, where kernel speed is irrelevant)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 

@@ -3,9 +3,9 @@
 VERDICT r2 #1: prove + optimize the transformer training path.  Variants
 cover the knobs that matter on TPU: per-block remat policy (None | 'dots' |
 'full'), attention impl (auto → the fused VMEM kernel at both 512² [1029
-tokens] and 1024² [4101 tokens] — anything in the 512–4608 token window;
-flash only above 4608; force 'xla' to measure the kernel win under
-value_and_grad).
+tokens] and 1024² [4101 tokens] — anything in the 512–16384 token window
+after the r4 sweep; flash only above 16384; force 'xla' to measure the
+kernel win under value_and_grad).
 
 Usage:
     python tools/vit_ab.py                       # default grid
@@ -36,7 +36,7 @@ if _REPO not in sys.path:
 DEFAULT_GRID = [
     '512/none/auto',
     '512/dots/auto',
-    '1024/none/auto',      # auto → fused (4101 tokens < the 4608 threshold)
+    '1024/none/auto',      # auto → fused (4101 tokens < the 16384 threshold)
     '1024/none/xla',       # the O(N²) baseline the fused kernel must beat
     '1024/dots/auto',
 ]

@@ -27,8 +27,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # every distinct program geometry bench.py compiles, most expensive first
-SECTIONS = ['vit512', 'vit1024', 'farseg', 'infer']
-TIMEOUT = {'vit512': 3600, 'vit1024': 3600, 'farseg': 2400, 'infer': 2400}
+SECTIONS = ['vit512', 'vit1024', 'vitinfer', 'farseg', 'infer']
+TIMEOUT = {'vit512': 3600, 'vit1024': 3600, 'vitinfer': 2400,
+           'farseg': 2400, 'infer': 2400}
 
 
 def main():
