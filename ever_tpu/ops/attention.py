@@ -113,104 +113,131 @@ def _compiler_params(interpret):
         vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n, sm_scale):
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n):
+    # q arrives PRE-SCALED by 1/sqrt(D) (folded into the qkv projection's
+    # epilogue outside the kernel — exact in bf16 for power-of-two D) so no
+    # [bq,S] scale pass runs here.
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]        # [bq,D], [S,D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
     # mask pad columns; -1e30 (not -inf) keeps all-pad rows NaN-free
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    e = jnp.exp(s - m)                                     # UNnormalized
+    l = jnp.sum(e, axis=1, keepdims=True)
+    o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    # normalize on the [bq,D] output instead of the [bq,S] probabilities —
+    # one cheap divide instead of an N²-sized one (flash-style)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)                         # [bq,1] f32
 
 
-def _fa_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                   *, n, sm_scale):
+def _fa_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                   dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, n):
     from jax.experimental import pallas as pl
 
-    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    o, do, lse = o_ref[0, 0], do_ref[0, 0], lse_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n, s, -1e30)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)                  # [bq,S] f32
+    # the forward's lse turns recompute-softmax (max, exp, sum, divide —
+    # four N² passes) into ONE exp: p is exactly e^(s-m)/l
+    p = jnp.exp(s - lse)                                       # [bq,S] f32
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    delta = jnp.sum(dp * p, axis=1, keepdims=True)             # rowsum(do·o)
-    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    # delta = rowsum(p∘dp) = rowsum(do∘o): a [bq,D] product, not [bq,S]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
     pc = p.astype(v.dtype)
     dq_ref[0, 0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
-    @pl.when(pl.program_id(2) == 0)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
     def _init():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
     # contract over the q-block dim: [bq,S]ᵀ[bq,D] → [S,D], f32 accumulate
-    dk_ref[0, 0] += jax.lax.dot_general(
+    # in VMEM scratch; ONE bf16 HBM write per (b,h) instead of f32 outputs
+    # + a convert pass outside (the f32 out-blocks cost ~4 ms/step at ViT-L
+    # 1024²: 1.6 GB of f32 writes + the cast's read+write per step)
+    dk_acc[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dv_ref[0, 0] += jax.lax.dot_general(
+    dv_acc[...] += jax.lax.dot_general(
         pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _write():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
-def _fused_fwd_impl(q, k, v, n, sm_scale, interpret):
+
+def _fused_fwd_impl(q, k, v, n, interpret):
     from jax.experimental import pallas as pl
 
     b, h, s, d = q.shape
     bq = _row_block(s, n_bufs=2.5)      # forward holds ~2 score buffers
     spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
     spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    spec_l = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
     return pl.pallas_call(
-        functools.partial(_fa_fwd_kernel, n=n, sm_scale=sm_scale),
+        functools.partial(_fa_fwd_kernel, n=n),
         grid=(b, h, s // bq),
         in_specs=[spec_q, spec_kv, spec_kv],
-        out_specs=spec_q,
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_specs=[spec_q, spec_l],
+        out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32)],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(q, k, v)
 
 
-def _fused_bwd_impl(q, k, v, do, n, sm_scale, interpret):
+def _fused_bwd_impl(q, k, v, o, lse, do, n, interpret):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     b, h, s, d = q.shape
-    bq = _row_block(s, n_bufs=4.5)      # s, p, dp, ds live simultaneously
+    bq = _row_block(s, n_bufs=4.0)      # s/p (aliased), dp, ds live together
     spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
     spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    spec_l = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fa_bwd_kernel, n=n, sm_scale=sm_scale),
+        functools.partial(_fa_bwd_kernel, n=n),
         grid=(b, h, s // bq),
-        in_specs=[spec_q, spec_kv, spec_kv, spec_q],
+        in_specs=[spec_q, spec_kv, spec_kv, spec_q, spec_q, spec_l],
         out_specs=[spec_q, spec_kv, spec_kv],
         out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, s, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, s, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((s, d), jnp.float32),
+                        pltpu.VMEM((s, d), jnp.float32)],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(q, k, v, do)
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_core(q, k, v, n, sm_scale, interpret):
-    return _fused_fwd_impl(q, k, v, n, sm_scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_core(q, k, v, n, interpret):
+    return _fused_fwd_impl(q, k, v, n, interpret)[0]
 
 
-def _fused_core_fwd(q, k, v, n, sm_scale, interpret):
-    return _fused_fwd_impl(q, k, v, n, sm_scale, interpret), (q, k, v)
+def _fused_core_fwd(q, k, v, n, interpret):
+    o, lse = _fused_fwd_impl(q, k, v, n, interpret)
+    return o, (q, k, v, o, lse)
 
 
-def _fused_core_bwd(n, sm_scale, interpret, res, do):
-    return _fused_bwd_impl(*res, do, n, sm_scale, interpret)
+def _fused_core_bwd(n, interpret, res, do):
+    q, k, v, o, lse = res
+    return _fused_bwd_impl(q, k, v, o, lse, do, n, interpret)
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
@@ -239,11 +266,15 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
     import os
     unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
     target = -(-n // unit) * unit
-    sm_scale = 1.0 / (d ** 0.5)
+    # fold 1/sqrt(D) into q OUTSIDE the custom_vjp: XLA fuses the multiply
+    # into the producing elementwise chain (free), the kernels skip an N²
+    # scale pass in fwd AND bwd, and autodiff routes the scale into dq.
+    # For power-of-two D the bf16 multiply is exact.
+    qt = qt * jnp.asarray(1.0 / (d ** 0.5), qt.dtype)
     if target != n:
         pad = ((0, 0), (0, 0), (0, target - n), (0, 0))
         qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
-    out = _fused_core(qt, kt, vt, n, sm_scale, interpret)[:, :, :n]
+    out = _fused_core(qt, kt, vt, n, interpret)[:, :, :n]
     return out if layout == 'bhnd' else jnp.swapaxes(out, 1, 2)
 
 
