@@ -215,7 +215,8 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+    def __call__(self, x, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 n_valid: Optional[int] = None):
         b, n, c = x.shape
         h = self.num_heads
         d = c // h
@@ -229,7 +230,16 @@ class SelfAttention(nn.Module):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
         if rope is not None:
             sin, cos = rope                                   # [HW, D_head]
-            prefix = n - sin.shape[0]
+            # with stack-level padding (n_valid) the layout is
+            # [prefix | HW patches | tail pads]; identity rows cover both
+            # the prefix AND the tail so the whole tensor rotates at once
+            prefix = (n_valid if n_valid is not None else n) - sin.shape[0]
+            tail = n - (n_valid if n_valid is not None else n)
+            if tail:
+                sin = jnp.concatenate(
+                    [sin, jnp.zeros((tail, sin.shape[1]), sin.dtype)], 0)
+                cos = jnp.concatenate(
+                    [cos, jnp.ones((tail, cos.shape[1]), cos.dtype)], 0)
             if prefix:
                 # prefix tokens (cls + storage) skip the rotation.  A
                 # (sin=0, cos=1) prefix row makes rope_apply the exact
@@ -256,7 +266,8 @@ class SelfAttention(nn.Module):
             q = rope_apply(q, sin, cos)
             k = rope_apply(k, sin, cos)
         from ever_tpu.ops.attention import attention
-        out = attention(q, k, v, impl=self.attn_impl, layout=self.attn_layout)
+        out = attention(q, k, v, impl=self.attn_impl, layout=self.attn_layout,
+                        n_valid=n_valid)
         if self.attn_layout == 'bhnd':
             out = jnp.transpose(out, (0, 2, 1, 3))            # → [B, N, H, D]
         out = out.reshape(b, n, c)
@@ -290,13 +301,14 @@ class SelfAttentionBlock(nn.Module):
         return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, rope=None, train: bool = False):
+    def __call__(self, x, rope=None, train: bool = False,
+                 n_valid: Optional[int] = None):
         hidden = int(self.dim * self.ffn_ratio)
         y = self._norm('norm1')(x)
         y = SelfAttention(self.dim, self.num_heads, self.qkv_bias,
                           attn_impl=self.attn_impl,
                           attn_layout=self.attn_layout,
-                          dtype=self.dtype, name='attn')(y, rope)
+                          dtype=self.dtype, name='attn')(y, rope, n_valid)
         if self.layerscale_init is not None:
             y = LayerScale(self.layerscale_init, name='ls1')(y)
         if self.drop_path_rate > 0:
@@ -379,6 +391,18 @@ class DinoVisionTransformer(nn.Module):
     untie_global_and_local_cls_norm: bool = False
     attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
     attn_layout: str = 'bnhd'         # 'bnhd' | 'bhnd' (see SelfAttention)
+    # Stack-level token padding: pad the token sequence ONCE after patch
+    # embed to the fused kernel's 128-aligned length and carry the pad rows
+    # through every block, instead of pad+slice around each kernel call
+    # (4 pads + 3 slices per layer ≈ 12 ms/step at ViT-L 1024²).  Pad KEYS
+    # are masked out of every softmax (`n_valid` threads into the kernels);
+    # pad QUERY rows compute garbage that row-wise ops keep isolated and
+    # the head's patch slice discards, and their upstream gradient is
+    # structurally zero, so dk/dv stay clean.  None = auto: on TPU, in the
+    # fused-dispatch token range, when the pad ratio is ≤5% (1024² tiles:
+    # 4101→4224 = +3% rows; 512²'s 1029→1152 = +12% would cost more in the
+    # linears than the pads cost around the kernels).
+    pad_tokens: Optional[bool] = None
     # Per-block activation rematerialisation (the TPU analog of the
     # reference's per-stage ``with_cp`` gradient checkpointing,
     # ``ever/module/resnet.py:189-208``): None = off, 'full' = recompute
@@ -423,7 +447,8 @@ class DinoVisionTransformer(nn.Module):
             elif self.remat not in (True, 'full'):
                 raise ValueError(f"remat must be None, 'full' or 'dots', "
                                  f'got {self.remat!r}')
-            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(3,),
+            # argnums 3/4 (train, n_valid) are Python-level — static
+            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(3, 4),
                                  policy=policy)
         self.blocks = [block_cls(
             dim, heads, ffn_ratio, qkv_bias=self.qkv_bias,
@@ -464,8 +489,29 @@ class DinoVisionTransformer(nn.Module):
         tokens = jnp.concatenate(prefix + [tokens], axis=1).astype(self.dtype)
         return tokens, (h, w)
 
+    def _stack_pad(self, tokens):
+        """Apply stack-level token padding (see ``pad_tokens``); returns
+        ``(tokens, n_valid)`` where ``n_valid=None`` means unpadded."""
+        import os
+        from ever_tpu.ops.attention import (FLASH_TOKEN_THRESHOLD,
+                                            FUSED_TOKEN_THRESHOLD, _on_tpu)
+        n = tokens.shape[1]
+        unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
+        target = -(-n // unit) * unit
+        if target == n:
+            return tokens, None
+        use = self.pad_tokens
+        if use is None:
+            use = (_on_tpu() and self.attn_impl in (None, 'fused')
+                   and FUSED_TOKEN_THRESHOLD <= n <= FLASH_TOKEN_THRESHOLD
+                   and (target - n) / n <= 0.05)
+        if not use:
+            return tokens, None
+        return jnp.pad(tokens, ((0, 0), (0, target - n), (0, 0))), n
+
     def forward_features(self, x, train: bool = False, local_crop: bool = False):
         tokens, (h, w) = self._tokens(x)
+        tokens, n_valid = self._stack_pad(tokens)
         # the reference recomputes rope INSIDE the block loop
         # (vision_transformer.py:239-244): in training each block sees
         # freshly-sampled shift/jitter/rescale coordinate augmentations.
@@ -477,7 +523,7 @@ class DinoVisionTransformer(nn.Module):
         rope = None if augs_on else self.rope_embed(h, w, train)
         for blk in self.blocks:
             tokens = blk(tokens, self.rope_embed(h, w, train)
-                         if augs_on else rope, train)
+                         if augs_on else rope, train, n_valid)
         n_prefix = 1 + self.n_storage_tokens
         if (self.untie_global_and_local_cls_norm or
                 self.untie_cls_and_patch_norms):
@@ -487,11 +533,11 @@ class DinoVisionTransformer(nn.Module):
                 cls_and_storage = self.cls_norm(tokens[:, :n_prefix])
             else:
                 cls_and_storage = self.final_norm(tokens[:, :n_prefix])
-            patches = self.final_norm(tokens[:, n_prefix:])
+            patches = self.final_norm(tokens[:, n_prefix:n_prefix + h * w])
         else:
             normed = self.final_norm(tokens)
             cls_and_storage = normed[:, :n_prefix]
-            patches = normed[:, n_prefix:]
+            patches = normed[:, n_prefix:n_prefix + h * w]
         return dict(
             x_norm_clstoken=cls_and_storage[:, 0],
             x_storage_tokens=cls_and_storage[:, 1:],
@@ -504,6 +550,7 @@ class DinoVisionTransformer(nn.Module):
                                 norm: bool = True, train: bool = False):
         """Dense multi-level features (parity: ``vision_transformer.py:296-333``)."""
         tokens, (h, w) = self._tokens(x)
+        tokens, n_valid = self._stack_pad(tokens)
         augs_on = train and any(r is not None for r in (
             self.pos_embed_rope_shift_coords, self.pos_embed_rope_jitter_coords,
             self.pos_embed_rope_rescale_coords))
@@ -513,7 +560,7 @@ class DinoVisionTransformer(nn.Module):
         outs = []
         for i, blk in enumerate(self.blocks):
             tokens = blk(tokens, self.rope_embed(h, w, train)
-                         if augs_on else rope, train)
+                         if augs_on else rope, train, n_valid)
             if i in idxs:
                 outs.append(tokens)
         n_prefix = 1 + self.n_storage_tokens
@@ -528,7 +575,7 @@ class DinoVisionTransformer(nn.Module):
                          self.final_norm(t[:, n_prefix:])], axis=1)
                 else:
                     t = self.final_norm(t)
-            patches = t[:, n_prefix:]
+            patches = t[:, n_prefix:n_prefix + h * w]
             if reshape:
                 b = patches.shape[0]
                 patches = patches.reshape(b, h, w, self.embed_dim)

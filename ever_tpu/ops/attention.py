@@ -81,21 +81,20 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 def _row_block(s: int, n_bufs: float) -> int:
     """Largest multiple-of-128 divisor of s (itself a multiple of 128) whose
     ``n_bufs`` f32 [bq, s] score-sized VMEM buffers fit ``_SCORE_BUDGET``.
-    At s=1152 (ViT 512² tiles) this returns s itself: ONE program per
-    (batch, head) computes all rows, so k/v stream in once and dk/dv need
-    no cross-program accumulation passes.
-
-    ``EVER_ATTN_BQ_CAP`` (env, int) caps the block — the Mosaic
-    compile-time knob: whole-S blocks at the 512² train geometry compile
-    10-40x slower than 2-4 smaller revisit blocks at near-equal step time
-    (docs/PERFORMANCE.md 'fused-kernel compile time').
+    ``EVER_ATTN_BQ_CAP`` (env, int; 0 = uncapped) caps the block — the
+    Mosaic compile-time knob.  The DEFAULT is 384: whole-S blocks at the
+    512² train geometry (S=1152) compiled the full ViT-L step in ~42 min
+    vs ~5 min with bq=384 revisit blocks, at equal step time (222.1 vs
+    the whole-S record 221.6 ms, +0.2%, within drift —
+    docs/PERFORMANCE.md 'fused-kernel compile time').  The 1024²
+    geometry (S=4224) picks 384 either way.
     ``EVER_ATTN_SCORE_MB`` (env, int) overrides ``_SCORE_BUDGET`` — bigger
     budgets permit larger q-blocks where divisibility allows (block-space
     experiments; pairs with ``EVER_ATTN_PAD_UNIT``)."""
     import os
     budget = (int(os.environ.get('EVER_ATTN_SCORE_MB', '0')) * 1024 * 1024
               or _SCORE_BUDGET)
-    cap = int(os.environ.get('EVER_ATTN_BQ_CAP', '0')) or s
+    cap = int(os.environ.get('EVER_ATTN_BQ_CAP', '384')) or s
     for m in range(min(s, cap), 0, -128):
         if s % m == 0 and m * s * 4 * n_bufs <= budget:
             return m
@@ -243,13 +242,20 @@ def _fused_core_bwd(n, interpret, res, do):
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
-def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
+def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd',
+           n_valid: Optional[int] = None):
     """VMEM-resident attention; pads N to a 128 multiple.
 
     ``layout='bnhd'`` (flax convention) transposes in/out of the kernel's
     native [B,H,N,D]; ``layout='bhnd'`` consumes/produces [B,H,N,D]
     directly — the caller owns the layout and the per-tensor swapaxes
-    (≈12 ms/step at ViT-L 512², docs/PERFORMANCE.md) disappear."""
+    (≈12 ms/step at ViT-L 512², docs/PERFORMANCE.md) disappear.
+
+    ``n_valid``: the input arrives ALREADY padded (stack-level padding —
+    the ViT pads its token sequence once after patch embed instead of
+    per-layer around every kernel call) and only the first ``n_valid``
+    tokens are real.  Pad columns are masked out of the softmax; the
+    output keeps the padded length."""
     if interpret is None:
         interpret = not _on_tpu()
     if layout == 'bhnd':
@@ -266,6 +272,7 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
     import os
     unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
     target = -(-n // unit) * unit
+    n_real = n if n_valid is None else n_valid
     # fold 1/sqrt(D) into q OUTSIDE the custom_vjp: XLA fuses the multiply
     # into the producing elementwise chain (free), the kernels skip an N²
     # scale pass in fwd AND bwd, and autodiff routes the scale into dq.
@@ -274,7 +281,7 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd'):
     if target != n:
         pad = ((0, 0), (0, 0), (0, target - n), (0, 0))
         qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
-    out = _fused_core(qt, kt, vt, n, interpret)[:, :, :n]
+    out = _fused_core(qt, kt, vt, n_real, interpret)[:, :, :n]
     return out if layout == 'bhnd' else jnp.swapaxes(out, 1, 2)
 
 
@@ -290,7 +297,8 @@ def _pick_block(n: int, cap: int) -> int:
 
 
 def _flash(q, k, v, block_q: Optional[int] = None,
-           block_k: Optional[int] = None, layout: str = 'bnhd'):
+           block_k: Optional[int] = None, layout: str = 'bnhd',
+           n_valid: Optional[int] = None):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
     n_axis = 2 if layout == 'bhnd' else 1
@@ -302,12 +310,14 @@ def _flash(q, k, v, block_q: Optional[int] = None,
     # segment 0, pads segment 1: pad keys never reach real queries).
     unit = 512 if n > 512 else 128
     target = -(-n // unit) * unit
+    n_real = n if n_valid is None else n_valid
     seg = None
     if target != n:
         pad = [(0, 0)] * 4
         pad[n_axis] = (0, target - n)
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        ids = (jnp.arange(target) >= n).astype(jnp.int32)[None].repeat(b, 0)
+    if target != n_real:
+        ids = (jnp.arange(target) >= n_real).astype(jnp.int32)[None].repeat(b, 0)
         seg = SegmentIds(q=ids, kv=ids)
     # pallas kernel wants [B, H, N, D] — 'bhnd' input is already there
     if layout == 'bhnd':
@@ -329,13 +339,18 @@ def _flash(q, k, v, block_q: Optional[int] = None,
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               impl: Optional[str] = None,
-              layout: str = 'bnhd') -> jnp.ndarray:
+              layout: str = 'bnhd',
+              n_valid: Optional[int] = None) -> jnp.ndarray:
     """Multi-head attention with automatic kernel choice.
 
     ``impl``: None (auto) | 'xla' | 'fused' | 'flash'.
     ``layout``: 'bnhd' ([B, N, H, D], the flax convention) or 'bhnd'
     ([B, H, N, D], the TPU kernels' native layout — callers that produce
     q/k/v pre-transposed skip the per-call swapaxes copies).
+    ``n_valid``: the sequence is already padded and only the first
+    ``n_valid`` tokens are real (stack-level padding); pad keys are
+    masked out of every softmax, pad query rows produce garbage that the
+    caller discards.
     """
     n = q.shape[2 if layout == 'bhnd' else 1]
     if impl is None:
@@ -349,19 +364,24 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         else:
             impl = 'xla'
     if impl == 'fused':
-        return _fused(q, k, v, layout=layout)
+        return _fused(q, k, v, layout=layout, n_valid=n_valid)
     if impl == 'flash':
         if _on_tpu():
             # on real hardware a flash failure is a real bug — do NOT
             # silently downgrade to the O(N^2) path this kernel exists
             # to avoid
-            return _flash(q, k, v, layout=layout)
+            return _flash(q, k, v, layout=layout, n_valid=n_valid)
         try:
-            return _flash(q, k, v, layout=layout)
+            return _flash(q, k, v, layout=layout, n_valid=n_valid)
         except Exception:
             impl = 'xla'   # interpret/CPU fallback
+    mask = None
+    if n_valid is not None and n_valid < n:
+        # key-side mask only: pad QUERY rows may compute garbage (their
+        # outputs are discarded), pad KEY columns must never leak in
+        mask = (jnp.arange(n) < n_valid)[None, None, None, :]
     if layout == 'bhnd':
         out = jax.nn.dot_product_attention(*(jnp.swapaxes(t, 1, 2)
-                                             for t in (q, k, v)))
+                                             for t in (q, k, v)), mask=mask)
         return jnp.swapaxes(out, 1, 2)
-    return jax.nn.dot_product_attention(q, k, v)
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)

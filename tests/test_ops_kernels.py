@@ -256,3 +256,63 @@ def test_ops_package_exports_attention_function():
     from ever_tpu import ops
     assert callable(ops.attention)
     assert ops.attention_fn is ops.attention
+
+
+def test_fused_attention_n_valid_prepadded_matches_internal_pad():
+    # stack-level padding: caller pre-pads N→S and passes n_valid; result
+    # on the real rows must equal the kernel padding internally itself
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(3)
+    n, s = 300, 384
+    q, k, v = (jnp.asarray(rng.normal(size=(2, n, 4, 32)).astype(np.float32))
+               for _ in range(3))
+    ref = _fused(q, k, v, interpret=True)
+
+    pad = ((0, 0), (0, s - n), (0, 0), (0, 0))
+    # garbage (not zero) pad rows: the mask, not the pad values, must
+    # protect the real rows
+    qp, kp, vp = (jnp.pad(t, pad, constant_values=7.5) for t in (q, k, v))
+    out = _fused(qp, kp, vp, interpret=True, n_valid=n)
+    assert out.shape == qp.shape
+    np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_attention_xla_n_valid_masks_pad_keys():
+    rng = np.random.default_rng(4)
+    n, s = 13, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(2, n, 4, 8)).astype(np.float32))
+               for _ in range(3))
+    ref = attention(q, k, v, impl='xla')
+    pad = ((0, 0), (0, s - n), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(t, pad, constant_values=3.0) for t in (q, k, v))
+    out = attention(qp, kp, vp, impl='xla', n_valid=n)
+    np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attention_n_valid_grads_clean():
+    # pad q-rows with zero upstream gradient must contribute nothing to
+    # dk/dv of the real columns (the stack-padding safety property)
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(5)
+    n, s = 300, 384
+    q, k, v = (jnp.asarray(rng.normal(size=(1, n, 2, 32)).astype(np.float32))
+               for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_fused(q, k, v, interpret=True) ** 2)
+
+    gq, gk, gv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    pad = ((0, 0), (0, s - n), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(t, pad, constant_values=2.0) for t in (q, k, v))
+
+    def loss_pad(qp, kp, vp):
+        out = _fused(qp, kp, vp, interpret=True, n_valid=n)
+        return jnp.sum(out[:, :n] ** 2)   # head discards pad rows
+
+    gqp, gkp, gvp = jax.grad(loss_pad, argnums=(0, 1, 2))(qp, kp, vp)
+    for g, gp in ((gq, gqp), (gk, gkp), (gv, gvp)):
+        np.testing.assert_allclose(np.asarray(gp[:, :n]), np.asarray(g),
+                                   rtol=2e-4, atol=2e-5)

@@ -152,3 +152,73 @@ def test_attn_layout_bhnd_equivalence():
     for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_pad_tokens_stack_padding_equivalence():
+    """pad_tokens=True (stack-level token padding — pad ONCE after patch
+    embed, thread n_valid into every kernel, discard pad rows at the head)
+    matches the unpadded model to float tolerance in eval, loss AND grads,
+    with an identical parameter tree (VERDICT r3 #3 follow-up)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 7, size=(2, 64, 64)), jnp.int32)
+    # vit_small at 64²: N = 16 patches + 1 cls + 4 storage = 21 → pads to
+    # 128; force the fused kernel (interpret on CPU) so the padded rows
+    # really ride through the Pallas path
+    base = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small', attn_impl='fused', pad_tokens=False),
+        classes=7, dtype='float32')})
+    padded = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small', attn_impl='fused', pad_tokens=True),
+        classes=7, dtype='float32')})
+    v = base.init({'params': jax.random.key(0)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        padded.init({'params': jax.random.key(0)}, x))
+    np.testing.assert_allclose(
+        np.asarray(base.apply(v, x, train=False)),
+        np.asarray(padded.apply(v, x, train=False)), rtol=1e-5, atol=1e-6)
+
+    def loss(model, variables):
+        out = model.apply(variables, x, y, train=True)
+        return sum(val for key, val in out.items() if key.endswith('loss'))
+
+    la = loss(base, v)
+    lb = loss(padded, v)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-6, atol=1e-7)
+    ga = jax.grad(lambda vv: loss(base, vv))(v)
+    gb = jax.grad(lambda vv: loss(padded, vv))(v)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = jax.tree.leaves(gb)
+    for (path, p), q in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=5e-6, rtol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pad_tokens_xla_impl_equivalence():
+    """The stack-padding key mask also holds on the XLA SDPA path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ever_tpu.core import builder
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    base = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small', attn_impl='xla', pad_tokens=False),
+        classes=7, dtype='float32')})
+    padded = builder.make_model({'type': 'DinoSeg', 'params': dict(
+        backbone=dict(name='vit_small', attn_impl='xla', pad_tokens=True),
+        classes=7, dtype='float32')})
+    v = base.init({'params': jax.random.key(0)}, x)
+    np.testing.assert_allclose(
+        np.asarray(base.apply(v, x, train=False)),
+        np.asarray(padded.apply(v, x, train=False)), rtol=1e-5, atol=1e-6)

@@ -99,19 +99,30 @@ def main():
         batch = args.batch512 if tile <= 512 else args.batch1024
         # optional extra fields: kN overrides steps-per-dispatch (k1
         # isolates the scan-carry cost: 4.9 GB of ViT-L fp32 state rides
-        # the K-scan); 'bhnd' selects the native-kernel-layout qkv path
+        # the K-scan); 'bhnd' selects the native-kernel-layout qkv path;
+        # 'pad'/'nopad' force stack-level token padding on/off (default
+        # auto — module/vit.py pad_tokens); 'bqN' sets EVER_ATTN_BQ_CAP
+        # for this variant (0 = whole-S blocks; Mosaic compile-time knob)
         K = 10 if tile <= 512 else 4
         layout = 'bnhd'
+        pad_tokens = None
+        os.environ.pop('EVER_ATTN_BQ_CAP', None)   # bqN is per-variant
         for extra in parts[3:]:
-            if extra.startswith('k'):
-                K = int(extra[1:])
-            elif extra in ('bhnd', 'bnhd'):
+            if extra in ('bhnd', 'bnhd'):
                 layout = extra
+            elif extra == 'pad':
+                pad_tokens = True
+            elif extra == 'nopad':
+                pad_tokens = False
+            elif extra.startswith('bq'):
+                os.environ['EVER_ATTN_BQ_CAP'] = extra[2:]
+            elif extra.startswith('k'):
+                K = int(extra[1:])
 
         model = builder.make_model({'type': 'DinoSeg', 'params': dict(
             backbone=dict(name=args.backbone, remat=remat,
                           attn_impl=None if attn == 'auto' else attn,
-                          attn_layout=layout),
+                          attn_layout=layout, pad_tokens=pad_tokens),
             classes=7, dtype='bfloat16')})
         rng = np.random.default_rng(0)
         x = rng.normal(size=(batch, tile, tile, 3)).astype(jnp.bfloat16)
