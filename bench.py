@@ -3,6 +3,12 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``.
 
+Timeout-proof (VERDICT r4 #1): on TPU the cumulative line is re-printed
+after every section, so the LAST stdout line is always the most complete
+measurement even if the process is killed mid-run; a global wall budget
+(``EVER_BENCH_BUDGET`` seconds, default 3300) skips remaining sections
+rather than overrun, annotating them in a ``skipped`` field.
+
 Primary metric (BASELINE.json): 512² tiles/sec/chip for FarSeg-R50 training.
 ``vs_baseline`` is measured MFU / 0.45 (the north-star ≥45% MFU on v5e), with
 FLOPs taken from XLA's own cost analysis of the compiled step.
@@ -669,12 +675,17 @@ def _bench_gan(tile: int, batch: int, on_tpu: bool):
 
 
 # generous per-section subprocess timeouts (cold Mosaic compile of the ViT
-# 512² step took 42 min once — the persistent cache usually absorbs it)
+# 512² step took 42 min once — the persistent cache usually absorbs it).
+# The GLOBAL wall budget (EVER_BENCH_BUDGET) caps these further at runtime.
 _SECTION_TIMEOUT = {'infer': 2400, 'farseg': 2400, 'vit512': 3600,
                     'vit1024': 3600, 'vitinfer': 2400}
 
+# minimum remaining budget worth starting a section with: tunnel process
+# startup is ~60-70 s and a warm-cache section takes ~60-120 s more
+_SECTION_MIN_S = 180.0
 
-def _run_section_subprocess(name: str, extra=()):
+
+def _run_section_subprocess(name: str, extra=(), timeout=None):
     """Run one bench section in a FRESH process (its own TPU tunnel client)
     and parse its JSON line.  Fresh-process isolation is load-bearing for
     the inference metric: chip/client state left behind by the train
@@ -688,11 +699,13 @@ def _run_section_subprocess(name: str, extra=()):
     env = dict(os.environ, EVER_BENCH_WAIT='0')  # parent already probed
     cmd = [sys.executable, os.path.abspath(__file__), '--section', name,
            *extra]
+    if timeout is None:
+        timeout = _SECTION_TIMEOUT.get(name, 2400)
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                              timeout=_SECTION_TIMEOUT.get(name, 2400))
+                              timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {'error': f'section {name} timed out'}
+        return {'error': f'section {name} timed out after {timeout:.0f}s'}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -752,16 +765,14 @@ def _section_main(name: str, args):
     print(json.dumps(out))
 
 
-def _orchestrate(args):
-    """Full benchmark line: each section in its own fresh process."""
-    skip_vit = args.skip_vit
-    far = _run_section_subprocess('farseg')
-    infer = _run_section_subprocess('infer')
-    vit512 = None if skip_vit else _run_section_subprocess('vit512')
-    vit1024 = None if skip_vit else _run_section_subprocess(
-        'vit1024', ('--vit-remat', args.vit_remat) if args.vit_remat else ())
-    vitinf = None if skip_vit else _run_section_subprocess('vitinfer')
+def _assemble_line(results: dict, skipped: dict, elapsed_s: float):
+    """Full JSON line from whatever sections have completed so far.
 
+    Sections not yet run simply report zeros / are absent; ``skipped``
+    records per-section reasons (budget exhaustion, timeout, crash) so a
+    partial line is self-describing."""
+    far = results.get('farseg', {})
+    infer = results.get('infer', {})
     noise = dict(far.get('noise', {}))
     noise.update(infer.get('noise', {}))
     line = {
@@ -786,17 +797,71 @@ def _orchestrate(args):
         'device': far.get('device', infer.get('device', '?')),
         'noise': noise,
         'isolation': 'one process per section',
+        'elapsed_s': round(elapsed_s, 1),
     }
     for key, src in (('error_farseg', far), ('error_infer', infer)):
         if 'error' in src:
             line[key] = src['error']
-    if vit512 is not None:
-        line['vit_train'] = vit512
-    if vit1024 is not None:
-        line['vit1024_train'] = vit1024
-    if vitinf is not None:
-        line['vit_infer'] = vitinf
-    print(json.dumps(line))
+    for name, out_key in (('vit512', 'vit_train'), ('vit1024', 'vit1024_train'),
+                          ('vitinfer', 'vit_infer')):
+        if name in results:
+            line[out_key] = results[name]
+    if skipped:
+        line['skipped'] = skipped
+    return line
+
+
+def _orchestrate(args, t_start: float):
+    """Full benchmark line: each section in its own fresh process.
+
+    Timeout-proof by construction (VERDICT r4 #1): the CUMULATIVE line is
+    printed (and flushed) after EVERY section, so if the driver kills this
+    process mid-run the tail is still the most complete measurement — a
+    late-section timeout can no longer discard the already-measured FarSeg
+    primary metric.  A global wall budget (``EVER_BENCH_BUDGET`` seconds,
+    default 3300 — under the driver's observed kill window) skips
+    remaining sections when low and caps each section's subprocess timeout
+    by the remaining budget."""
+    import os
+    import sys
+
+    budget = float(os.environ.get('EVER_BENCH_BUDGET', '3300'))
+    deadline = t_start + budget
+
+    sections = [('farseg', ()), ('infer', ())]
+    if not args.skip_vit:
+        sections += [('vit512', ()),
+                     ('vit1024', ('--vit-remat', args.vit_remat)
+                      if args.vit_remat else ()),
+                     ('vitinfer', ())]
+
+    results, skipped = {}, {}
+    # an immediate placeholder line: even a kill during the FIRST section
+    # leaves a parseable (all-zero, error-annotated) tail
+    print(json.dumps(_assemble_line(
+        results, {n: 'pending' for n, _ in sections},
+        time.time() - t_start)), flush=True)
+
+    for name, extra in sections:
+        remaining = deadline - time.time()
+        if remaining < _SECTION_MIN_S:
+            skipped[name] = f'budget exhausted ({remaining:.0f}s left)'
+            continue
+        timeout = min(_SECTION_TIMEOUT.get(name, 2400), remaining - 30.0)
+        out = _run_section_subprocess(name, extra, timeout=timeout)
+        if 'error' in out and name not in ('farseg', 'infer'):
+            # vit sections carry their error inside their own sub-dict
+            skipped[name] = out['error']
+        else:
+            results[name] = out
+        pending = {n: 'pending' for n, _ in sections
+                   if n not in results and n not in skipped}
+        print(json.dumps(_assemble_line(results, {**skipped, **pending},
+                                        time.time() - t_start)), flush=True)
+        sys.stdout.flush()
+
+    print(json.dumps(_assemble_line(results, skipped,
+                                    time.time() - t_start)), flush=True)
 
 
 def main():
@@ -817,6 +882,7 @@ def main():
                     help='infer section only: run a ViT-512 train section '
                          'first in the same process (slide A/B instrument)')
     args = ap.parse_args()
+    t_start = time.time()  # EVER_BENCH_BUDGET counts from process start
 
     # Bound backend acquisition BEFORE touching jax in this process
     # (EVER_BENCH_WAIT seconds, default 30 min; 0 skips the probe).
@@ -854,7 +920,7 @@ def main():
     if force_cpu or 'cpu' in probed_kind.lower():
         _cpu_main(args)
         return
-    _orchestrate(args)
+    _orchestrate(args, t_start)
 
 
 def _cpu_main(args):
