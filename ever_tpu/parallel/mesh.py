@@ -76,14 +76,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, *, accum_leading: bool = False,
+def batch_sharding(mesh: Mesh, *, accum_leading=False,
                    axis: str = 'data') -> NamedSharding:
     """Sharding for a batch pytree: batch dim on the ``data`` axis.
 
-    With gradient accumulation the leading dim is the microbatch index
-    (replicated) and dim 1 is the batch.
+    ``accum_leading`` counts leading REPLICATED dims before the batch dim
+    (``True`` == 1): the microbatch index under gradient accumulation, the
+    steps-per-loop index under :func:`build_train_loop`, or both (``2``)
+    when they compose (leaves are ``[K, forward_times, batch, ...]``).
     """
-    spec = P(None, axis) if accum_leading else P(axis)
+    spec = P(*([None] * int(accum_leading)), axis)
     return NamedSharding(mesh, spec)
 
 

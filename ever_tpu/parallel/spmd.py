@@ -161,7 +161,8 @@ def _jit_with_shardings(fn, mesh, forward_times: int, donate: bool,
         state_sh = state_shardings if state_shardings is not None \
             else replicated(mesh)
         batch_sh = batch_sharding(
-            mesh, accum_leading=extra_leading or forward_times > 1,
+            mesh,
+            accum_leading=int(extra_leading) + int(forward_times > 1),
             axis=batch_axis)
         # metrics out: replicated scalars
         metrics_sh = replicated(mesh)
@@ -201,17 +202,20 @@ def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
 
     ``batches`` is a pytree whose leaves carry a leading ``steps_per_loop``
     axis of per-step batches (host stages K batches, the device scans K full
-    train steps).  Metrics are averaged over the K steps, except
-    ``learning_rate``/``grad_norm`` which report the last step.
+    train steps).  With ``forward_times > 1`` each per-step batch itself
+    carries a microbatch axis, so leaves are
+    ``[steps_per_loop, forward_times, batch, ...]`` and the compiled program
+    is a scan (over K optimizer steps) of scans (over microbatch
+    forward/backwards) — the grad-accum trajectory is bit-identical to K
+    separate :func:`build_train_step` dispatches (tested in
+    ``tests/test_train_e2e.py``).  Metrics are averaged over the K steps,
+    except ``learning_rate``/``grad_norm`` which report the last step.
 
     Amortizes per-dispatch host latency — the standard TPU "steps per loop"
     pattern (the reference dispatches one CUDA graph per step,
     ``launcher.py:300-362``; on TPU pods one XLA program per K steps keeps
     the device saturated when host→device dispatch is slow).
     """
-    if forward_times != 1:
-        raise NotImplementedError('steps_per_loop with gradient accumulation '
-                                  'is not supported yet')
     step_fn = _make_step_fn(model, tx, lr_schedule, forward_times, rng_seed)
 
     def loop_fn(state: TrainState, batches):
@@ -220,13 +224,9 @@ def build_train_loop(model, tx, lr_schedule: Optional[Callable] = None,
                        else jnp.mean(v)) for k, v in ms.items()}
         return state, metrics
 
-    if steps_per_loop == 1:
-        # honor the documented contract (leaves carry a leading
-        # steps_per_loop axis) — the bare step function would try to shard
-        # the size-1 axis over 'data'
-        return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
-                                   extra_leading=True,
-                                   state_shardings=state_shardings)
+    # extra_leading honors the documented contract even at steps_per_loop=1
+    # (leaves carry a leading K axis) — the bare step sharding would try to
+    # shard the size-1 axis over 'data'
     return _jit_with_shardings(loop_fn, mesh, forward_times, donate,
                                extra_leading=True,
                                state_shardings=state_shardings)

@@ -315,6 +315,77 @@ def test_train_loop_steps_per_loop_matches_per_step():
     assert float(m_loop['learning_rate']) == float(m_ref['learning_rate'])
 
 
+def test_train_loop_with_grad_accum_matches_per_step():
+    """steps_per_loop=K x forward_times=F (a scan of accumulation-scans)
+    matches K sequential build_train_step(forward_times=F) dispatches —
+    the combination VERDICT r4 #4 asked for (parallel/spmd.py no longer
+    raises).  Checked replicated AND on a 'data' mesh."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ever_tpu.core import builder
+    from ever_tpu.parallel.mesh import make_mesh
+    from ever_tpu.parallel.spmd import (build_train_loop, build_train_step,
+                                        create_train_state)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, y=None, train=False):
+            out = nn.Dense(4)(nn.relu(nn.Dense(8)(x)))
+            if train:
+                return {'cls_loss': jnp.mean((out - y) ** 2)}
+            return out
+
+    schedule = builder.make_learningrate(
+        {'type': 'poly', 'params': dict(base_lr=0.1, power=0.9, max_iters=50)})
+    factory, _ = builder.make_optimizer(
+        {'type': 'sgd', 'params': dict(momentum=0.9)})
+    tx = factory.build(schedule, grad_clip={'max_norm': 10.0})
+    model = M()
+    rng = np.random.default_rng(1)
+    K, F, B = 3, 2, 8
+    xs = rng.normal(size=(K, F, B, 6)).astype(np.float32)
+    ys = rng.normal(size=(K, F, B, 4)).astype(np.float32)
+
+    for mesh in (None, make_mesh(('data',))):
+        s0 = create_train_state(model, tx, (xs[0, 0], ys[0, 0]),
+                                rng=jax.random.key(0))
+        step = build_train_step(model, tx, schedule, forward_times=F,
+                                mesh=mesh, donate=False)
+        s_ref = s0
+        losses = []
+        for i in range(K):
+            s_ref, m_ref = step(s_ref, (jnp.asarray(xs[i]), jnp.asarray(ys[i])))
+            losses.append(float(m_ref['total_loss']))
+
+        loop = build_train_loop(model, tx, schedule, steps_per_loop=K,
+                                forward_times=F, mesh=mesh, donate=False)
+        s_loop, m_loop = loop(s0, (jnp.asarray(xs), jnp.asarray(ys)))
+
+        assert int(s_loop.step) == int(s_ref.step) == K
+        for a, b in zip(jax.tree.leaves(s_ref.params),
+                        jax.tree.leaves(s_loop.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(float(m_loop['total_loss']),
+                                   np.mean(losses), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_trainer_k_loop_with_grad_accum(tmp_path):
+    """train.steps_per_loop=2 x forward_times=2 through the full trainer
+    path (the Launcher combination that used to raise), incl. a final
+    partial window (5 iters at K=2 -> 2+2+1)."""
+    from ever_tpu.trainer.trainer import SPMDTrainer
+    cfg_path = _demo_config(tmp_path, num_iters=5, forward_times=2,
+                            steps_per_loop=2, batch_size=8)
+    model_dir = tmp_path / 'run_kft'
+    trainer = SPMDTrainer(_args(cfg_path, model_dir))
+    result = trainer.run()
+    launcher = result['launcher']
+    assert launcher.global_step == 5
+    assert int(launcher.state.step) == 5
+
+
 @pytest.mark.slow
 def test_trainer_steps_per_loop(tmp_path):
     """train.steps_per_loop drives K steps per dispatch through the full
