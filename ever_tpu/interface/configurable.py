@@ -6,9 +6,9 @@ populated by ``set_default_config()`` and then recursively updated with the
 user-supplied config, so user configs only need to specify deltas.
 
 (The reference additionally mixes in HuggingFace's ``PyTorchModelHubMixin``;
-the equivalent local workflow — ``save_pretrained``/``from_pretrained`` with a
-``config.json`` + weights archive — lives on :class:`ERModule`; pushing the
-resulting directory to a hub is plain ``huggingface_hub.upload_folder``.)
+the equivalent workflow — ``save_pretrained``/``from_pretrained`` with a
+``config.json`` + weights archive, plus a network-gated ``push_to_hub`` —
+lives on :class:`ERModule`.)
 """
 
 from __future__ import annotations

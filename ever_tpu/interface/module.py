@@ -107,6 +107,7 @@ class ERModule(nn.Module):
     # PyTorchModelHubMixin so every ERModule is save/from_pretrained-able
     # (``ever/interface/configurable.py:2,5``).  Flax modules are stateless,
     # so the variables travel explicitly.
+    @nn.nowrap
     def save_pretrained(self, save_directory: str, variables: Dict) -> None:
         """Write ``config.json`` + ``model.msgpack`` to a directory."""
         import json
@@ -125,6 +126,60 @@ class ERModule(nn.Module):
             json.dump({'type': name, 'params': _jsonable(cfg)}, f, indent=2)
         with open(os.path.join(save_directory, 'model.msgpack'), 'wb') as f:
             f.write(serialization.to_bytes(variables))
+
+    @nn.nowrap
+    def push_to_hub(self, repo_id: str, variables: Optional[Dict] = None,
+                    save_directory: Optional[str] = None, *,
+                    private: bool = False, token: Optional[str] = None,
+                    commit_message: Optional[str] = None,
+                    create_repo: bool = True):
+        """Publish :meth:`save_pretrained` output to a Hugging Face Hub repo.
+
+        Parity: the reference's ``ConfigurableMixin`` extends
+        ``PyTorchModelHubMixin`` (``ever/interface/configurable.py:2,5``),
+        making every module ``push_to_hub``-able.  Serialization happens
+        locally first (``config.json`` + ``model.msgpack`` — the exact
+        :meth:`from_pretrained` layout), then the directory uploads via
+        ``huggingface_hub.upload_folder``.  Network-gated: offline (or
+        without ``huggingface_hub``) it raises with the manual recipe
+        instead of hanging.
+
+        Pass ``variables`` to serialize fresh, or ``save_directory`` to push
+        an existing :meth:`save_pretrained` directory as-is.
+        """
+        import os
+        import tempfile
+
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:
+            raise RuntimeError(
+                'push_to_hub needs the huggingface_hub package; offline '
+                'recipe: save_pretrained(dir, variables) then upload the '
+                'directory with `huggingface_hub.upload_folder` (or the web '
+                'UI) once networked') from e
+
+        if (variables is None) == (save_directory is None):
+            raise ValueError('pass exactly one of variables= (serialize '
+                             'fresh) or save_directory= (push as-is)')
+
+        def _push(folder: str):
+            api = HfApi(token=token)
+            if create_repo:
+                api.create_repo(repo_id, private=private, exist_ok=True)
+            return api.upload_folder(
+                repo_id=repo_id, folder_path=folder,
+                commit_message=commit_message
+                or f'upload {type(self).__name__} (ever_tpu)')
+
+        if save_directory is not None:
+            if not os.path.exists(os.path.join(save_directory, 'config.json')):
+                raise ValueError(f'{save_directory!r} is not a '
+                                 'save_pretrained directory (no config.json)')
+            return _push(save_directory)
+        with tempfile.TemporaryDirectory() as td:
+            self.save_pretrained(td, variables)
+            return _push(td)
 
     @classmethod
     def from_pretrained(cls, save_directory: str):

@@ -205,7 +205,7 @@ class SelfAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     proj_bias: bool = True
-    attn_impl: Optional[str] = None     # None=auto | 'xla' | 'flash' (Pallas)
+    attn_impl: Optional[str] = None     # None=auto | 'xla' | 'flash' | 'fused' | 'fused' (Pallas)
     # 'bnhd' (flax convention) or 'bhnd': q/k/v produced directly in the TPU
     # kernels' native [B,H,N,D] via ONE fused transpose of the packed qkv
     # tensor instead of 3 swapaxes in + 1 out around the kernel — the
@@ -291,7 +291,7 @@ class SelfAttentionBlock(nn.Module):
     ffn_layer: str = 'mlp'            # 'mlp' | 'swiglu' | 'swiglu{32,64,128}'
     norm: str = 'ln'                  # 'ln' | 'rms'
     norm_eps: float = 1e-6            # 1e-5 = reference 'layernormbf16'
-    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
+    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash' | 'fused'
     attn_layout: str = 'bnhd'         # 'bnhd' | 'bhnd' (see SelfAttention)
     dtype: Dtype = jnp.float32
 
@@ -389,7 +389,7 @@ class DinoVisionTransformer(nn.Module):
     # training-only: a separate cls/storage norm for LOCAL crops (index >= 1
     # of a multi-crop list forward) — reference vision_transformer.py:249-254
     untie_global_and_local_cls_norm: bool = False
-    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash'
+    attn_impl: Optional[str] = None   # None=auto | 'xla' | 'flash' | 'fused'
     attn_layout: str = 'bnhd'         # 'bnhd' | 'bhnd' (see SelfAttention)
     # Stack-level token padding: pad the token sequence ONCE after patch
     # embed to the fused kernel's 128-aligned length and carry the pad rows
@@ -687,7 +687,7 @@ class ViTEncoder(ERModule):
             drop_path_rate=0.0,
             out_indices=None,         # default: evenly spaced quarters
             pyramid=True,             # resize taps to os4/8/16/32
-            attn_impl=None,           # None=auto | 'xla' | 'flash'
+            attn_impl=None,           # None=auto | 'xla' | 'flash' | 'fused'
             remat=None,               # None | 'full' | 'dots' (per block)
             dtype='float32',
         ))
@@ -744,7 +744,7 @@ class DinoSeg(ERModule):
             backbone=dict(
                 name='vitl16_sat493m',   # SAT_CONFIGS key or VIT_SPECS key
                 drop_path_rate=0.0,
-                attn_impl=None,          # None=auto | 'xla' | 'flash'
+                attn_impl=None,          # None=auto | 'xla' | 'flash' | 'fused'
                 remat=None,              # None | 'full' | 'dots' (per block)
             ),
             classes=7,

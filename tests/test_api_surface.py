@@ -199,6 +199,70 @@ def test_save_from_pretrained_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_push_to_hub_offline(tmp_path, monkeypatch):
+    """ERModule.push_to_hub (parity: PyTorchModelHubMixin via the reference
+    ConfigurableMixin, ``configurable.py:2,5``) serializes the
+    save_pretrained layout and hands it to huggingface_hub — exercised here
+    against a recording fake so the test stays network-free."""
+    import sys
+    import types
+    import jax
+    import jax.numpy as jnp
+    from ever_tpu.core import builder
+    from ever_tpu.interface.module import ERModule
+
+    model = builder.make_model({'type': 'FarSeg', 'params': dict(
+        encoder=dict(resnet_type='resnet18'),
+        head=dict(fpn=dict(in_channels_list=(64, 128, 256, 512), out_channels=32),
+                  fs_relation=dict(scene_embedding_channels=512,
+                                   in_channels_list=(32,) * 4,
+                                   out_channels=32, scale_aware_proj=True),
+                  fpn_decoder=dict(in_channels=32, out_channels=32,
+                                   in_feat_output_strides=(4, 8, 16, 32),
+                                   out_feat_output_stride=4)),
+        classes=5)})
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = model.init({'params': jax.random.key(0)}, x)
+
+    calls = []
+
+    class FakeApi:
+        def __init__(self, token=None):
+            calls.append(('init', token))
+
+        def create_repo(self, repo_id, private=False, exist_ok=False):
+            calls.append(('create_repo', repo_id, private, exist_ok))
+
+        def upload_folder(self, repo_id, folder_path, commit_message=None):
+            # the uploaded folder must be a loadable from_pretrained dir
+            m2, v2 = ERModule.from_pretrained(folder_path)
+            assert m2.config.classes == 5
+            assert jax.tree.leaves(v2)
+            calls.append(('upload_folder', repo_id, commit_message))
+            return f'https://hub/{repo_id}'
+
+    monkeypatch.setitem(sys.modules, 'huggingface_hub',
+                        types.SimpleNamespace(HfApi=FakeApi))
+
+    url = model.push_to_hub('user/farseg-demo', variables, token='tok')
+    assert url == 'https://hub/user/farseg-demo'
+    assert ('create_repo', 'user/farseg-demo', False, True) in calls
+    assert calls[0] == ('init', 'tok')
+
+    # push an existing directory as-is
+    model.save_pretrained(str(tmp_path / 'hub'), variables)
+    model.push_to_hub('user/farseg-demo2',
+                      save_directory=str(tmp_path / 'hub'), create_repo=False)
+    assert calls[-1] == ('upload_folder', 'user/farseg-demo2',
+                         'upload FarSeg (ever_tpu)')
+
+    # arg validation + non-save_pretrained dir rejection
+    with pytest.raises(ValueError):
+        model.push_to_hub('user/x')
+    with pytest.raises(ValueError):
+        model.push_to_hub('user/x', save_directory=str(tmp_path))
+
+
 def test_param_util_freeze_aliases():
     """freeze_params/freeze_modules/freeze_bn masks (reference-named API)."""
     import jax.numpy as jnp

@@ -16,6 +16,10 @@ import pytest
 
 torch = pytest.importorskip('torch')
 
+# heavyweight deep-parity battery: excluded from the default run (pyproject
+# addopts); run with `pytest -m parity` or `-m 'parity or not parity'`
+pytestmark = pytest.mark.parity
+
 REFERENCE = '/root/reference'
 
 
@@ -38,8 +42,23 @@ def _import_reference():
         def __init__(self, *a, **k):
             pass
 
+    class _PrettyTable:
+        # functional enough for ever.metric.pixel's AccTable (field_names /
+        # add_row / _rows / get_string) — an inert stub would poison the
+        # metric-parity comparisons if this module imports `ever` first
+        def __init__(self, field_names=None, **kw):
+            self.field_names = list(field_names) if field_names else []
+            self._rows = []
+
+        def add_row(self, row):
+            self._rows.append(list(row))
+
+        def get_string(self):
+            rows = [self.field_names] + self._rows
+            return '\n'.join(' | '.join(str(c) for c in r) for r in rows)
+
     stub('wandb', run=None, init=lambda **k: None, log=lambda *a, **k: None)
-    stub('prettytable', PrettyTable=type('PrettyTable', (), {}))
+    stub('prettytable', PrettyTable=_PrettyTable)
     stub('pandas', DataFrame=type('DataFrame', (), {}))
     stub('tqdm', tqdm=lambda x, **k: x)
     stub('albumentations', DualTransform=_T, ImageOnlyTransform=_T,

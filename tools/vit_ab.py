@@ -29,6 +29,10 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# captured at startup: a user-exported cap applies to variants without
+# an explicit bqN token (ADVICE r4 #1)
+_AMBIENT_BQ_CAP = os.environ.get('EVER_ATTN_BQ_CAP')
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
@@ -106,7 +110,12 @@ def main():
         K = 10 if tile <= 512 else 4
         layout = 'bnhd'
         pad_tokens = None
-        os.environ.pop('EVER_ATTN_BQ_CAP', None)   # bqN is per-variant
+        # bqN is per-variant, but an ambient user-exported cap must
+        # survive variants WITHOUT a bqN token (ADVICE r4 #1)
+        if _AMBIENT_BQ_CAP is None:
+            os.environ.pop('EVER_ATTN_BQ_CAP', None)
+        else:
+            os.environ['EVER_ATTN_BQ_CAP'] = _AMBIENT_BQ_CAP
         for extra in parts[3:]:
             if extra in ('bhnd', 'bnhd'):
                 layout = extra
