@@ -842,13 +842,23 @@ def _orchestrate(args, t_start: float):
         results, {n: 'pending' for n, _ in sections},
         time.time() - t_start)), flush=True)
 
+    cooldown = 0.0
     for name, extra in sections:
         remaining = deadline - time.time()
         if remaining < _SECTION_MIN_S:
             skipped[name] = f'budget exhausted ({remaining:.0f}s left)'
             continue
+        if cooldown:
+            # a killed TPU client can wedge the chip for minutes
+            # (CLAUDE.md); give the next fresh process a chance — but never
+            # spend budget the remaining sections need more
+            time.sleep(min(cooldown, max(0.0, remaining - 900.0)))
+            cooldown = 0.0
+            remaining = deadline - time.time()
         timeout = min(_SECTION_TIMEOUT.get(name, 2400), remaining - 30.0)
         out = _run_section_subprocess(name, extra, timeout=timeout)
+        if 'timed out' in out.get('error', ''):
+            cooldown = 300.0
         if 'error' in out and name not in ('farseg', 'infer'):
             # vit sections carry their error inside their own sub-dict
             skipped[name] = out['error']

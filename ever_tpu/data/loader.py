@@ -8,12 +8,18 @@ double-buffered prefetcher (``ever_tpu/core/prefetch.py``), which replaces
 
 Items are fetched by a thread pool (datasets here are numpy/PIL-bound and
 release the GIL in I/O + decode), collated by stacking, and yielded in order.
+``worker_type='process'`` swaps in OS worker processes (the reference's
+``torch.utils.data.DataLoader`` ``num_workers`` model,
+``ever/interface/dataloader.py:44-52``) for datasets whose ``__getitem__``
+is pure-Python CPU-bound and would serialize on the GIL — each worker
+fork-inherits the dataset once and fetches whole batches by index.
 """
 
 from __future__ import annotations
 
 import itertools
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Callable, Iterator, Optional
 
 import numpy as np
@@ -38,6 +44,31 @@ def default_collate(items):
     return np.stack([np.asarray(it) for it in items])
 
 
+# -- process-worker plumbing ---------------------------------------------------
+# One (dataset, collate_fn) pair is installed per worker process at pool
+# startup (fork start method: the initargs pickle once per worker, numpy
+# payloads ride copy-on-write pages).  Batch fetches then ship only the
+# index list over the pipe and the collated numpy batch back — the torch
+# DataLoader worker model without the per-item Tensor IPC.
+_worker_state: dict = {}
+
+
+def _process_worker_init(dataset, collate_fn):
+    _worker_state['dataset'] = dataset
+    _worker_state['collate_fn'] = collate_fn
+
+
+def _process_worker_fetch(indices):
+    dataset = _worker_state['dataset']
+    collate_fn = _worker_state['collate_fn']
+    rb = getattr(dataset, 'read_batch', None)
+    if rb is not None and collate_fn is default_collate:
+        out = rb(indices)
+        if out is not NotImplemented:
+            return out
+    return collate_fn([dataset[i] for i in indices])
+
+
 class DataLoader:
     """Minimal ordered batch loader over an indexable dataset.
 
@@ -58,6 +89,7 @@ class DataLoader:
                  persistent_workers: bool = False,
                  pin_memory: bool = False,  # accepted for surface parity; no-op
                  shuffle: bool = False,
+                 worker_type: str = 'thread',
                  ):
         from ever_tpu.data.distributed import RandomSampler, SequentialSampler
         if shuffle and sampler is not None:
@@ -77,7 +109,11 @@ class DataLoader:
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self.persistent_workers = persistent_workers
         self.pin_memory = pin_memory
-        self._pool: Optional[ThreadPoolExecutor] = None
+        if worker_type not in ('thread', 'process'):
+            raise ValueError(f"worker_type must be 'thread' or 'process', "
+                             f'got {worker_type!r}')
+        self.worker_type = worker_type
+        self._pool = None
 
     # -- iteration ----------------------------------------------------------
     def _index_batches(self) -> Iterator[list]:
@@ -109,13 +145,17 @@ class DataLoader:
             return
 
         pool = self._get_pool()
+        # process workers hold their own dataset copy: ship only the index
+        # list each way (the thread path closes over self normally)
+        fetch = (_process_worker_fetch if self.worker_type == 'process'
+                 else self._fetch)
         batches = self._index_batches()
         # torch semantics: num_workers * prefetch_factor batches in flight —
-        # each in-flight batch occupies ONE pool thread here, so capping at
+        # each in-flight batch occupies ONE pool worker here, so capping at
         # prefetch_factor alone would leave most workers permanently idle
         depth = self.num_workers * self.prefetch_factor
         in_flight = [
-            pool.submit(self._fetch, b)
+            pool.submit(fetch, b)
             for b in itertools.islice(batches, depth)
         ]
         try:
@@ -131,15 +171,30 @@ class DataLoader:
             if not self.persistent_workers:
                 self._shutdown_pool()
 
-    def _get_pool(self) -> ThreadPoolExecutor:
+    def _get_pool(self):
         if self._pool is None:
-            self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
-                                            thread_name_prefix='ever_tpu_loader')
+            if self.worker_type == 'process':
+                # fork: workers inherit the parent's pages; initargs install
+                # the dataset once per worker, not once per batch
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context('fork'),
+                    initializer=_process_worker_init,
+                    initargs=(self.dataset, self.collate_fn))
+            else:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix='ever_tpu_loader')
         return self._pool
 
     def _shutdown_pool(self) -> None:
         if self._pool is not None:
-            self._pool.shutdown(wait=False)
+            if self.worker_type == 'process':
+                # reap worker processes; cancel_futures prevents a pending
+                # batch from pinning a worker past interpreter exit
+                self._pool.shutdown(wait=True, cancel_futures=True)
+            else:
+                self._pool.shutdown(wait=False)
             self._pool = None
 
     def __len__(self):
@@ -155,6 +210,7 @@ class DataLoader:
             num_workers=self.num_workers, collate_fn=self.collate_fn,
             drop_last=self.drop_last, prefetch_factor=self.prefetch_factor,
             persistent_workers=self.persistent_workers, pin_memory=self.pin_memory,
+            worker_type=self.worker_type,
         )
         kwargs.update(overrides)
         return DataLoader(**kwargs)

@@ -65,6 +65,10 @@ class ERDataset(ConfigurableMixin):
             total_batch_size=-1,
             batch_size=1,
             num_workers=0,
+            # 'thread' (GIL-releasing decode) | 'process' (torch-style
+            # worker processes for pure-Python CPU-bound __getitem__,
+            # parity: ever/interface/dataloader.py:44-52)
+            worker_type='thread',
             prefetch_factor=2,
             persistent_workers=False,
             # None = auto: drop the ragged tail batch for training samplers.
@@ -127,4 +131,5 @@ class ERDataset(ConfigurableMixin):
             persistent_workers=(persistent_workers if persistent_workers is not None
                                 else self.config.persistent_workers),
             drop_last=drop_last,
+            worker_type=self.config.worker_type,
         )

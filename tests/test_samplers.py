@@ -84,6 +84,34 @@ def test_dataloader_collate_and_order():
     assert len(list(dl2)) == 2
 
 
+def test_dataloader_process_workers_match_sync():
+    """worker_type='process' (torch-style OS worker processes, parity:
+    ever/interface/dataloader.py:44-52) yields the SAME ordered batches as
+    the synchronous path; workers are reaped after iteration unless
+    persistent_workers."""
+    ds = _DS(10)
+    sync = list(DataLoader(ds, batch_size=3))
+    dl = DataLoader(ds, batch_size=3, num_workers=2, worker_type='process')
+    procs = list(dl)
+    assert dl._pool is None  # reaped (persistent_workers=False)
+    assert len(procs) == len(sync) == 4
+    for a, b in zip(procs, sync):
+        np.testing.assert_array_equal(a['x'], b['x'])
+        np.testing.assert_array_equal(a['y'], b['y'])
+
+    # persistent: pool survives an epoch and a second epoch reuses it
+    dlp = DataLoader(ds, batch_size=5, num_workers=2, worker_type='process',
+                     persistent_workers=True)
+    e1, e2 = list(dlp), list(dlp)
+    assert dlp._pool is not None
+    np.testing.assert_array_equal(e1[0]['x'], e2[0]['x'])
+    dlp._shutdown_pool()
+
+    import pytest
+    with pytest.raises(ValueError):
+        DataLoader(ds, worker_type='greenlet')
+
+
 def test_default_collate_nested():
     items = [dict(a=(np.zeros(2), 1.5), b=None) for _ in range(3)]
     out = default_collate(items)
