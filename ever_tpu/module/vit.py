@@ -492,12 +492,13 @@ class DinoVisionTransformer(nn.Module):
     def _stack_pad(self, tokens):
         """Apply stack-level token padding (see ``pad_tokens``); returns
         ``(tokens, n_valid)`` where ``n_valid=None`` means unpadded."""
-        import os
         from ever_tpu.ops.attention import (FLASH_TOKEN_THRESHOLD,
-                                            FUSED_TOKEN_THRESHOLD, _on_tpu)
+                                            FUSED_TOKEN_THRESHOLD, _on_tpu,
+                                            pad_target)
         n = tokens.shape[1]
-        unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
-        target = -(-n // unit) * unit
+        # shared with the kernel pad so the stack target always equals the
+        # length the fused kernel would pad to (no second pad inside)
+        target = pad_target(n)
         if target == n:
             return tokens, None
         use = self.pad_tokens

@@ -95,10 +95,45 @@ def _row_block(s: int, n_bufs: float) -> int:
     budget = (int(os.environ.get('EVER_ATTN_SCORE_MB', '0')) * 1024 * 1024
               or _SCORE_BUDGET)
     cap = int(os.environ.get('EVER_ATTN_BQ_CAP', '384')) or s
-    for m in range(min(s, cap), 0, -128):
+    start = min(s, cap)
+    for m in range(start - start % 128, 0, -128):
+        if s % m == 0 and m * s * 4 * n_bufs <= budget:
+            return m
+    # no 128-multiple divides s (it is only a multiple of 8 — the 'auto'
+    # pad-unit geometries): Mosaic accepts any sublane-aligned q block
+    # (probed on chip, docs/PERFORMANCE.md 'pad-unit-8'), so search the
+    # 8-aligned divisor ladder
+    for m in range(start - start % 8, 0, -8):
         if s % m == 0 and m * s * 4 * n_bufs <= budget:
             return m
     return 128
+
+
+def pad_target(n: int, unit_env: Optional[str] = None) -> int:
+    """Padded sequence length for the fused kernel at ``n`` real tokens.
+
+    ``EVER_ATTN_PAD_UNIT``: an int pads to that multiple (default 128 —
+    minimal turn-key alignment); ``'auto'`` picks the SMALLEST 8-aligned
+    length whose best q-block is still >=192 rows, falling back to the
+    128-multiple.  TPU tiles are (8, 128) in (sublane, lane): the score
+    block's LANE dim occupies ceil(S/128) vregs either way, but k/v/o/lse
+    HBM rows, the matmul grid and Mosaic's instruction count all scale
+    with the real S — e.g. 512-crop ViT N=1029 pads to 1032 (q-block 344)
+    instead of 1152, and with stack-level padding the linear layers see
+    +0.3%% rows instead of +12%%.  Shared by the kernel pad and
+    ``DinoVisionTransformer._stack_pad`` so the two targets always agree.
+    """
+    import os
+    if unit_env is None:
+        unit_env = os.environ.get('EVER_ATTN_PAD_UNIT', '128')
+    if unit_env != 'auto':
+        unit = int(unit_env)
+        return -(-n // unit) * unit
+    t128 = -(-n // 128) * 128
+    for t in range(-(-n // 8) * 8, t128, 8):
+        if _row_block(t, n_bufs=4.0) >= 192:
+            return t
+    return t128
 
 
 def _compiler_params(interpret):
@@ -267,11 +302,8 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd',
     # pad unit trades pad waste for block choices: S must be a multiple of
     # every q-block, so the unit decides which bq values are legal (e.g.
     # N=4101: unit 128 → S=4224=2^7·3·11 allows bq∈{384,1408,4224};
-    # unit 512 → S=4608=2^9·3^2 allows the pow-2 ladder).  Experiment knob;
-    # default 128 = minimal padding.
-    import os
-    unit = int(os.environ.get('EVER_ATTN_PAD_UNIT', '128'))
-    target = -(-n // unit) * unit
+    # 'auto' → S=4104 with bq=216).  See :func:`pad_target`.
+    target = pad_target(n)
     n_real = n if n_valid is None else n_valid
     # fold 1/sqrt(D) into q OUTSIDE the custom_vjp: XLA fuses the multiply
     # into the producing elementwise chain (free), the kernels skip an N²

@@ -61,6 +61,34 @@ def test_fused_attention_grads_match_reference(n):
                                    atol=2e-4, err_msg=f'd{name}')
 
 
+def test_fused_attention_auto_pad_unit_numerics(monkeypatch):
+    """EVER_ATTN_PAD_UNIT=auto pads to the 8-aligned target (1029 → 1032,
+    q-block 344) instead of the 128 multiple; fwd+grads must still match
+    the dense reference on the valid rows."""
+    import importlib
+    A = importlib.import_module('ever_tpu.ops.attention')
+    monkeypatch.setenv('EVER_ATTN_PAD_UNIT', 'auto')
+    assert A.pad_target(1029) == 1032
+    rng = np.random.default_rng(5)
+    n = 1029
+    q, k, v = (jnp.asarray(rng.normal(size=(1, n, 2, 32)).astype(np.float32))
+               for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(1, n, 2, 32)).astype(np.float32))
+    out = A._fused(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_sdpa_ref(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    got = jax.grad(loss(lambda *a: A._fused(*a, interpret=True)),
+                   argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss(_sdpa_ref), argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4,
+                                   atol=2e-4, err_msg=f'd{name}')
+
+
 def test_fused_attention_bf16_dtype_and_finite():
     from ever_tpu.ops.attention import _fused
     rng = np.random.default_rng(2)

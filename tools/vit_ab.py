@@ -33,6 +33,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # captured at startup: a user-exported cap applies to variants without
 # an explicit bqN token (ADVICE r4 #1)
 _AMBIENT_BQ_CAP = os.environ.get('EVER_ATTN_BQ_CAP')
+_AMBIENT_PAD_UNIT = os.environ.get('EVER_ATTN_PAD_UNIT')
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
@@ -116,6 +117,10 @@ def main():
             os.environ.pop('EVER_ATTN_BQ_CAP', None)
         else:
             os.environ['EVER_ATTN_BQ_CAP'] = _AMBIENT_BQ_CAP
+        if _AMBIENT_PAD_UNIT is None:
+            os.environ.pop('EVER_ATTN_PAD_UNIT', None)
+        else:
+            os.environ['EVER_ATTN_PAD_UNIT'] = _AMBIENT_PAD_UNIT
         for extra in parts[3:]:
             if extra in ('bhnd', 'bnhd'):
                 layout = extra
@@ -125,6 +130,10 @@ def main():
                 pad_tokens = False
             elif extra.startswith('bq'):
                 os.environ['EVER_ATTN_BQ_CAP'] = extra[2:]
+            elif extra.startswith('pu'):
+                # 'puauto' / 'pu8' / 'pu128': EVER_ATTN_PAD_UNIT for this
+                # variant (adaptive kernel pad target, ops/attention.py)
+                os.environ['EVER_ATTN_PAD_UNIT'] = extra[2:]
             elif extra.startswith('k'):
                 K = int(extra[1:])
 
