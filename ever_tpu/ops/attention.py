@@ -125,11 +125,21 @@ def pad_target(n: int, unit_env: Optional[str] = None) -> int:
     """
     import os
     if unit_env is None:
-        unit_env = os.environ.get('EVER_ATTN_PAD_UNIT', '128')
+        unit_env = os.environ.get('EVER_ATTN_PAD_UNIT', 'auto')
     if unit_env != 'auto':
         unit = int(unit_env)
         return -(-n // unit) * unit
     t128 = -(-n // 128) * 128
+    # chip A/B (v5e, ViT-L, docs/PERFORMANCE.md 'pad-unit-8'): when the
+    # 128-multiple target is already close (ratio <= 5%, the stack-padding
+    # threshold), KEEP it — its q-block ladder is better (1024²: S=4104
+    # forces bq=216 and lost 2.7% to bq=384 at S=4224).  The 8-aligned
+    # target wins exactly when it newly brings the pad ratio under the
+    # stack-padding threshold (512²: 1029→1032 instead of 1152 turned
+    # stack padding ON and removed the per-layer pad/slice copies:
+    # 219.5→206.7 ms/step, 40.5→43.1% MFU).
+    if (t128 - n) / max(n, 1) <= 0.05:
+        return t128
     for t in range(-(-n // 8) * 8, t128, 8):
         if _row_block(t, n_bufs=4.0) >= 192:
             return t
