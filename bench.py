@@ -857,6 +857,17 @@ def _orchestrate(args, t_start: float):
             remaining = deadline - time.time()
         timeout = min(_SECTION_TIMEOUT.get(name, 2400), remaining - 30.0)
         out = _run_section_subprocess(name, extra, timeout=timeout)
+        if ('error' in out and 'timed out' not in out['error']
+                and deadline - time.time() > _SECTION_MIN_S + 120.0):
+            # transient tunnel faults (observed: remote_compile "Broken
+            # pipe") kill a section mid-compile; one fresh-process retry
+            # after a short breather usually succeeds
+            time.sleep(120.0)
+            retry = _run_section_subprocess(
+                name, extra, timeout=min(_SECTION_TIMEOUT.get(name, 2400),
+                                         deadline - time.time() - 30.0))
+            if 'error' not in retry:
+                out = retry
         if 'timed out' in out.get('error', ''):
             cooldown = 300.0
         if 'error' in out and name not in ('farseg', 'infer'):

@@ -276,6 +276,23 @@ class SelfAttention(nn.Module):
         return out
 
 
+
+def _make_layer_norm(eps, dtype, name):
+    """nn.LayerNorm or the fused Pallas LayerNorm (ops/norm.py).
+
+    The fused module is param-compatible (scale/bias, fp32) and falls back
+    to plain flax math off-TPU.  Default OFF: the chip A/B measured the
+    Pallas LN 5.3 ms/step SLOWER at ViT-L 512² (211.5 vs 206.2) — XLA's
+    "slow-looking" LN fusions carry neighboring elementwise work (residual
+    adds, casts) that the kernel boundary forces back to HBM
+    (docs/PERFORMANCE.md 'fused LayerNorm').  EVER_FUSED_LN=1 re-enables
+    for future A/Bs."""
+    import os
+    if os.environ.get('EVER_FUSED_LN', '0') == '1':
+        from ever_tpu.ops.norm import FusedLayerNorm
+        return FusedLayerNorm(epsilon=eps, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
+
 class SelfAttentionBlock(nn.Module):
     """Pre-norm attention + FFN block with LayerScale and stochastic depth
     (parity: ``layers/block.py:84-198``)."""
@@ -298,7 +315,7 @@ class SelfAttentionBlock(nn.Module):
     def _norm(self, name):
         if self.norm == 'rms':
             return RMSNorm(epsilon=self.norm_eps, dtype=self.dtype, name=name)
-        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name=name)
+        return _make_layer_norm(self.norm_eps, self.dtype, name)
 
     @nn.compact
     def __call__(self, x, rope=None, train: bool = False,
@@ -462,7 +479,7 @@ class DinoVisionTransformer(nn.Module):
         def make_norm(name):
             if self.norm == 'rms':
                 return RMSNorm(epsilon=eps, dtype=self.dtype, name=name)
-            return nn.LayerNorm(epsilon=eps, dtype=self.dtype, name=name)
+            return _make_layer_norm(eps, self.dtype, name)
 
         self.final_norm = make_norm('norm')
         if self.untie_cls_and_patch_norms:

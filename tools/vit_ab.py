@@ -34,6 +34,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # an explicit bqN token (ADVICE r4 #1)
 _AMBIENT_BQ_CAP = os.environ.get('EVER_ATTN_BQ_CAP')
 _AMBIENT_PAD_UNIT = os.environ.get('EVER_ATTN_PAD_UNIT')
+_AMBIENT_FUSED_LN = os.environ.get('EVER_FUSED_LN')
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
@@ -121,6 +122,10 @@ def main():
             os.environ.pop('EVER_ATTN_PAD_UNIT', None)
         else:
             os.environ['EVER_ATTN_PAD_UNIT'] = _AMBIENT_PAD_UNIT
+        if _AMBIENT_FUSED_LN is None:
+            os.environ.pop('EVER_FUSED_LN', None)
+        else:
+            os.environ['EVER_FUSED_LN'] = _AMBIENT_FUSED_LN
         for extra in parts[3:]:
             if extra in ('bhnd', 'bnhd'):
                 layout = extra
@@ -130,6 +135,9 @@ def main():
                 pad_tokens = False
             elif extra.startswith('bq'):
                 os.environ['EVER_ATTN_BQ_CAP'] = extra[2:]
+            elif extra in ('fln0', 'fln1'):
+                # fused Pallas LayerNorm on/off (ops/norm.py; default on)
+                os.environ['EVER_FUSED_LN'] = extra[-1]
             elif extra.startswith('pu'):
                 # 'puauto' / 'pu8' / 'pu128': EVER_ATTN_PAD_UNIT for this
                 # variant (adaptive kernel pad target, ops/attention.py)
