@@ -250,24 +250,21 @@ class SelfAttention(nn.Module):
                     [jnp.zeros((prefix, sin.shape[1]), sin.dtype), sin], 0)
                 cos = jnp.concatenate(
                     [jnp.ones((prefix, cos.shape[1]), cos.dtype), cos], 0)
-            # Rotate in the compute dtype.  The angle tables are built in
-            # f32 (RopePositionEmbedding); under bf16 compute the rotation
-            # rounds to bf16 exactly like the qkv projection that produced
-            # q/k did.  The reference's pos_embed_rope_dtype defaults to
-            # fp32 — forcing that here cost ~40 ms/step of pure HBM traffic
-            # at ViT-L 512² (profiled: slice_negate/maximum_add f32
-            # fusions), while fp32 models are bit-identical either way.
-            if self.attn_layout == 'bhnd':
-                sin = sin[None, None, :, :].astype(q.dtype)   # broadcast b, h
-                cos = cos[None, None, :, :].astype(q.dtype)
-            else:
-                sin = sin[None, :, None, :].astype(q.dtype)   # broadcast heads
-                cos = cos[None, :, None, :].astype(q.dtype)
-            q = rope_apply(q, sin, cos)
-            k = rope_apply(k, sin, cos)
+            # Rotation happens in the compute dtype, DOWNSTREAM: the
+            # full-length [N, D] tables go to ops.attention, which rotates
+            # IN-KERNEL on the fused path (the VMEM-resident q block / K
+            # rows — removes the ~10 ms/step rotate materialization the r5
+            # profile attributed to slice_negate fusions) and with a plain
+            # elementwise pass on the xla/flash paths.  The reference's
+            # pos_embed_rope_dtype defaults to fp32 — forcing f32 rotation
+            # cost ~40 ms/step of HBM traffic at ViT-L 512² (r3), while
+            # fp32 models are bit-identical either way.
+            rope2d = (sin.astype(q.dtype), cos.astype(q.dtype))
+        else:
+            rope2d = None
         from ever_tpu.ops.attention import attention
         out = attention(q, k, v, impl=self.attn_impl, layout=self.attn_layout,
-                        n_valid=n_valid)
+                        n_valid=n_valid, rope=rope2d)
         if self.attn_layout == 'bhnd':
             out = jnp.transpose(out, (0, 2, 1, 3))            # → [B, N, H, D]
         out = out.reshape(b, n, c)

@@ -157,11 +157,37 @@ def _compiler_params(interpret):
         vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n):
+def _rope_rot(x, sinp, cos):
+    """rope(x) = x*cos + rotate_half(x)*sin as ONE lane roll: ``sinp`` is
+    the sign-folded table (−sin on the low half-lanes), probed bit-exact
+    on chip.  The VPU cost is [rows, D] — negligible next to the [bq, S]
+    score passes this fusion avoids re-reading HBM for."""
+    d = x.shape[-1]
+    return x * cos + jnp.roll(x, d // 2, axis=-1) * sinp
+
+
+def _rope_inv(y, sinp, cos):
+    """Inverse (= transpose) rotation: y*cos − roll(y)*sinp."""
+    d = y.shape[-1]
+    return y * cos - jnp.roll(y, d // 2, axis=-1) * sinp
+
+
+def _fa_fwd_kernel(*refs, n, rope):
     # q arrives PRE-SCALED by 1/sqrt(D) (folded into the qkv projection's
     # epilogue outside the kernel — exact in bf16 for power-of-two D) so no
     # [bq,S] scale pass runs here.
+    if rope:
+        (q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+         o_ref, lse_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]        # [bq,D], [S,D]
+    if rope:
+        # in-kernel RoPE: rotate the VMEM-resident q block and K rows
+        # instead of materializing rotated q/k in HBM outside (the r5
+        # profile's ~10 ms/step slice_negate rotate pass)
+        q = _rope_rot(q, sq_ref[...], cq_ref[...])
+        k = _rope_rot(k, sk_ref[...], ck_ref[...])
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     # mask pad columns; -1e30 (not -inf) keeps all-pad rows NaN-free
@@ -178,11 +204,19 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, n):
     lse_ref[0, 0] = m + jnp.log(l)                         # [bq,1] f32
 
 
-def _fa_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                   dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, n):
+def _fa_bwd_kernel(*refs, n, rope):
     from jax.experimental import pallas as pl
 
+    if rope:
+        (q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref, o_ref, do_ref,
+         lse_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    if rope:
+        q = _rope_rot(q, sq_ref[...], cq_ref[...])
+        k = _rope_rot(k, sk_ref[...], ck_ref[...])
     o, do, lse = o_ref[0, 0], do_ref[0, 0], lse_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -198,9 +232,14 @@ def _fa_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                     axis=1, keepdims=True)
     ds = (p * (dp - delta)).astype(q.dtype)
     pc = p.astype(v.dtype)
-    dq_ref[0, 0] = jax.lax.dot_general(
+    dq_rot = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        preferred_element_type=jnp.float32)
+    if rope:
+        # d/d(unrotated q) = R^T · d/d(rotated q): rotation is orthogonal
+        dq_rot = _rope_inv(dq_rot, sq_ref[...].astype(jnp.float32),
+                           cq_ref[...].astype(jnp.float32))
+    dq_ref[0, 0] = dq_rot.astype(dq_ref.dtype)
 
     qi = pl.program_id(2)
 
@@ -220,11 +259,15 @@ def _fa_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
     @pl.when(qi == pl.num_programs(2) - 1)
     def _write():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dk = dk_acc[...]
+        if rope:
+            dk = _rope_inv(dk, sk_ref[...].astype(jnp.float32),
+                           ck_ref[...].astype(jnp.float32))
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _fused_fwd_impl(q, k, v, n, interpret):
+def _fused_fwd_impl(q, k, v, rope, n, interpret):
     from jax.experimental import pallas as pl
 
     b, h, s, d = q.shape
@@ -232,19 +275,27 @@ def _fused_fwd_impl(q, k, v, n, interpret):
     spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
     spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
     spec_l = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
+    in_specs = [spec_q, spec_kv, spec_kv]
+    args = [q, k, v]
+    if rope is not None:
+        sinp, cos = rope                                   # [S, D] each
+        spec_rq = pl.BlockSpec((bq, d), lambda bi, hi, qi: (qi, 0))
+        spec_rk = pl.BlockSpec((s, d), lambda bi, hi, qi: (0, 0))
+        in_specs += [spec_rq, spec_rq, spec_rk, spec_rk]
+        args += [sinp, cos, sinp, cos]
     return pl.pallas_call(
-        functools.partial(_fa_fwd_kernel, n=n),
+        functools.partial(_fa_fwd_kernel, n=n, rope=rope is not None),
         grid=(b, h, s // bq),
-        in_specs=[spec_q, spec_kv, spec_kv],
+        in_specs=in_specs,
         out_specs=[spec_q, spec_l],
         out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32)],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(q, k, v)
+    )(*args)
 
 
-def _fused_bwd_impl(q, k, v, o, lse, do, n, interpret):
+def _fused_bwd_impl(q, k, v, rope, o, lse, do, n, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -253,10 +304,20 @@ def _fused_bwd_impl(q, k, v, o, lse, do, n, interpret):
     spec_q = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
     spec_kv = pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0))
     spec_l = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
+    in_specs = [spec_q, spec_kv, spec_kv]
+    args = [q, k, v]
+    if rope is not None:
+        sinp, cos = rope
+        spec_rq = pl.BlockSpec((bq, d), lambda bi, hi, qi: (qi, 0))
+        spec_rk = pl.BlockSpec((s, d), lambda bi, hi, qi: (0, 0))
+        in_specs += [spec_rq, spec_rq, spec_rk, spec_rk]
+        args += [sinp, cos, sinp, cos]
+    in_specs += [spec_q, spec_q, spec_l]
+    args += [o, do, lse]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fa_bwd_kernel, n=n),
+        functools.partial(_fa_bwd_kernel, n=n, rope=rope is not None),
         grid=(b, h, s // bq),
-        in_specs=[spec_q, spec_kv, spec_kv, spec_q, spec_q, spec_l],
+        in_specs=in_specs,
         out_specs=[spec_q, spec_kv, spec_kv],
         out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
@@ -265,31 +326,62 @@ def _fused_bwd_impl(q, k, v, o, lse, do, n, interpret):
                         pltpu.VMEM((s, d), jnp.float32)],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
-    )(q, k, v, o, do, lse)
+    )(*args)
     return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_core(q, k, v, n, interpret):
-    return _fused_fwd_impl(q, k, v, n, interpret)[0]
+    return _fused_fwd_impl(q, k, v, None, n, interpret)[0]
 
 
 def _fused_core_fwd(q, k, v, n, interpret):
-    o, lse = _fused_fwd_impl(q, k, v, n, interpret)
+    o, lse = _fused_fwd_impl(q, k, v, None, n, interpret)
     return o, (q, k, v, o, lse)
 
 
 def _fused_core_bwd(n, interpret, res, do):
     q, k, v, o, lse = res
-    return _fused_bwd_impl(q, k, v, o, lse, do, n, interpret)
+    return _fused_bwd_impl(q, k, v, None, o, lse, do, n, interpret)
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
+# RoPE variant: sinp/cos ride as primal args (their cotangents are zero —
+# the tables are static buffers, ``RopePositionEmbedding`` has no learned
+# params) so the kernels rotate in VMEM instead of XLA materializing
+# rotated q/k in HBM.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_core_rope(q, k, v, sinp, cos, n, interpret):
+    return _fused_fwd_impl(q, k, v, (sinp, cos), n, interpret)[0]
+
+
+def _fused_core_rope_fwd(q, k, v, sinp, cos, n, interpret):
+    o, lse = _fused_fwd_impl(q, k, v, (sinp, cos), n, interpret)
+    return o, (q, k, v, sinp, cos, o, lse)
+
+
+def _fused_core_rope_bwd(n, interpret, res, do):
+    q, k, v, sinp, cos, o, lse = res
+    dq, dk, dv = _fused_bwd_impl(q, k, v, (sinp, cos), o, lse, do, n,
+                                 interpret)
+    return dq, dk, dv, jnp.zeros_like(sinp), jnp.zeros_like(cos)
+
+
+_fused_core_rope.defvjp(_fused_core_rope_fwd, _fused_core_rope_bwd)
+
+
 def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd',
-           n_valid: Optional[int] = None):
+           n_valid: Optional[int] = None, rope=None):
     """VMEM-resident attention; pads N to a 128 multiple.
+
+    ``rope=(sin, cos)`` ([N, D] angle tables, identity rows where tokens
+    must not rotate): the rotation happens IN-KERNEL on the VMEM-resident
+    blocks — q/k reach the kernel unrotated, dq/dk leave inverse-rotated.
+    CONTRACT: tables must be half-tiled (``sin[:, :D/2] == sin[:, D/2:]``,
+    the standard RoPE layout) — the backward treats the rotation's
+    transpose as its inverse, which holds exactly for tied tables.
 
     ``layout='bnhd'`` (flax convention) transposes in/out of the kernel's
     native [B,H,N,D]; ``layout='bhnd'`` consumes/produces [B,H,N,D]
@@ -323,7 +415,25 @@ def _fused(q, k, v, interpret: Optional[bool] = None, layout: str = 'bnhd',
     if target != n:
         pad = ((0, 0), (0, 0), (0, target - n), (0, 0))
         qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
-    out = _fused_core(qt, kt, vt, n_real, interpret)[:, :, :n]
+    if rope is not None:
+        sin, cos = rope
+        # sign-fold so rotate_half is ONE lane roll in-kernel (probed
+        # bit-exact); pad rows are identity (sin'=0, cos=1)
+        sign = jnp.where(jnp.arange(d) < d // 2, -1.0, 1.0)
+        sinp = (sin.astype(jnp.float32) * sign[None, :]).astype(qt.dtype)
+        cosp = cos.astype(qt.dtype)
+        if target != sin.shape[0]:
+            t = target - sin.shape[0]
+            sinp = jnp.concatenate(
+                [sinp, jnp.zeros((t, d), sinp.dtype)], 0)
+            cosp = jnp.concatenate(
+                [cosp, jnp.ones((t, d), cosp.dtype)], 0)
+        sinp = jax.lax.stop_gradient(sinp)
+        cosp = jax.lax.stop_gradient(cosp)
+        out = _fused_core_rope(qt, kt, vt, sinp, cosp, n_real,
+                               interpret)[:, :, :n]
+    else:
+        out = _fused_core(qt, kt, vt, n_real, interpret)[:, :, :n]
     return out if layout == 'bhnd' else jnp.swapaxes(out, 1, 2)
 
 
@@ -379,10 +489,28 @@ def _flash(q, k, v, block_q: Optional[int] = None,
     return jnp.swapaxes(out, 1, 2)[:, :n]
 
 
+def _rope_outside(q, k, rope, layout):
+    """Apply RoPE with a plain XLA elementwise pass (the non-fused paths)."""
+    sin, cos = rope
+    if layout == 'bhnd':
+        sin4 = sin[None, None, :, :].astype(q.dtype)
+        cos4 = cos[None, None, :, :].astype(q.dtype)
+    else:
+        sin4 = sin[None, :, None, :].astype(q.dtype)
+        cos4 = cos[None, :, None, :].astype(q.dtype)
+
+    def rot(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    return q * cos4 + rot(q) * sin4, k * cos4 + rot(k) * sin4
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               impl: Optional[str] = None,
               layout: str = 'bnhd',
-              n_valid: Optional[int] = None) -> jnp.ndarray:
+              n_valid: Optional[int] = None,
+              rope=None) -> jnp.ndarray:
     """Multi-head attention with automatic kernel choice.
 
     ``impl``: None (auto) | 'xla' | 'fused' | 'flash'.
@@ -393,7 +521,12 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``n_valid`` tokens are real (stack-level padding); pad keys are
     masked out of every softmax, pad query rows produce garbage that the
     caller discards.
+    ``rope``: optional ``(sin, cos)`` [N, D] angle tables (identity rows
+    where tokens must not rotate).  The fused kernel rotates IN-KERNEL
+    (``EVER_ROPE_KERNEL=0`` forces the XLA pre-rotation everywhere);
+    other impls rotate with a plain elementwise pass first.
     """
+    import os
     n = q.shape[2 if layout == 'bhnd' else 1]
     if impl is None:
         if _on_tpu():
@@ -406,7 +539,12 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         else:
             impl = 'xla'
     if impl == 'fused':
-        return _fused(q, k, v, layout=layout, n_valid=n_valid)
+        if rope is not None and os.environ.get('EVER_ROPE_KERNEL', '1') != '1':
+            q, k = _rope_outside(q, k, rope, layout)
+            rope = None
+        return _fused(q, k, v, layout=layout, n_valid=n_valid, rope=rope)
+    if rope is not None:
+        q, k = _rope_outside(q, k, rope, layout)
     if impl == 'flash':
         if _on_tpu():
             # on real hardware a flash failure is a real bug — do NOT

@@ -89,6 +89,66 @@ def test_fused_attention_auto_pad_unit_numerics(monkeypatch):
                                    atol=2e-4, err_msg=f'd{name}')
 
 
+def test_fused_attention_in_kernel_rope_matches_reference():
+    """rope=(sin, cos) handed to the fused kernel (in-VMEM rotation via the
+    sign-folded lane roll) must match rotate-then-SDPA, fwd AND grads —
+    incl. the inverse rotation applied to dq and the dk accumulator."""
+    from ever_tpu.ops.attention import _fused
+    rng = np.random.default_rng(9)
+    n, h, d = 300, 2, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(2, n, h, d)).astype(np.float32))
+               for _ in range(3))
+    # REAL RoPE tables are half-tiled (angles tiled (1,2)); the kernel's
+    # transpose-as-inverse gradient identity relies on that structure
+    ang = rng.normal(size=(n, d // 2)).astype(np.float32)
+    sin = jnp.asarray(np.sin(np.tile(ang, (1, 2))))
+    cos = jnp.asarray(np.cos(np.tile(ang, (1, 2))))
+    sin = sin.at[:5].set(0.0)          # identity prefix rows
+    cos = cos.at[:5].set(1.0)
+    w = jnp.asarray(rng.normal(size=(2, n, h, d)).astype(np.float32))
+
+    def rot(x):
+        s4, c4 = sin[None, :, None, :], cos[None, :, None, :]
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return x * c4 + jnp.concatenate([-x2, x1], -1) * s4
+
+    def ref(q, k, v):
+        return _sdpa_ref(rot(q), rot(k), v)
+
+    def fused(q, k, v):
+        return _fused(q, k, v, interpret=True, rope=(sin, cos))
+
+    np.testing.assert_allclose(np.asarray(fused(q, k, v)),
+                               np.asarray(ref(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    got = jax.grad(loss(fused), argnums=(0, 1, 2))(q, k, v)
+    exp = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, exp, 'qkv'):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4,
+                                   atol=2e-4, err_msg=f'd{name}')
+
+
+def test_attention_rope_arg_consistent_across_impls():
+    """ops.attention(rope=...) must produce the same output whether the
+    rotation runs in-kernel (fused) or as the XLA pre-pass."""
+    from ever_tpu.ops.attention import attention
+    rng = np.random.default_rng(10)
+    n, h, d = 280, 2, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(1, n, h, d)).astype(np.float32))
+               for _ in range(3))
+    ang = rng.normal(size=(n, d // 2)).astype(np.float32)
+    sin = jnp.asarray(np.sin(np.tile(ang, (1, 2))))
+    cos = jnp.asarray(np.cos(np.tile(ang, (1, 2))))
+    a = attention(q, k, v, impl='fused', rope=(sin, cos))
+    b = attention(q, k, v, impl='xla', rope=(sin, cos))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_attention_bf16_dtype_and_finite():
     from ever_tpu.ops.attention import _fused
     rng = np.random.default_rng(2)

@@ -279,6 +279,13 @@ def test_dinov3_vit_matches_reference(tmp_path, variant):
 
     torch.manual_seed(0)
     ref = TorchViT(**tkwargs).eval()
+    # the reference allocates cls/storage/mask tokens with torch.empty and
+    # only fills them in the separate init_weights() hook
+    # (vision_transformer.py:123-199) — without it the test compares
+    # whatever garbage memory the allocator handed out (observed: inf/NaN
+    # runs that flaked this test)
+    ref.init_weights()
+    ref.eval()
     if variant == 'swiglu_rms':
         # bias_mask inits to NaN (filled by load_state_dict in real use,
         # attention.py:36); set the canonical Q/V=1, K=0 pattern

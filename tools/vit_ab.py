@@ -35,6 +35,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _AMBIENT_BQ_CAP = os.environ.get('EVER_ATTN_BQ_CAP')
 _AMBIENT_PAD_UNIT = os.environ.get('EVER_ATTN_PAD_UNIT')
 _AMBIENT_FUSED_LN = os.environ.get('EVER_FUSED_LN')
+_AMBIENT_ROPE_KERNEL = os.environ.get('EVER_ROPE_KERNEL')
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
@@ -126,6 +127,10 @@ def main():
             os.environ.pop('EVER_FUSED_LN', None)
         else:
             os.environ['EVER_FUSED_LN'] = _AMBIENT_FUSED_LN
+        if _AMBIENT_ROPE_KERNEL is None:
+            os.environ.pop('EVER_ROPE_KERNEL', None)
+        else:
+            os.environ['EVER_ROPE_KERNEL'] = _AMBIENT_ROPE_KERNEL
         for extra in parts[3:]:
             if extra in ('bhnd', 'bnhd'):
                 layout = extra
@@ -135,6 +140,9 @@ def main():
                 pad_tokens = False
             elif extra.startswith('bq'):
                 os.environ['EVER_ATTN_BQ_CAP'] = extra[2:]
+            elif extra in ('rk0', 'rk1'):
+                # in-kernel RoPE on/off (ops/attention.py; default on)
+                os.environ['EVER_ROPE_KERNEL'] = extra[-1]
             elif extra in ('fln0', 'fln1'):
                 # fused Pallas LayerNorm on/off (ops/norm.py; default on)
                 os.environ['EVER_FUSED_LN'] = extra[-1]
