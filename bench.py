@@ -449,8 +449,11 @@ def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
                    jnp.bfloat16 if on_tpu else jnp.float32)
     variables = model.init({'params': jax.random.key(0)}, x0)
 
-    def predict(tiles):
-        return model.apply(variables, tiles, train=False)
+    # params as an ARGUMENT (variables=), never a closure: closure params
+    # embed as compile-request constants and the tunnel's remote_compile
+    # breaks its pipe serializing ViT-L's 600 MB (r5; magic/tiled.py doc)
+    def predict(v, tiles):
+        return model.apply(v, tiles, train=False)
 
     side = 4096 if on_tpu else 1024
     scene = jnp.asarray(rng.normal(size=(side, side, 3)).astype(np.float32))
@@ -463,16 +466,16 @@ def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
     def isync():
         return float(jax.device_get(jnp.sum(out_box[0][0, 0])))
 
-    def time_infer(fn):
+    def time_infer(fn, v):
         def run():
             out_box[0] = tiled_inference(fn, scene, 512, 512, 7,
-                                         tile_batch=8)
+                                         tile_batch=8, variables=v)
         run()            # warmup/compile
         isync()
         _, med, spr = _median_windows(run, isync, windows)
         return n_tiles / med / n_chips, spr
 
-    bf16_tps, bf16_spr = time_infer(predict)
+    bf16_tps, bf16_spr = time_infer(predict, variables)
     out['noise']['vit_infer_spread'] = round(bf16_spr, 4)
 
     int8_tps = 0.0
@@ -482,11 +485,16 @@ def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
                              .astype(np.float32))]
         qv = ptq_quantize(model, variables, calib,
                           apply_kwargs=dict(train=False), min_in_features=64)
-        int8_tps, int8_spr = time_infer(
-            make_ptq_predict_fn(model, qv, train=False))
+        from ever_tpu.ops.ptq import ptq_apply
+
+        def predict_q(v, tiles):
+            return ptq_apply(model, v, tiles, train=False)
+
+        int8_tps, int8_spr = time_infer(predict_q, qv)
         out['noise']['vit_int8_spread'] = round(int8_spr, 4)
-    except Exception:
+    except Exception as e:
         int8_tps = 0.0
+        out['int8_error'] = f'{type(e).__name__}: {e}'[:300]
 
     out.update(
         tiles_per_sec_per_chip=round(bf16_tps, 1),

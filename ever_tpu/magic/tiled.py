@@ -70,18 +70,27 @@ def _set_attached(predict_fn, attr, value):
         while len(_FALLBACK_CACHE) > _FALLBACK_MAX:
             _FALLBACK_CACHE.popitem(last=False)
 
-def _d4_wrapped(predict_fn: Callable) -> Callable:
+def _d4_wrapped(predict_fn: Callable, with_variables: bool = False) -> Callable:
     """Memoized d4-TTA wrapper so repeated ``tiled_inference(..., tta='d4')``
     calls with the SAME predict_fn reuse one (jit-static) callable instead of
-    recompiling (see _set_attached for where the wrapper lives)."""
-    fn = _get_attached(predict_fn, '_ever_d4_wrapper')
+    recompiling (see _set_attached for where the wrapper lives).  With
+    ``with_variables`` the wrapped callable keeps the ``(variables, tiles)``
+    calling convention."""
+    attr = ('_ever_d4_wrapper_v' if with_variables else '_ever_d4_wrapper')
+    fn = _get_attached(predict_fn, attr)
     if fn is None:
+        from functools import partial as _partial
+
         from ever_tpu.magic.transform import d4_tta
 
-        def fn(tiles):
-            return d4_tta(predict_fn, tiles)
+        if with_variables:
+            def fn(vs, tiles):
+                return d4_tta(_partial(predict_fn, vs), tiles)
+        else:
+            def fn(tiles):
+                return d4_tta(predict_fn, tiles)
 
-        _set_attached(predict_fn, '_ever_d4_wrapper', fn)
+        _set_attached(predict_fn, attr, fn)
     return fn
 
 
@@ -106,7 +115,8 @@ def tiled_inference(predict_fn: Callable,
                     num_classes: int,
                     tile_batch: int = 8,
                     mesh=None, axis: str = 'data',
-                    tta: Optional[str] = None) -> jnp.ndarray:
+                    tta: Optional[str] = None,
+                    variables=None) -> jnp.ndarray:
     """Run ``predict_fn`` over every sliding-window tile and average overlaps.
 
     Args:
@@ -122,6 +132,12 @@ def tiled_inference(predict_fn: Callable,
             ``psum`` at the end (this is how the ≥5k tiles/s v5e-8 north
             star composes from the ~725/s single-chip scan: tiles are
             embarrassingly parallel, one collective per scene).
+        variables: optional params pytree when ``predict_fn`` has the
+            ``(variables, tiles)`` signature.  For big models this is
+            LOAD-BEARING, not style: a closure's params become compile-time
+            constants, and the axon tunnel's ``remote_compile`` RPC dies
+            serializing them (ViT-L's 600 MB: >38 min then "Broken pipe",
+            vs **12.7 s** with the params as an argument — r5 bisect).
         tta: ``'d4'`` fuses full dihedral-group test-time augmentation into
             the SAME compiled scan — each tile batch is expanded to its 8
             symmetries, predicted in one batched call, inverted, and
@@ -140,7 +156,7 @@ def tiled_inference(predict_fn: Callable,
     if tta is not None:
         if tta != 'd4':
             raise ValueError(f"tta must be None or 'd4', got {tta!r}")
-        predict_fn = _d4_wrapped(predict_fn)
+        predict_fn = _d4_wrapped(predict_fn, with_variables=variables is not None)
     h0, w0, _ = image.shape
     # scenes smaller than one tile: pad up to the tile size (the static
     # gather slice is kernel_size², so the clamped boxes sliding_window
@@ -151,18 +167,21 @@ def tiled_inference(predict_fn: Callable,
     h, w, _ = image.shape
     boxes = sliding_window((h, w), kernel_size, stride)
     if mesh is None:
-        out = _tiled_inference_impl(predict_fn, image, tuple(boxes[:, 1]),
+        out = _tiled_inference_impl(predict_fn, variables, image,
+                                    tuple(boxes[:, 1]),
                                     tuple(boxes[:, 0]), kernel_size,
                                     num_classes, tile_batch)
     else:
-        out = _tiled_inference_sharded(predict_fn, image, boxes, kernel_size,
-                                       num_classes, tile_batch, mesh, axis)
+        out = _tiled_inference_sharded(predict_fn, variables, image, boxes,
+                                       kernel_size, num_classes, tile_batch,
+                                       mesh, axis)
     return out[:h0, :w0] if (h, w) != (h0, w0) else out
 
 
 @partial(jax.jit, static_argnames=('predict_fn', 'ys', 'xs', 'k',
                                    'num_classes', 'tile_batch'))
-def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch):
+def _tiled_inference_impl(predict_fn, variables, image, ys, xs, k,
+                          num_classes, tile_batch):
     h, w, _ = image.shape
     n_tiles = len(ys)
     n_batches = math.ceil(n_tiles / tile_batch)
@@ -186,7 +205,8 @@ def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch)
         acc, cnt = carry
         ysb, xsb, wb = ys_arr[idx], xs_arr[idx], w_arr[idx]
         tiles = jax.vmap(gather_tile)(ysb, xsb)
-        preds = predict_fn(tiles).astype(jnp.float32)
+        preds = (predict_fn(variables, tiles) if variables is not None
+                 else predict_fn(tiles)).astype(jnp.float32)
 
         def paste(i, carry):
             acc, cnt = carry
@@ -205,8 +225,8 @@ def _tiled_inference_impl(predict_fn, image, ys, xs, k, num_classes, tile_batch)
     return acc / jnp.maximum(cnt, 1.0)
 
 
-def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
-                             tile_batch, mesh, axis):
+def _tiled_inference_sharded(predict_fn, variables, image, boxes, k,
+                             num_classes, tile_batch, mesh, axis):
     import math as _math
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -231,7 +251,8 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     # call would re-trace every scene — seconds of lowering against a ~1 s
     # compute budget in a deployment loop.  The cache lives on predict_fn
     # (like _d4_wrapped) so dropping the closure frees its params.
-    cache_key = (mesh, axis, k, num_classes, tile_batch, h, w, c)
+    cache_key = (mesh, axis, k, num_classes, tile_batch, h, w, c,
+                 variables is not None)
     cache = _get_attached(predict_fn, '_ever_sharded_cache')
     fn = cache.get(cache_key) if cache is not None else None
     if fn is not None:
@@ -239,9 +260,9 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
         ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
         xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
         ws = jax.device_put(jnp.asarray(ws), NamedSharding(mesh, P(axis)))
-        return fn(image, ys, xs, ws)
+        return fn(variables, image, ys, xs, ws)
 
-    def local(img, ys_l, xs_l, ws_l):
+    def local(vs, img, ys_l, xs_l, ws_l):
         acc = jnp.zeros((h, w, num_classes), jnp.float32)
         cnt = jnp.zeros((h, w, 1), jnp.float32)
         # the canvases become device-varying once device-local boxes touch
@@ -257,7 +278,8 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
             acc, cnt = carry
             ysb, xsb, wsb = yxw
             tiles = jax.vmap(gather_tile)(ysb, xsb)
-            preds = predict_fn(tiles).astype(jnp.float32)
+            preds = (predict_fn(vs, tiles) if vs is not None
+                     else predict_fn(tiles)).astype(jnp.float32)
 
             def paste(i, carry):
                 acc, cnt = carry
@@ -279,7 +301,7 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
 
     from jax import shard_map
     fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(P(), P(axis), P(axis), P(axis)),
+                           in_specs=(P(), P(), P(axis), P(axis), P(axis)),
                            out_specs=P()))
     if cache is None:
         cache = {}
@@ -289,4 +311,4 @@ def _tiled_inference_sharded(predict_fn, image, boxes, k, num_classes,
     ys = jax.device_put(jnp.asarray(ys), NamedSharding(mesh, P(axis)))
     xs = jax.device_put(jnp.asarray(xs), NamedSharding(mesh, P(axis)))
     ws = jax.device_put(jnp.asarray(ws), NamedSharding(mesh, P(axis)))
-    return fn(image, ys, xs, ws)
+    return fn(variables, image, ys, xs, ws)

@@ -78,6 +78,35 @@ def test_tiled_inference_identity():
     np.testing.assert_allclose(np.asarray(out), img, rtol=1e-5, atol=1e-5)
 
 
+def test_tiled_inference_variables_argument():
+    """predict_fn(variables, tiles) + variables= must match the closure
+    form — plain, d4-TTA, and mesh-sharded.  The argument form is
+    load-bearing for big models: closure params become compile-request
+    constants and the tunnel's remote_compile chokes on them (r5)."""
+    from ever_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(100, 80, 3)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+    params = {'w': wgt}
+
+    def closure(t):
+        return t @ wgt
+
+    def with_vars(v, t):
+        return t @ v['w']
+
+    for kwargs in (dict(), dict(tta='d4'),
+                   dict(mesh=make_mesh(('data',))),
+                   dict(mesh=make_mesh(('data',)), tta='d4')):
+        a = tiled_inference(closure, img, 32, 24, 3, tile_batch=4, **kwargs)
+        b = tiled_inference(with_vars, img, 32, 24, 3, tile_batch=4,
+                            variables=params, **kwargs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=str(kwargs))
+
+
 def test_pad_crop_apply():
     calls = {}
 
