@@ -437,6 +437,8 @@ def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
     ViT serving); the ACCURACY gate (int8 vs bf16 mIoU on a trained model)
     lives in ``tools/e2e_loveda.py --config dinoseg_vitl_loveda --ptq``,
     this section measures throughput only."""
+    import os
+
     from ever_tpu.core import builder
     from ever_tpu.magic.tiled import tiled_inference
 
@@ -477,8 +479,22 @@ def _bench_vit_infer(jax, jnp, np, on_tpu, devices, n_chips,
 
     bf16_tps, bf16_spr = time_infer(predict, variables)
     out['noise']['vit_infer_spread'] = round(bf16_spr, 4)
+    # print the bf16 fragment NOW: the int8 leg below reliably dies in a
+    # ~15-35 min remote_compile "Broken pipe" (PERFORMANCE.md
+    # 'remote-compile constants'), and if the orchestrator's budget kills
+    # this section first, the partial-stdout salvage must still find the
+    # measured number
+    print(json.dumps(dict(out, tiles_per_sec_per_chip=round(bf16_tps, 1),
+                          int8_tiles_per_sec_per_chip=0.0,
+                          device=devices[0].device_kind, n_chips=n_chips)),
+          flush=True)
 
     int8_tps = 0.0
+    if os.environ.get('EVER_BENCH_VIT_INT8', '1') != '1':
+        out.update(tiles_per_sec_per_chip=round(bf16_tps, 1),
+                   int8_tiles_per_sec_per_chip=0.0,
+                   int8_skipped='EVER_BENCH_VIT_INT8=0')
+        return out
     try:
         from ever_tpu.ops import make_ptq_predict_fn, ptq_quantize
         calib = [jnp.asarray(rng.normal(size=(8, 512, 512, 3))
@@ -712,7 +728,20 @@ def _run_section_subprocess(name: str, extra=(), timeout=None):
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                               timeout=timeout)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # a section may have printed a partial fragment before the kill
+        # (vitinfer prints its bf16 numbers before attempting int8) —
+        # salvage it rather than discarding the whole section
+        partial = e.stdout or b''
+        if isinstance(partial, bytes):
+            partial = partial.decode('utf-8', 'replace')
+        for line in reversed(partial.strip().splitlines()):
+            try:
+                out = json.loads(line)
+                out['truncated'] = f'section killed at {timeout:.0f}s'
+                return out
+            except (json.JSONDecodeError, ValueError):
+                continue
         return {'error': f'section {name} timed out after {timeout:.0f}s'}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
