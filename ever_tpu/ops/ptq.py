@@ -99,17 +99,22 @@ def calibrate_int8(model, variables, batches: Iterable,
     """
     apply_kwargs = dict(apply_kwargs or {})
 
+    # variables ride as a jit ARGUMENT, never a closure: closure params
+    # embed as compile-request constants, and on the tunneled backend the
+    # remote_compile RPC dies serializing big models (ViT-L's 600 MB sat
+    # >17 min in THIS function before the fix — docs/PERFORMANCE.md
+    # 'remote-compile constants')
     @jax.jit
-    def one(args):
+    def one(v, args):
         with nn.intercept_methods(_make_calib_interceptor(act_percentile)):
-            _, st = model.apply(variables, *args, mutable=[_STATS_COL],
+            _, st = model.apply(v, *args, mutable=[_STATS_COL],
                                 **apply_kwargs)
         return st[_STATS_COL]
 
     stats = None
     for b in batches:
         args = b if isinstance(b, (tuple, list)) else (b,)
-        st = jax.device_get(one(tuple(args)))
+        st = jax.device_get(one(variables, tuple(args)))
         stats = st if stats is None else jax.tree.map(np.maximum, stats, st)
     if stats is None:
         raise ValueError('calibrate_int8: no calibration batches provided')
